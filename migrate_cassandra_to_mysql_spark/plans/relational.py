@@ -1,0 +1,596 @@
+"""Relational query catalog — the reference's operator inventory (SURVEY §2)
+re-expressed as declarative DataFrame plans, each with a DuckDB oracle.
+
+Mapping to the reference (file:line into /root/reference):
+  snapshot_sanitize        -> the flagship pipeline: projection/rename
+                              (snapshot_use_pyspark.py:453,456), NULL
+                              sanitize (:241-255), key dedup / INSERT IGNORE
+                              (:455-458), token-range predicate (:219-220)
+  token_range_counts       -> per-range counts (:275-277,363-366)
+  snapshot_reconciliation  -> validate_counts (:372-404)
+  missing_ids_anti_join    -> find_missing_ids.py:38-53
+  missing_ids_enriched     -> find_missing_ids.py:59-65 (lookup join)
+  checkpoint_progress      -> debug_checkpoints.py:23-37
+  running_max_token        -> max_token high-water tracking (:228,258)
+  dedup_exact_lineitem     -> INSERT IGNORE + uk_file_id key dedup
+                              (mysql-init/init.sql:27)
+plus the general relational surface an engine must expose (grouped aggs,
+joins, top-k, set ops, rollup, window/sessionization, JSON extraction) that
+the reference only implies (SURVEY §2.4-2.6 "absent" rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.functions.hashing import (
+    md5_token_bucket,
+    oracle_bucket_sql,
+)
+from migrate_cassandra_to_mysql_spark.operators.reconcile import (
+    count_reconciliation,
+    missing_keys,
+    per_bucket_counts,
+)
+from migrate_cassandra_to_mysql_spark.operators.snapshot import dedup_by_key
+from migrate_cassandra_to_mysql_spark.plans.registry import register
+from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+# Exact-decimal revenue term used by q1/q3/q5 (rule 1 in registry docstring).
+_REVENUE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+@register(
+    "snapshot_sanitize",
+    oracle=f"""
+WITH src AS (
+  SELECT o_orderkey AS file_id,
+         nullif(o_orderstatus, 'O') AS status_n,
+         nullif(o_orderpriority, '1-URGENT') AS prio_n,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderdate END AS date_n,
+         o_totalprice AS total_price,
+         o_custkey AS client_id
+  FROM orders
+), san AS (
+  SELECT file_id,
+         coalesce(status_n, '') AS status,
+         coalesce(prio_n, '') AS priority,
+         coalesce(date_n, TIMESTAMP '2026-01-01 00:00:00') AS modified,
+         total_price, client_id,
+         {oracle_bucket_sql('file_id')} AS token_bucket
+  FROM src
+), dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY file_id ORDER BY modified, status) AS rn
+    FROM san) t
+  WHERE rn = 1
+)
+SELECT file_id, status, priority, modified, total_price, client_id, token_bucket
+FROM dedup WHERE token_bucket < 192
+""",
+)
+def snapshot_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship snapshot pipeline: rename -> NULL-inject (to exercise the
+    sanitize contract on NULL-free testdata) -> sanitize -> bucket -> dedup
+    -> token-range filter. One declarative plan; the only shuffle is the
+    dedup window, and the range filter is pushed into the scan."""
+    src = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("file_id"),
+        F.expr("nullif(o_orderstatus, 'O')").alias("status_n"),
+        F.expr("nullif(o_orderpriority, '1-URGENT')").alias("prio_n"),
+        F.expr(
+            "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderdate END"
+        ).alias("date_n"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_custkey").alias("client_id"),
+    )
+    san = src.select(
+        "file_id",
+        F.coalesce("status_n", F.lit("")).alias("status"),
+        F.coalesce("prio_n", F.lit("")).alias("priority"),
+        F.coalesce(
+            "date_n", F.lit("2026-01-01 00:00:00").cast("timestamp")
+        ).alias("modified"),
+        "total_price",
+        "client_id",
+        md5_token_bucket(F.col("file_id")).alias("token_bucket"),
+    )
+    return dedup_by_key(san, ["file_id"], ["modified", "status"]).where(
+        F.col("token_bucket") < 192
+    )
+
+
+@register(
+    "token_range_counts",
+    oracle=f"""
+SELECT {oracle_bucket_sql('l_orderkey')} AS token_bucket,
+       count(*) AS n_rows,
+       min(l_orderkey) AS min_key,
+       max(l_orderkey) AS max_key,
+       count(DISTINCT l_orderkey) AS n_keys
+FROM lineitem GROUP BY 1
+""",
+)
+def token_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token-range counts (A1/A5): one groupBy replaces the reference's
+    256 separate per-range CQL count(*) round-trips. Partial aggregation
+    happens map-side; only 256 rows shuffle."""
+    li = T(spark, sf_dir, "lineitem").withColumn(
+        "token_bucket", md5_token_bucket(F.col("l_orderkey"))
+    )
+    return per_bucket_counts(li, "token_bucket", "l_orderkey")
+
+
+@register(
+    "snapshot_reconciliation",
+    oracle="""
+WITH src AS (SELECT count(*) AS c FROM lineitem),
+ full_t AS (SELECT count(*) AS c FROM lineitem),
+ lossy AS (SELECT count(*) AS c FROM lineitem
+           WHERE NOT (l_orderkey % 997 = 0 AND l_linenumber = 1))
+SELECT 'lineitem_full' AS table_name, src.c AS source_count,
+       full_t.c AS target_count, abs(src.c - full_t.c) AS diff,
+       CASE WHEN src.c = full_t.c THEN 'OK' ELSE 'MISMATCH' END AS status
+FROM src, full_t
+UNION ALL
+SELECT 'lineitem_lossy', src.c, lossy.c, abs(src.c - lossy.c),
+       CASE WHEN src.c = lossy.c THEN 'OK' ELSE 'MISMATCH' END
+FROM src, lossy
+""",
+)
+def snapshot_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count reconciliation (A2-A4 + S8): source vs target counts -> diff ->
+    OK/MISMATCH verdict, exercising both verdict branches via a simulated
+    lossy target."""
+    li = T(spark, sf_dir, "lineitem")
+    lossy = li.where(~((F.col("l_orderkey") % 997 == 0) & (F.col("l_linenumber") == 1)))
+    return count_reconciliation(li, li, "lineitem_full").unionAll(
+        count_reconciliation(li, lossy, "lineitem_lossy")
+    )
+
+
+@register(
+    "missing_ids_anti_join",
+    oracle="""
+SELECT o_orderkey AS missing_key, o_custkey AS client_id,
+       o_totalprice AS total_price, o_orderstatus AS status
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+)
+def missing_ids_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-key reconciliation (J1) as a distributed left-anti join —
+    replaces the reference's driver-side set + per-id probe loop
+    (find_missing_ids.py:38-53), which cannot scale past driver memory."""
+    o, li = T(spark, sf_dir, "orders"), T(spark, sf_dir, "lineitem")
+    return missing_keys(o, li.select("l_orderkey"), "o_orderkey", "l_orderkey").select(
+        F.col("o_orderkey").alias("missing_key"),
+        F.col("o_custkey").alias("client_id"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+@register(
+    "missing_ids_enriched",
+    oracle="""
+WITH missing AS (
+  SELECT o_orderkey, o_custkey FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+)
+SELECT m.o_orderkey AS missing_key, c.c_custkey AS client_id,
+       c.c_name AS client_name, c.c_mktsegment AS segment
+FROM missing m JOIN customer c ON m.o_custkey = c.c_custkey
+""",
+)
+def missing_ids_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup/enrichment join (J2): missing keys joined back to a dimension.
+    Customer is dimension-sized -> broadcast hash join, no shuffle of the
+    fact side."""
+    o, li = T(spark, sf_dir, "orders"), T(spark, sf_dir, "lineitem")
+    c = T(spark, sf_dir, "customer")
+    missing = missing_keys(
+        o.select("o_orderkey", "o_custkey"),
+        li.select("l_orderkey"),
+        "o_orderkey",
+        "l_orderkey",
+    )
+    return missing.join(
+        F.broadcast(c), missing["o_custkey"] == c["c_custkey"], "inner"
+    ).select(
+        F.col("o_orderkey").alias("missing_key"),
+        F.col("c_custkey").alias("client_id"),
+        F.col("c_name").alias("client_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "checkpoint_progress",
+    oracle="""
+SELECT o_orderkey % 16 AS range_id,
+       max(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN o_orderkey END)
+         AS checkpoint,
+       max(o_orderkey) AS range_end,
+       count(*) AS n_rows,
+       CASE WHEN max(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                          THEN o_orderkey END) = max(o_orderkey)
+            THEN 'DONE' ELSE 'PENDING' END AS status
+FROM orders GROUP BY 1
+""",
+)
+def checkpoint_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint progress rollup (A6/S6): per-range high-water checkpoint vs
+    range_end -> DONE/PENDING, mirroring `checkpoint = range_end` done-ness
+    (snapshot_use_pyspark.py:67-74, debug_checkpoints.py:23-37)."""
+    o = T(spark, sf_dir, "orders")
+    ckpt = F.max(
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"),
+            F.col("o_orderkey"),
+        )
+    )
+    return (
+        o.groupBy((F.col("o_orderkey") % 16).alias("range_id"))
+        .agg(
+            ckpt.alias("checkpoint"),
+            F.max("o_orderkey").alias("range_end"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("checkpoint") == F.col("range_end"), F.lit("DONE")).otherwise(
+                F.lit("PENDING")
+            ),
+        )
+    )
+
+
+@register(
+    "running_max_token",
+    oracle="""
+SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+       max(l_orderkey) OVER (
+         PARTITION BY l_orderkey % 16
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_water_key
+FROM lineitem
+""",
+)
+def running_max_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running high-water mark (W1): the reference tracks max_token while
+    iterating a range (snapshot_use_pyspark.py:228,258); here it is a window
+    running-max over a deterministic scan order."""
+    li = T(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy(F.col("l_orderkey") % 16)
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.max("l_orderkey").over(w).alias("high_water_key"),
+    )
+
+
+@register(
+    "dedup_exact_lineitem",
+    oracle="""
+SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+       l_quantity AS quantity, l_extendedprice AS price
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_quantity, l_extendedprice,
+                 l_partkey, l_suppkey) AS rn
+      FROM lineitem) t
+WHERE rn = 1
+""",
+)
+def dedup_exact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key-dedup (J3): INSERT IGNORE keeps an arbitrary
+    duplicate; this engine keeps an explicitly-ordered survivor so reruns
+    are idempotent (required for retry-safe writes at scale)."""
+    li = T(spark, sf_dir, "lineitem")
+    # The tie-break must identify a unique survivor: (orderkey, linenumber)
+    # alone is NOT unique in the testdata (duplicate injections), so order by
+    # enough columns to pin one physical row in both engines.
+    return dedup_by_key(
+        li,
+        ["l_orderkey"],
+        ["l_linenumber", "l_quantity", "l_extendedprice", "l_partkey", "l_suppkey"],
+    ).select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum({_REVENUE}) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST({_REVENUE} AS DECIMAL(18,4))
+           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style grouped aggregation (the general agg surface, SURVEY
+    §2.4 'absent' rows). All money math in exact DECIMAL, final cast to
+    DOUBLE — bit-identical to the oracle regardless of partial-agg order."""
+    li = T(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    )
+    aggs = [
+        F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("sum_qty"),
+        F.expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").alias(
+            "sum_base_price"
+        ),
+        F.expr(f"CAST(sum({_REVENUE}) AS DOUBLE)").alias("sum_disc_price"),
+        F.expr(
+            f"CAST(sum(CAST({_REVENUE} AS DECIMAL(18,4))"
+            " * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)"
+        ).alias("sum_charge"),
+        F.expr(
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)"
+        ).alias("avg_qty"),
+        F.expr(
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)"
+        ).alias("avg_price"),
+        F.expr(
+            "CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)"
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    ]
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(*aggs)
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    oracle=f"""
+SELECT l_orderkey AS order_key, o_orderdate AS order_date,
+       CAST(sum({_REVENUE}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, order_key
+LIMIT 10
+""",
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg + deterministic top-k. The customer dimension is
+    filtered then broadcast; lineitem (the 100 TB side) never shuffles for
+    the join, only for the final groupBy."""
+    c = T(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    li = T(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    joined = li.join(
+        F.broadcast(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])),
+        li["l_orderkey"] == o["o_orderkey"],
+    )
+    return (
+        joined.groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+        )
+        .agg(F.expr(f"CAST(sum({_REVENUE}) AS DOUBLE)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("order_key"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+SELECT r_name AS region_name, n_name AS nation_name,
+       CAST(sum({_REVENUE}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY r_name, n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join (region/nation/customer broadcast) + grouped revenue.
+    Catalyst chains the three broadcast hash joins inside one codegen stage;
+    only the final 25-group agg shuffles."""
+    r, n = T(spark, sf_dir, "region"), T(spark, sf_dir, "nation")
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    dim = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"]
+    )
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(dim), o["o_custkey"] == F.col("c_custkey")
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    ).agg(
+        F.expr(f"CAST(sum({_REVENUE}) AS DOUBLE)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+SELECT o_orderkey AS order_key, o_custkey AS client_id,
+       o_totalprice AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k (L1 + sort): Spark runs this as TakeOrderedAndProject
+    — per-partition heap + driver merge of 25 rows, no global sort."""
+    return (
+        T(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_custkey").alias("client_id"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("order_key"))
+        .limit(25)
+    )
+
+
+@register(
+    "segment_set_ops",
+    oracle="""
+WITH y96 AS (SELECT DISTINCT o_custkey AS client_id FROM orders
+             WHERE year(o_orderdate) = 1996),
+     y97 AS (SELECT DISTINCT o_custkey AS client_id FROM orders
+             WHERE year(o_orderdate) = 1997)
+SELECT 'both' AS tag, client_id
+FROM (SELECT client_id FROM y96 INTERSECT SELECT client_id FROM y97) t
+UNION ALL
+SELECT 'only_1996' AS tag, client_id
+FROM (SELECT client_id FROM y96 EXCEPT SELECT client_id FROM y97) t
+""",
+)
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT / UNION ALL) — SURVEY §2.5 'absent'
+    surface, exposed as one tagged result."""
+    o = T(spark, sf_dir, "orders")
+    y96 = (
+        o.where(F.year("o_orderdate") == 1996)
+        .select(F.col("o_custkey").alias("client_id"))
+        .distinct()
+    )
+    y97 = (
+        o.where(F.year("o_orderdate") == 1997)
+        .select(F.col("o_custkey").alias("client_id"))
+        .distinct()
+    )
+    both = y96.intersect(y97).select(F.lit("both").alias("tag"), "client_id")
+    only96 = y96.exceptAll(y97).select(F.lit("only_1996").alias("tag"), "client_id")
+    return both.unionAll(only96)
+
+
+@register(
+    "json_events_agg",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def json_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction + agg (SURVEY §2.6: events.props is a JSON
+    string). get_json_object stays JVM-side; no Python."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr(
+            "CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT)"
+        ).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("sum_value"),
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type)
+""",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (hour -> type -> grand total) — SURVEY §2.4
+    'absent' grouping-sets surface."""
+    e = T(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        "event_type",
+        "value",
+    )
+    return e.rollup("hour_ts", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("sum_value"),
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH d AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         epoch(CAST(ts AS TIMESTAMP))
+           - lag(epoch(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+)
+SELECT user_id, event_id, ts,
+       CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM d
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the batch twin of the streaming session-window operator."""
+    e = T(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(order)
+    d = e.select("user_id", "event_id", "ts", gap.alias("gap_s"))
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(
+            F.when(F.col("gap_s").isNull() | (F.col("gap_s") > 1800), 1).otherwise(0)
+        )
+        .over(running)
+        .cast("long")
+        .alias("session_id"),
+    )
