@@ -1,0 +1,78 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with the `noop` sink — full plan runs
+(scan, shuffles, aggs) but nothing is collected to the driver, mirroring
+how a production job would write to a distributed sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "snapshot_sanitize",
+    "token_range_counts",
+    "missing_ids_anti_join",
+    "running_max_token",
+    "dedup_exact_lineitem",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "events_sessionize",
+    "json_events_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+    from migrate_cassandra_to_mysql_spark.session import get_spark
+
+    spark = get_spark("mc2m-bench")
+    qs = catalog.queries()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # plans, not first-touch JIT/IO (the driver compares totals per-round).
+    qs["token_range_counts"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
