@@ -28,6 +28,12 @@ HEADLINE = [
     "q5_region_revenue",
     "events_sessionize",
     "json_events_agg",
+    "text_stats",
+    "doc_fingerprint",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_dedup",
+    "embedding_topk_cosine",
+    "embedding_ivf_topk",
 ]
 
 

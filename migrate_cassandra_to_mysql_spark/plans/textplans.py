@@ -1,0 +1,206 @@
+"""Text-analysis + content-dedup query catalog (north-star extension ops).
+
+Each query pairs a Spark operator (operators/textops.py, operators/dedup.py)
+with a DuckDB oracle that re-implements the same algorithm in SQL, so the
+correctness gate covers the *algorithm*, not just plumbing.
+
+The two near-dup queries inject exact duplicates (doc_id % 50 == 0 cloned
+with +1000000 ids) so the candidate/pair output is guaranteed non-empty and
+the dedup path is actually exercised on the otherwise duplicate-free
+testdata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.operators import dedup, textops
+from migrate_cassandra_to_mysql_spark.plans.registry import register
+from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+_STOP_SQL = {
+    lg: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lg, words in textops.STOPWORDS.items()
+}
+
+
+def _inject_dups_spark(d: DataFrame) -> DataFrame:
+    return d.select("doc_id", "text").unionAll(
+        d.where(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+
+
+_INJECT_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id, lang,
+       length(text) AS n_chars_measured,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+         AS sum_token_len,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+FROM t
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting / char stats / type-token ratio per document — all
+    map-side higher-order functions, zero shuffle."""
+    return textops.text_stats(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang AS lang_truth, {_TOKS_SQL} AS toks
+           FROM documents),
+ scored AS (
+  SELECT doc_id, lang_truth,
+    CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL['en']}, x))) AS BIGINT) AS en_hits,
+    CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL['de']}, x))) AS BIGINT) AS de_hits,
+    CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL['fr']}, x))) AS BIGINT) AS fr_hits,
+    CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL['es']}, x))) AS BIGINT) AS es_hits
+  FROM t)
+SELECT doc_id, lang_truth, en_hits, de_hits, fr_hits, es_hits,
+  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits
+            AND en_hits > 0 THEN 'en'
+       WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+       WHEN es_hits > 0 THEN 'es'
+       ELSE 'unk' END AS pred_lang
+FROM scored
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic argmax cascade."""
+    return textops.lang_id(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+ s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL['en']}, x))) AS BIGINT)
+      AS stop_hits,
+    CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL['en']}, x))) AS DOUBLE)
+      / len(toks) AS stop_ratio,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+  FROM t)
+SELECT *, CASE WHEN n_tokens < 20 THEN 'too_short'
+               WHEN stop_ratio >= 0.10 THEN 'high'
+               WHEN stop_ratio >= 0.03 THEN 'medium'
+               ELSE 'low' END AS quality_band
+FROM s
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality banding from cheap column signals."""
+    return textops.quality_score(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+WITH f AS (SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                    AS fingerprint
+           FROM documents)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM f GROUP BY fingerprint
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via md5 fingerprint of normalized text: groupBy
+    fingerprint, keep min doc_id as canonical (deterministic survivor)."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", textops.fingerprint(d).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+@register(
+    "ngram_jaccard_dedup",
+    oracle=f"""
+WITH base AS ({_INJECT_SQL}),
+ t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM base),
+ s AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 3 THEN
+                list_distinct(list_transform(range(0, len(toks) - 2),
+                  i -> array_to_string(toks[i+1:i+3], ' ')))
+              ELSE [] END AS shset
+       FROM t),
+ sz AS (SELECT doc_id, CAST(len(shset) AS BIGINT) AS n_sh FROM s),
+ ex AS (SELECT doc_id, unnest(shset) AS shingle FROM s),
+ pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS n_shared
+           FROM ex a JOIN ex b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       CAST(p.n_shared AS DOUBLE) / (za.n_sh + zb.n_sh - p.n_shared) AS jaccard
+FROM pairs p
+JOIN sz za ON p.doc_a = za.doc_id
+JOIN sz zb ON p.doc_b = zb.doc_id
+WHERE CAST(p.n_shared AS DOUBLE) / (za.n_sh + zb.n_sh - p.n_shared) >= 0.5
+""",
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via inverted-index
+    join over distinct shingles."""
+    base = _inject_dups_spark(T(spark, sf_dir, "documents"))
+    return dedup.jaccard_pairs(base, k=3, threshold=0.5)
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+WITH base AS ({_INJECT_SQL}),
+ t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM base),
+ s AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 3 THEN
+                list_distinct(list_transform(range(0, len(toks) - 2),
+                  i -> array_to_string(toks[i+1:i+3], ' ')))
+              ELSE [] END AS shset
+       FROM t),
+ sig AS (SELECT doc_id,
+                list_transform(range(0, 8), h -> list_min(
+                  list_transform(shset,
+                    sh -> md5(sh || '#' || CAST(h AS VARCHAR))))) AS mh
+         FROM s),
+ bands AS (SELECT doc_id, b,
+                  mh[2*b+1] || '|' || mh[2*b+2] AS band_key
+           FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(DISTINCT a.b) AS BIGINT) AS n_bands
+FROM bands a
+JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 hashes) + LSH (4 bands x 2 rows) candidate pairs.
+    Signatures are computed map-side; only 4 band rows per doc shuffle."""
+    base = _inject_dups_spark(T(spark, sf_dir, "documents"))
+    return dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2)

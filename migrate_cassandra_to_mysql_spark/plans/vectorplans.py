@@ -1,0 +1,136 @@
+"""Similarity-search + multimodal query catalog (north-star extension ops).
+
+Cosine math: Spark computes dot products with sequential higher-order
+aggregation over array<double>; DuckDB with list_dot_product over DOUBLE[]
+casts. Both are double-precision over identical float32 inputs; results are
+rounded to 6 dp before any ranking/thresholding so ulp-level accumulation
+differences cannot flip an ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.operators import similarity
+from migrate_cassandra_to_mysql_spark.plans.registry import register
+from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "embedding_topk_cosine",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+ q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+ sims AS (SELECT q.q_id, e.vec_id AS n_id, e.label,
+                 {_COS.format(a='q.qv', b='e.v')} AS cos_sim
+          FROM q CROSS JOIN e WHERE e.vec_id != q.q_id),
+ ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, n_id) AS rnk
+            FROM sims)
+SELECT q_id, n_id, label, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+""",
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 8 query vectors — the ANN
+    correctness baseline. Queries broadcast; corpus never shuffles."""
+    return similarity.brute_force_topk(
+        T(spark, sf_dir, "embeddings"), F.col("vec_id") < 8, k=5
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+       {_COS.format(a='a.v', b='b.v')} AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs with label blocking (>= 0.4)."""
+    return similarity.near_dup_pairs(
+        T(spark, sf_dir, "embeddings"), threshold=0.4, block_col="label"
+    )
+
+
+@register(
+    "embedding_ivf_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+ c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 4),
+ scored AS (SELECT e.vec_id, e.v, c.c_id,
+                   {_COS.format(a='e.v', b='c.cv')} AS c_sim
+            FROM e CROSS JOIN c),
+ asn AS (SELECT vec_id, v, c_id AS cell FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY c_sim DESC, c_id) AS rn
+           FROM scored) t
+         WHERE rn = 1),
+ q AS (SELECT vec_id AS q_id, v AS qv, cell AS q_cell FROM asn
+       WHERE vec_id % 100 = 0),
+ cand AS (SELECT q.q_id, a.vec_id AS n_id, CAST(a.cell AS BIGINT) AS cell,
+                 {_COS.format(a='q.qv', b='a.v')} AS cos_sim
+          FROM q JOIN asn a ON a.cell = q.q_cell AND a.vec_id != q.q_id),
+ ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, n_id) AS rnk
+            FROM cand)
+SELECT q_id, n_id, cell, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-3: nearest-centroid cell assignment,
+    then per-cell search only — the scale path for ANN (prunes the scoring
+    join from O(N) to O(N / n_cells) per query)."""
+    return similarity.ivf_topk(
+        T(spark, sf_dir, "embeddings"), n_centroids=4, query_mod=100, k=3
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+WITH b AS (SELECT doc_id, encode(text) AS payload, source FROM documents)
+SELECT doc_id, source,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       CAST(octet_length(payload) % 640 AS BIGINT) AS fake_width,
+       CAST(octet_length(payload) % 480 AS BIGINT) AS fake_height,
+       CASE WHEN octet_length(payload) % 3 = 0 THEN 'png'
+            WHEN octet_length(payload) % 3 = 1 THEN 'jpeg'
+            ELSE 'webp' END AS fake_format
+FROM b
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing: text -> binary payload column, then typed
+    metadata extraction (byte length, deterministic fake decode of
+    dimensions/format standing in for image-lib decode — see
+    operators/multimodal.py for the real mapInPandas decode pipeline)."""
+    d = T(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"), "source"
+    )
+    nb = F.length("payload").cast("long")
+    return b.select(
+        "doc_id",
+        "source",
+        nb.alias("n_bytes"),
+        (nb % 640).alias("fake_width"),
+        (nb % 480).alias("fake_height"),
+        F.when(nb % 3 == 0, "png")
+        .when(nb % 3 == 1, "jpeg")
+        .otherwise("webp")
+        .alias("fake_format"),
+    )

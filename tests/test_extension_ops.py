@@ -1,0 +1,63 @@
+"""Unit tests for extension operators without SQL oracles (simhash,
+multimodal decode plumbing) plus invariants of the oracle-backed ones."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.operators import dedup, multimodal, similarity
+from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+
+def test_simhash_identical_docs_identical_sigs(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents").limit(50)
+    dup = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text", "lang",
+                      "source", "n_chars")
+    sigs = dedup.simhash64(docs.unionByName(dup)).collect()
+    by_id = {r["doc_id"]: r["simhash"] for r in sigs}
+    for r in sigs:
+        if r["doc_id"] >= 1000:
+            assert r["simhash"] == by_id[r["doc_id"] - 1000]
+
+
+def test_simhash_is_64bit_long(spark, sf_dir):
+    row = dedup.simhash64(T(spark, sf_dir, "documents").limit(5)).first()
+    assert isinstance(row["simhash"], int)
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    out = dedup.shingle_sets(df, k=3).collect()
+    assert out[0]["shset"] == []
+
+
+def test_multimodal_decode_roundtrip(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents").limit(20)
+    payload = multimodal.attach_binary_payload(docs)
+    decoded = multimodal.decode_image_stub(payload)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_bytes"] > 0
+        assert 1 <= r["width"] <= 640 and 1 <= r["height"] <= 480
+        assert r["format"] in ("png", "jpeg", "webp")
+        assert len(r["features"]) == 8
+        assert abs(sum(r["features"]) - 1.0) < 1e-6  # histogram normalized
+
+
+def test_multimodal_decode_deterministic(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents").limit(10)
+    p = multimodal.attach_binary_payload(docs)
+    a = {r["doc_id"]: r["features"] for r in multimodal.decode_image_stub(p).collect()}
+    b = {r["doc_id"]: r["features"] for r in multimodal.decode_image_stub(p).collect()}
+    assert a == b
+
+
+def test_brute_force_topk_matches_ivf_when_one_cell(spark, sf_dir):
+    """With a single centroid, IVF degenerates to brute force."""
+    emb = T(spark, sf_dir, "embeddings")
+    ivf = similarity.ivf_topk(emb, n_centroids=1, query_mod=100, k=3)
+    bf = similarity.brute_force_topk(emb, F.col("vec_id") % 100 == 0, k=3)
+    ivf_pairs = {(r["q_id"], r["n_id"], r["rnk"]) for r in ivf.collect()}
+    bf_pairs = {(r["q_id"], r["n_id"], r["rnk"]) for r in bf.collect()}
+    assert ivf_pairs == bf_pairs
