@@ -1,0 +1,84 @@
+"""Structured Streaming snapshot tests: AvailableNow drain, restart
+idempotency, watermarked windowed aggregation."""
+
+from __future__ import annotations
+
+import glob
+import tempfile
+
+from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+from migrate_cassandra_to_mysql_spark.streaming.snapshot_stream import (
+    snapshot_stream,
+    windowed_event_counts,
+)
+
+
+def test_snapshot_stream_drains_then_noop_on_restart(spark, sf_dir):
+    work = tempfile.mkdtemp()
+    out_dir, ckpt = f"{work}/out", f"{work}/ckpt"
+    seen_batches = []
+
+    def handler(df, batch_id):
+        seen_batches.append(batch_id)
+        # batchId-keyed idempotent sink: one output dir per batch, overwrite.
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    # File stream sources need a directory; stage the table into one.
+    src = f"{work}/src"
+    T(spark, sf_dir, "orders").write.parquet(src)
+    snapshot_stream(spark, src, ckpt, handler)
+    n_first = len(seen_batches)
+    assert n_first >= 1
+    got = spark.read.parquet(f"{out_dir}/batch=*").count()
+    want = T(spark, sf_dir, "orders").count()
+    assert got == want
+
+    # Restart with same checkpoint: nothing new -> no batches re-run.
+    snapshot_stream(spark, src, ckpt, handler)
+    assert len(seen_batches) == n_first
+
+    # Checkpoint dir actually recorded commits.
+    assert glob.glob(f"{ckpt}/commits/*")
+
+
+def test_windowed_event_counts_matches_batch(spark, sf_dir):
+    """Streaming windowed agg over the events table == batch equivalent."""
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp()
+    batch_events = T(spark, sf_dir, "events")
+    # Re-write as a clean micro-batch source (micros timestamps).
+    src = f"{work}/events_src"
+    batch_events.write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = windowed_event_counts(spark, stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", f"{work}/out")
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(f"{work}/out")
+    expect = (
+        batch_events.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .count()
+    )
+    # AvailableNow + watermark: windows older than (max ts - watermark) are
+    # finalized and emitted; the final (open) windows may be withheld. So
+    # the streamed result must be a subset of batch with matching counts.
+    got_rows = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()
+    }
+    exp_rows = {
+        (r["win"]["start"], r["event_type"]): r["count"] for r in expect.collect()
+    }
+    assert got_rows, "stream emitted nothing"
+    for k, v in got_rows.items():
+        assert exp_rows[k] == v
