@@ -19,8 +19,20 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Catalyst's InferFiltersFromGenerate adds a pre-Generate filter like
+# `size(G) > 0 AND isnotnull(G)` where G is the generator input. When G is a
+# *computed* expression (our shingle arrays), filter pushdown + project
+# collapse then inline G into that filter — the expensive shingling runs
+# 3-4x per row (measured 2.5-6x slowdowns at sf0.1). All generates in this
+# module take computed inputs, so the rule is pure loss here; exclude it.
+_EXCLUDED_RULES = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+def _tune_generates(df: DataFrame) -> None:
+    df.sparkSession.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
 
 
 def word_shingles(toks_col_name: str, k: int = 3) -> Column:
@@ -39,11 +51,51 @@ def word_shingles(toks_col_name: str, k: int = 3) -> Column:
 
 
 def shingle_sets(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shset) with distinct k-word shingles per document."""
+    """(doc_id, shset) with distinct k-word shingles per document.
+
+    Array-valued form (per-row array_distinct) — convenient for per-doc
+    consumers. The join-shaped operators below use `exploded_shingles`
+    instead: per-row array_distinct is O(|doc|^2) string comparisons, which
+    measured 3x slower than deduplicating via a distributed aggregate.
+    """
     return docs.select(
         "doc_id",
         F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
     ).select("doc_id", word_shingles("toks", k).alias("shset"))
+
+
+def _raw_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    """(doc_id, shingle) — one row per shingle occurrence (multiset)."""
+    _tune_generates(docs)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {k} THEN "
+                f"transform(sequence(0, size(toks) - {k}),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {k})))"
+                f" ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("shingle"),
+    )
+
+
+def exploded_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle, n_sh) — distinct shingles with per-doc set size.
+
+    Dedup happens in a distributed hash aggregate (map-side partial), and
+    the set size rides along via a window count — both scale-out paths,
+    no per-row quadratic work.
+    """
+    ded = _raw_shingles(docs, text_col, k).groupBy("doc_id", "shingle").agg(
+        F.lit(1).alias("_one")
+    ).drop("_one")
+    return ded.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
 
 
 def jaccard_pairs(
@@ -55,26 +107,20 @@ def jaccard_pairs(
     counts -> |A ∩ B| / (|A| + |B| - |A ∩ B|). The threshold comparison is
     on an exact integer ratio, so it is engine-portable with no rounding.
     """
-    sh = shingle_sets(docs, text_col, k)
-    sz = sh.select("doc_id", F.size("shset").cast("long").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shset").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # Carry |set| on every exploded row so no join back to a sizes table is
+    # needed — one equi-join on `shingle`, one groupBy, done.
+    ex = exploded_shingles(docs, text_col, k)
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"), "shingle"
     )
-    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
-    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"), "shingle"
+    )
     return (
-        pairs.join(za, "doc_a")
-        .join(zb, "doc_b")
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_sh_a", "n_sh_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .withColumn(
             "jaccard",
             F.col("n_shared")
@@ -88,17 +134,24 @@ def jaccard_pairs(
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", k: int = 3, n_hashes: int = 8
 ) -> DataFrame:
-    """(doc_id, mh) — MinHash signature as an array of n_hashes md5-min hex
-    strings. md5-hex string minimum is the engine-portable stand-in for a
-    seeded integer hash family; swap in xxhash64 for production speed."""
-    sh = shingle_sets(docs, text_col, k)
-    return sh.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {n_hashes - 1}), h -> "
-            f"array_min(transform(shset, sh -> md5(concat(sh, '#', "
-            f"CAST(h AS STRING))))))"
-        ).alias("mh"),
+    """(doc_id, mh0..mh{n-1}) — MinHash signature, one column per hash.
+
+    The n_hashes hash family is n disjoint 4-hex-char slices of ONE md5 per
+    shingle — 8x less hashing than seeding md5 per hash function, and the
+    min-aggregation happens map-side (partial min before shuffle), so only
+    n_hashes short strings per document cross the wire. md5 keeps it
+    bit-portable to the DuckDB oracle; swap substring-of-md5 for xxhash64
+    variants when oracle parity isn't needed.
+
+    Uses the raw shingle multiset — min() is duplicate-insensitive, so the
+    distinct-shingle aggregate (a whole shuffle) is skipped entirely.
+    """
+    m = _raw_shingles(docs, text_col, k).select("doc_id", F.md5("shingle").alias("m"))
+    return m.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring("m", h * 4 + 1, 4)).alias(f"mh{h}")
+            for h in range(n_hashes)
+        ]
     )
 
 
@@ -113,20 +166,19 @@ def lsh_candidates(
 
     Returns (doc_a, doc_b, n_bands) — pairs agreeing on >= 1 band. A pair's
     probability of surfacing is 1-(1-s^band_size)^n_bands for Jaccard s,
-    the standard LSH S-curve.
+    the standard LSH S-curve. Only (doc_id, band, band_key) rows shuffle —
+    n_bands small rows per document regardless of text size.
     """
     n_bands = n_hashes // band_size
     sig = minhash_signatures(docs, text_col, k, n_hashes)
+    band_keys = [
+        F.concat_ws(
+            "|", *[F.col(f"mh{b * band_size + i}") for i in range(band_size)]
+        )
+        for b in range(n_bands)
+    ]
     bands = sig.select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band"),
-        "mh",
-    ).select(
-        "doc_id",
-        "band",
-        F.expr(
-            f"concat_ws('|', slice(mh, band * {band_size} + 1, {band_size}))"
-        ).alias("band_key"),
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (

@@ -183,14 +183,18 @@ WITH base AS ({_INJECT_SQL}),
                   i -> array_to_string(toks[i+1:i+3], ' ')))
               ELSE [] END AS shset
        FROM t),
+ m AS (SELECT doc_id, md5(unnest(shset)) AS m FROM s),
  sig AS (SELECT doc_id,
-                list_transform(range(0, 8), h -> list_min(
-                  list_transform(shset,
-                    sh -> md5(sh || '#' || CAST(h AS VARCHAR))))) AS mh
-         FROM s),
- bands AS (SELECT doc_id, b,
-                  mh[2*b+1] || '|' || mh[2*b+2] AS band_key
-           FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u)
+                min(substring(m, 1, 4)) AS mh0, min(substring(m, 5, 4)) AS mh1,
+                min(substring(m, 9, 4)) AS mh2, min(substring(m, 13, 4)) AS mh3,
+                min(substring(m, 17, 4)) AS mh4, min(substring(m, 21, 4)) AS mh5,
+                min(substring(m, 25, 4)) AS mh6, min(substring(m, 29, 4)) AS mh7
+         FROM m GROUP BY doc_id),
+ bands AS (
+   SELECT doc_id, 0 AS b, mh0 || '|' || mh1 AS band_key FROM sig
+   UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+   UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+   UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(DISTINCT a.b) AS BIGINT) AS n_bands
 FROM bands a
