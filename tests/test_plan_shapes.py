@@ -1,0 +1,56 @@
+"""Physical-plan regression tests: the plans we want at 100 TB, not just
+plans that pass. Guards pushdown, broadcast choice, and Python-free hot
+paths against refactoring regressions."""
+
+from __future__ import annotations
+
+from migrate_cassandra_to_mysql_spark.plans import catalog
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = catalog.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_snapshot_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "snapshot_sanitize")
+    # Only the 5 needed orders columns should be read, not the full table.
+    assert "ReadSchema" in plan
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "o_orderkey" in scan_line
+    assert "o_totalprice" in scan_line
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation/region/customer side
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_anti_join_is_a_join_not_a_collect(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "missing_ids_anti_join")
+    assert "LeftAnti" in plan
+
+
+def test_no_python_udfs_in_relational_paths(spark, sf_dir):
+    for name in (
+        "snapshot_sanitize",
+        "q1_pricing_summary",
+        "token_range_counts",
+        "text_stats",
+        "minhash_lsh_candidates",
+        "embedding_topk_cosine",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan  # heap top-k, no global sort
