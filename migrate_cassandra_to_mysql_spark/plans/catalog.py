@@ -23,3 +23,7 @@ try:
     import migrate_cassandra_to_mysql_spark.plans.pipelineplans  # noqa: F401
 except ImportError:  # pragma: no cover - module added in a later milestone
     pass
+try:
+    import migrate_cassandra_to_mysql_spark.plans.statsplans  # noqa: F401
+except ImportError:  # pragma: no cover - module added in a later milestone
+    pass

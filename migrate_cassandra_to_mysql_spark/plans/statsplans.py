@@ -1,0 +1,197 @@
+"""Statistics / profiling query catalog — the data-profiling surface a
+100 TB pipeline needs (distribution stats, histograms, samples, corpus
+frequencies). The reference has no stats beyond count(*); these are the
+general forms (SURVEY §2.4/2.5 'absent' rows) plus training-data profiling.
+
+Determinism notes:
+  - Variance/stddev are computed from exact decimal sums (sum, sum of
+    squares) instead of streaming moment aggregates — Welford vs two-pass
+    accumulation would differ across engines at the ulp level; exact sums
+    make the final double bit-identical.
+  - Percentiles use linear interpolation (Spark `percentile` == DuckDB
+    `quantile_cont`), rounded to 6 dp.
+  - Sampling is hash-based (md5 bucket), not Bernoulli — reproducible
+    everywhere, and at scale it pushes down as a cheap filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.functions.hashing import (
+    md5_token_bucket,
+    oracle_bucket_sql,
+)
+from migrate_cassandra_to_mysql_spark.plans.registry import register
+from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+
+@register(
+    "order_price_stats",
+    oracle="""
+WITH s AS (
+  SELECT o_orderstatus AS status,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq,
+         CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+         CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+         round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+         round(quantile_cont(o_totalprice, 0.95), 6) AS p95
+  FROM orders GROUP BY o_orderstatus)
+SELECT status, n, sum_price, min_price, max_price, p50, p95,
+       sum_price / n AS avg_price,
+       round((sum_sq - sum_price * sum_price / n) / n, 4) AS var_pop
+FROM s
+""",
+)
+def order_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile per status: count/sum/min/max/median/p95/avg/
+    variance. Variance from exact decimal sums (see module docstring)."""
+    o = T(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias(
+            "sum_price"
+        ),
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))"
+            " * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sum_sq"),
+        F.expr("CAST(min(o_totalprice) AS DOUBLE)").alias("min_price"),
+        F.expr("CAST(max(o_totalprice) AS DOUBLE)").alias("max_price"),
+        F.expr("round(percentile(o_totalprice, 0.5), 6)").alias("p50"),
+        F.expr("round(percentile(o_totalprice, 0.95), 6)").alias("p95"),
+    )
+    return s.select(
+        "status", "n", "sum_price", "min_price", "max_price", "p50", "p95",
+        (F.col("sum_price") / F.col("n")).alias("avg_price"),
+        F.round(
+            (F.col("sum_sq") - F.col("sum_price") * F.col("sum_price") / F.col("n"))
+            / F.col("n"),
+            4,
+        ).alias("var_pop"),
+    )
+
+
+@register(
+    "price_histogram",
+    oracle="""
+SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT) + 1, 13) AS bucket,
+       count(*) AS n_orders,
+       CAST(min(o_totalprice) AS DOUBLE) AS bucket_min,
+       CAST(max(o_totalprice) AS DOUBLE) AS bucket_max
+FROM orders GROUP BY 1
+""",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (12 x 50k buckets, overflow clamped to 13) —
+    single map-side pass plus a 13-row shuffle. Explicit width_bucket
+    arithmetic because DuckDB 1.0 lacks the builtin."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.expr(
+            "least(CAST(floor(o_totalprice / 50000) AS BIGINT) + 1, 13)"
+        ).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("CAST(min(o_totalprice) AS DOUBLE)").alias("bucket_min"),
+        F.expr("CAST(max(o_totalprice) AS DOUBLE)").alias("bucket_max"),
+    )
+
+
+@register(
+    "events_cube",
+    oracle="""
+SELECT event_type, user_id % 10 AS user_mod,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, user_id % 10)
+""",
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE (all 4 grouping-set combinations) over type x user bucket."""
+    e = T(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("user_mod"), "value"
+    )
+    return e.cube("event_type", "user_mod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("sum_value"),
+    )
+
+
+@register(
+    "deterministic_sample",
+    oracle=f"""
+SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+       l_quantity AS quantity
+FROM lineitem
+WHERE {oracle_bucket_sql('l_orderkey')} < 8
+""",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~3% reproducible sample via hash bucket < 8/256 — unlike Bernoulli
+    sampling this is stable across engines, retries, and reruns, and whole
+    orders stay together (sampling unit = key, not row)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.where(md5_token_bucket(F.col("l_orderkey")) < 8).select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_quantity").alias("quantity"),
+    )
+
+
+@register(
+    "json_struct_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+""",
+)
+def json_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing with from_json (schema-on-read into a struct) —
+    the scalable form: one parse per row into columnar struct fields, not
+    repeated get_json_object string scans."""
+    e = T(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return (
+        parsed.where(F.col("p.k").isNotNull())
+        .select(
+            "event_id",
+            F.col("p.k").alias("k_value"),
+            F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_band"),
+        )
+    )
+
+
+@register(
+    "top_ngrams",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)
+SELECT tok, count(*) AS freq
+FROM toks GROUP BY tok
+ORDER BY freq DESC, tok
+LIMIT 20
+""",
+)
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-k — explode -> partial-agg map-side ->
+    20-row TakeOrdered. The classic vocabulary/frequency profiling op."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(20)
+    )
