@@ -34,6 +34,11 @@ HEADLINE = [
     "ngram_jaccard_dedup",
     "embedding_topk_cosine",
     "embedding_ivf_topk",
+    "order_price_stats",
+    "events_cube",
+    "top_ngrams",
+    "salted_skew_join",
+    "snapshot_merge_upsert",
 ]
 
 
