@@ -26,7 +26,7 @@ from migrate_cassandra_to_mysql_spark.streaming.snapshot_stream import snapshot_
     "streaming_snapshot_drain",
     oracle="""
 SELECT 'orders' AS table_name, count(*) AS migrated_rows,
-       count(*) AS source_rows, 0 AS diff, 'OK' AS status
+       count(*) AS source_rows, CAST(0 AS BIGINT) AS diff, 'OK' AS status
 FROM orders
 """,
 )
