@@ -175,6 +175,29 @@ def missing_ids_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_with_items_semi",
+    oracle="""
+SELECT o_orderkey AS order_key, o_orderstatus AS status,
+       o_totalprice AS total_price
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+  AND o_totalprice > 200000
+""",
+)
+def orders_with_items_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): the positive twin of the anti-join — the
+    reference's per-id existence probe (find_missing_ids.py:49-50) as one
+    distributed join instead of N round-trips."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey")
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
     "missing_ids_enriched",
     oracle="""
 WITH missing AS (
