@@ -174,6 +174,49 @@ def json_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parts_catalog_profile",
+    oracle="""
+SELECT p_brand AS brand,
+       count(*) AS n_parts,
+       count(DISTINCT p_type) AS n_types,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       max(p_size) AS max_size,
+       CAST(sum(CASE WHEN s_count > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_supplied_sizes
+FROM (
+  SELECT p.*, (SELECT count(*) FROM supplier s
+               WHERE s.s_nationkey = p.p_size % 25) AS s_count
+  FROM part p) t
+GROUP BY p_brand
+""",
+)
+def parts_catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-table profiling over part+supplier (correlated-count via
+    broadcast join of the 10-row supplier dim — never a per-row subquery
+    in Spark)."""
+    p = T(spark, sf_dir, "part")
+    s_counts = (
+        T(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("s_count"))
+    )
+    joined = p.join(
+        F.broadcast(s_counts), (p["p_size"] % 25) == s_counts["nk"], "left"
+    ).withColumn("s_count", F.coalesce("s_count", F.lit(0)))
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("p_type").alias("n_types"),
+        F.expr("CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)").alias(
+            "sum_price"
+        ),
+        F.max("p_size").alias("max_size"),
+        F.expr("CAST(sum(CASE WHEN s_count > 0 THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_supplied_sizes"
+        ),
+    )
+
+
+@register(
     "top_ngrams",
     oracle="""
 WITH toks AS (

@@ -172,6 +172,29 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(base, k=3, threshold=0.5)
 
 
+@register("simhash_signatures")  # rows-only: xxhash64 has no DuckDB twin
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (production-path dedup sketch using
+    xxhash64 bit votes). No SQL oracle — xxhash64 is Spark-internal; the
+    operator's invariants (identical docs -> identical signatures, 64-bit
+    range) are pinned in tests/test_extension_ops.py."""
+    return dedup.simhash64(T(spark, sf_dir, "documents"))
+
+
+@register("multimodal_decode")  # rows-only: mapInPandas decode stub
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched binary decode pipeline (operators/multimodal.py):
+    binary payload -> typed metadata + 8-dim feature histogram via
+    mapInPandas. The decode itself is a deterministic stub (media libs
+    not present); the Spark plumbing (schema, batching, feature arrays)
+    is the real deliverable. Rows-only check; determinism + shape pinned
+    in tests."""
+    from migrate_cassandra_to_mysql_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents")
+    return multimodal.decode_image_stub(multimodal.attach_binary_payload(docs))
+
+
 @register(
     "minhash_lsh_candidates",
     oracle=f"""

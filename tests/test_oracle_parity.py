@@ -45,8 +45,11 @@ def test_entry_smoke(spark):
     ]
 
 
+ROWS_ONLY = {"simhash_signatures", "multimodal_decode"}  # no SQL twin exists
+
+
 def test_every_query_has_oracle_or_is_flagged():
     qs, os_ = catalog.queries(), catalog.oracles()
     missing = set(qs) - set(os_)
     # Keep the rows-only set deliberate and small.
-    assert missing <= set(), f"queries without oracle: {missing}"
+    assert missing <= ROWS_ONLY, f"queries without oracle: {missing - ROWS_ONLY}"
