@@ -578,6 +578,79 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_last_purchase",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'),
+ purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, value AS pval
+  FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, c.ts,
+       p.pts AS pts_asof, p.pval AS pval_asof
+FROM clicks c
+ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.pts
+""",
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for every click, the user's most
+    recent purchase at-or-before it. Spark has no ASOF JOIN; the union +
+    running-window formulation does it in ONE key shuffle. The oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN — two independent implementations of
+    the semantics."""
+    from migrate_cassandra_to_mysql_spark.operators.asof import asof_join
+
+    e = T(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("pval")
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="pts",
+        value_cols=["pts", "pval"], suffix="_asof",
+    )
+
+
+@register(
+    "range_join_attribution",
+    oracle="""
+WITH signups AS (
+  SELECT event_id AS signup_id, CAST(ts AS TIMESTAMP) AS sts
+  FROM events WHERE event_type = 'signup'),
+ clicks AS (
+  SELECT event_id AS click_id, user_id AS click_user,
+         CAST(ts AS TIMESTAMP) AS cts
+  FROM events WHERE event_type = 'click')
+SELECT s.signup_id, c.click_id, c.click_user
+FROM signups s JOIN clicks c
+  ON epoch(c.cts) >= epoch(s.sts) AND epoch(c.cts) < epoch(s.sts) + 300
+""",
+)
+def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range (interval) join with NO equi key: every click within 5
+    minutes after any signup. The oracle is the plain theta join; the
+    Spark plan (operators/rangejoin.py) buckets time into 5-minute cells
+    so it runs as an equi-join on cell id + refine — O(matches), not
+    O(N*M) nested loops."""
+    from migrate_cassandra_to_mysql_spark.operators.rangejoin import time_range_join
+
+    e = T(spark, sf_dir, "events")
+    signups = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("ts").alias("sts")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("cts"),
+    )
+    return time_range_join(signups, clicks, "sts", "cts", 300).select(
+        "signup_id", "click_id", "click_user"
+    )
+
+
+@register(
     "events_sessionize",
     oracle="""
 WITH d AS (
