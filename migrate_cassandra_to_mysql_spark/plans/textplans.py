@@ -172,6 +172,54 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(base, k=3, threshold=0.5)
 
 
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+ tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+ df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+ n AS (SELECT count(*) AS n_docs FROM documents),
+ scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 8) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+SELECT doc_id, tok, tfidf,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rnk
+      FROM scored) t
+WHERE rnk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document. tf and df are partial-aggregated
+    groupBys; the df table is vocabulary-sized and broadcast back onto tf.
+    Scores rounded to 8 dp before ranking (ln() may differ by 1 ulp
+    between JVM and libm)."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 8
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
 @register("simhash_signatures")  # rows-only: xxhash64 has no DuckDB twin
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (production-path dedup sketch using

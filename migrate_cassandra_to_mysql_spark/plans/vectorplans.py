@@ -100,6 +100,39 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "label_centroids",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+ ex AS (SELECT label, u.pos AS pos, u.val AS val
+        FROM e, (SELECT unnest(v) AS val,
+                        generate_subscripts(v, 1) AS pos) u),
+ m AS (SELECT label, pos, round(sum(val) / count(*), 6) AS mean_val,
+              count(*) AS n
+       FROM ex GROUP BY label, pos)
+SELECT label, pos, mean_val, n FROM m
+""",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed element-wise vector mean per label — the centroid-update
+    step of k-means / IVF codebook training. posexplode turns the vector
+    column into (label, pos, val) rows so the mean is an ordinary
+    partial-aggregated groupBy: no driver-side vector math, scales to any
+    corpus. Output kept in exploded (label, pos) form — reassembling
+    arrays is a display concern."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select("label", F.posexplode("v").alias("pos0", "val")).select(
+        "label", (F.col("pos0") + 1).alias("pos"), "val"
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("mean_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "multimodal_meta",
     oracle="""
 WITH b AS (SELECT doc_id, encode(text) AS payload, source FROM documents)
