@@ -1,13 +1,8 @@
-"""Text-analysis column expressions (tokenize, shingles, minhash).
+"""Shared text column expressions.
 
-All expressions are built-in `pyspark.sql.functions` / higher-order SQL
-functions — JVM-side, codegen-friendly, no Python UDFs. Each has an exact
-DuckDB-SQL twin (documented inline) so the oracle harness can verify it.
-
-Design for 100 TB: shingling multiplies row counts ~100x; every consumer
-below (dedup joins, minhash aggregation) applies `array_distinct` *before*
-exploding and aggregates map-side, so shuffle volume stays proportional to
-distinct shingles, not raw tokens.
+Only the primitives used across modules live here; the dedup family
+(shingles, MinHash) lives in operators/dedup.py where its scale notes
+apply, and per-document stats expressions in operators/textops.py.
 """
 
 from __future__ import annotations
@@ -24,23 +19,12 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def word_shingles(toks: Column, k: int = 5) -> Column:
-    """Distinct k-word shingles of a token array.
+def normalized(text: Column) -> Column:
+    """Lowercased, whitespace-collapsed canonical form (fingerprint input).
 
-    DuckDB twin::
-
-        list_distinct(list_transform(
-            range(0, greatest(len(toks) - {k} + 1, 0)),
-            i -> array_to_string(toks[i+1:i+{k}], ' ')))
+    DuckDB twin: ``regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')``.
     """
-    return F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(0), F.greatest(F.size(toks) - F.lit(k), F.lit(0) - F.lit(1))
-            ),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        )
-    )
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
 def char_ngrams_expr(text_col_name: str, n: int = 3) -> Column:
@@ -56,28 +40,4 @@ def char_ngrams_expr(text_col_name: str, n: int = 3) -> Column:
         f"array_distinct(transform("
         f"sequence(1, greatest(length({text_col_name}) - {n} + 1, 0)),"
         f" i -> substring({text_col_name}, i, {n})))"
-    )
-
-
-def minhash_signature(shingles: Column, n_hashes: int = 8) -> Column:
-    """MinHash signature: for seed s in [0, n_hashes), the minimum of
-    md5(shingle || '#' || s) over the shingle set.
-
-    Using md5-hex strings (ASCII min) keeps the signature bit-identical to
-    the DuckDB oracle twin::
-
-        list_transform(range(0, {n}), s -> list_min(
-            list_transform(shingles, sh -> md5(sh || '#' || s))))
-
-    At scale: computed per-row from the distinct-shingle array (map-side,
-    no shuffle); only the n_hashes-element signature is shuffled for LSH
-    banding.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                shingles, lambda sh: F.md5(F.concat_ws("#", sh, s.cast("string")))
-            )
-        ),
     )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from migrate_cassandra_to_mysql_spark.functions.text import normalized, tokens
+
 # Small per-language stopword lists for the n-gram/stopword-hit heuristic.
 # Deliberately tiny + overlapping is fine: the operator contract is the
 # *scoring pipeline*, not lexicography.
@@ -21,10 +23,6 @@ STOPWORDS = {
     "fr": ("le", "la", "les", "et", "est", "une"),
     "es": ("el", "los", "las", "y", "es", "una"),
 }
-
-
-def token_array(text: Column) -> Column:
-    return F.split(F.trim(text), r"\s+")
 
 
 def stopword_hits(toks_col_name: str, words: tuple[str, ...]) -> Column:
@@ -37,7 +35,7 @@ def stopword_hits(toks_col_name: str, words: tuple[str, ...]) -> Column:
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token/char statistics (token counting, TTR)."""
-    t = docs.withColumn("toks", token_array(F.col(text_col)))
+    t = docs.withColumn("toks", tokens(F.col(text_col)))
     return t.select(
         "doc_id",
         "lang",
@@ -57,7 +55,7 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language ID with a deterministic argmax cascade."""
-    t = docs.withColumn("toks", token_array(F.col(text_col)))
+    t = docs.withColumn("toks", tokens(F.col(text_col)))
     scored = t.select(
         "doc_id",
         F.col("lang").alias("lang_truth"),
@@ -97,7 +95,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     each signal is a cheap column expression; the composite is a weighted
     sum with CASE banding so the oracle can reproduce it exactly.
     """
-    t = docs.withColumn("toks", token_array(F.col(text_col)))
+    t = docs.withColumn("toks", tokens(F.col(text_col)))
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     return t.select(
         "doc_id",
@@ -123,4 +121,4 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> Column:
     """md5 fingerprint of whitespace-normalized, lowercased text."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    return F.md5(normalized(F.col(text_col)))

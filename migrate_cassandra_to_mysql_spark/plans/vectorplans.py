@@ -132,6 +132,18 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kmeans_clusters")  # rows-only: iterative algorithm, no SQL twin
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (operators/kmeans.py), 3 Lloyd iterations, k=4.
+    Iterative — not SQL-expressible as one query; invariants (inertia
+    non-increasing, determinism) pinned in tests/test_kmeans.py. Returns
+    (vec_id, cluster) assignments."""
+    from migrate_cassandra_to_mysql_spark.operators.kmeans import kmeans
+
+    assigned, _ = kmeans(T(spark, sf_dir, "embeddings"), k=4, n_iter=3)
+    return assigned.select("vec_id", "cluster")
+
+
 @register(
     "multimodal_meta",
     oracle="""

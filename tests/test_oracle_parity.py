@@ -45,7 +45,11 @@ def test_entry_smoke(spark):
     ]
 
 
-ROWS_ONLY = {"simhash_signatures", "multimodal_decode"}  # no SQL twin exists
+ROWS_ONLY = {  # no SQL twin exists for these
+    "simhash_signatures",
+    "multimodal_decode",
+    "kmeans_clusters",
+}
 
 
 def test_every_query_has_oracle_or_is_flagged():
