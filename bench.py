@@ -39,6 +39,10 @@ HEADLINE = [
     "top_ngrams",
     "salted_skew_join",
     "snapshot_merge_upsert",
+    "asof_last_purchase",
+    "range_join_attribution",
+    "tfidf_top_terms",
+    "label_centroids",
 ]
 
 
