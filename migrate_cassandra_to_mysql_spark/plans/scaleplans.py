@@ -37,7 +37,7 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible in the results, only in the shuffle distribution."""
     li = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    joined = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=4)
     return joined.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n_items"),
         F.expr(f"CAST(sum({_REVENUE}) AS DOUBLE)").alias("revenue"),

