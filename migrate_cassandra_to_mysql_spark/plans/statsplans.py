@@ -216,6 +216,24 @@ def parts_catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_distinct_stats")  # rows-only: HLL sketches differ by impl
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HyperLogLog++ distinct counts, approximate
+    quantiles) — the constant-memory path for 100 TB cardinality work.
+    No oracle: Spark's HLL++ and DuckDB's HLL produce different estimates
+    by construction; the accuracy contract (estimate within rsd of exact)
+    is pinned in tests/test_approx.py instead."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)"
+        ).alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 @register(
     "top_ngrams",
     oracle="""

@@ -49,6 +49,7 @@ ROWS_ONLY = {  # no SQL twin exists for these
     "simhash_signatures",
     "multimodal_decode",
     "kmeans_clusters",
+    "approx_distinct_stats",
 }
 
 
