@@ -216,6 +216,32 @@ def parts_catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_grouping_sets",
+    oracle="""
+SELECT event_type, user_id % 5 AS user_mod,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
+""",
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the literal form beyond cube/rollup), run
+    through the engine's SQL entry point — the same Catalyst plan surface
+    as the DataFrame API."""
+    T(spark, sf_dir, "events").createOrReplaceTempView("events_gs_v")
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 5 AS user_mod,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events_gs_v
+        GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
+        """
+    )
+
+
 @register("approx_distinct_stats")  # rows-only: HLL sketches differ by impl
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HyperLogLog++ distinct counts, approximate

@@ -173,6 +173,74 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "charngram_lang_id",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(length(text) - 1, 1)),
+           i -> substring(text, i, 3)))) AS gram
+  FROM documents),
+ train AS (SELECT lang AS p_lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+ prof AS (SELECT p_lang, gram FROM (
+   SELECT *, row_number() OVER (PARTITION BY p_lang
+                                ORDER BY c DESC, gram) AS rn
+   FROM train) t WHERE rn <= 20),
+ hits AS (SELECT g.doc_id, p.p_lang, count(*) AS n_hits
+          FROM g JOIN prof p ON g.gram = p.gram GROUP BY 1, 2),
+ best AS (SELECT doc_id, p_lang, n_hits FROM (
+   SELECT *, row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n_hits DESC, p_lang) AS rn
+   FROM hits) t WHERE rn = 1)
+SELECT d.doc_id, d.lang AS lang_truth,
+       coalesce(b.p_lang, 'unk') AS pred_lang,
+       CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+""",
+)
+def charngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-based language ID (fastText-LID shape): train per-language
+    char-trigram profiles FROM the labeled corpus (top-20 grams by doc
+    frequency), broadcast the tiny profile table, score every document by
+    profile overlap, argmax with deterministic tie-break. Training and
+    inference are each one partial-agg groupBy; the profile join is
+    broadcast (<=100 rows)."""
+    from migrate_cassandra_to_mysql_spark.functions.text import char_ngrams_expr
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", "lang", F.explode(char_ngrams_expr("text", 3)).alias("gram")
+    )
+    train = g.groupBy(F.col("lang").alias("p_lang"), "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wp = Window.partitionBy("p_lang").orderBy(F.desc("c"), F.asc("gram"))
+    prof = (
+        train.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= 20)
+        .select("p_lang", "gram")
+    )
+    hits = (
+        g.join(F.broadcast(prof), "gram")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("p_lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "p_lang", "n_hits")
+    )
+    return d.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.col("lang").alias("lang_truth"),
+        F.coalesce("p_lang", F.lit("unk")).alias("pred_lang"),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+    )
+
+
+@register(
     "tfidf_top_terms",
     oracle=f"""
 WITH toks AS (
