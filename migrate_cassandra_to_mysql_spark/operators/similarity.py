@@ -88,22 +88,100 @@ def near_dup_pairs(
     )
 
 
+def hyperplane_planes(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes as integer thousandths.
+
+    Component (p, i) = (int(md5(f"{p}#{i}")[:8], 16) % 2000) - 1000, i.e.
+    an integer in [-1000, 999] later divided by 1000. Derived from md5 (not
+    rand()) so buckets are reproducible across task retries AND the exact
+    same literals can be embedded in the DuckDB oracle.
+    """
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}#{i}".encode()).hexdigest()[:8], 16) % 2000)
+            - 1000
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame, n_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: sign bits of the dot
+    products with n_planes fixed planes, concatenated to a bucket key.
+
+    Cosine-similar vectors agree on sign bits with probability
+    1 - theta/pi per plane, so a self-join on bucket_key yields near-dup
+    candidates WITHOUT a label/blocking column — the no-label path that
+    operators/similarity.near_dup_pairs can't cover. The whole bucket key
+    is one map-side expression; only (vec_id, bucket_key) shuffles.
+    """
+    e = _base(embeddings)
+    bits = []
+    for row in hyperplane_planes(n_planes, dim):
+        arr = "array(" + ", ".join(f"({n}/1000.0)" for n in row) + ")"
+        bits.append(
+            f"CASE WHEN aggregate(zip_with(v, {arr}, (x, y) -> x * y), 0D,"
+            f" (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END"
+        )
+    return e.select(
+        "vec_id", "label", "v", F.expr("concat(" + ", ".join(bits) + ")").alias(
+            "bucket_key"
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    embeddings: DataFrame, n_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """All same-bucket vector pairs with their cosine — LSH blocking for
+    embedding near-dup at corpus scale (expected bucket size N/2^n_planes)."""
+    b = hyperplane_buckets(embeddings, n_planes, dim)
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket_key"
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bucket_key"
+    )
+    return (
+        a.join(c, "bucket_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "bucket_key",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_centroids: int = 4,
     query_mod: int = 100,
     k: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
-    Codebook = the first n_centroids vectors (deterministic stand-in for a
-    k-means fit, which would be an offline job at scale). Assignment is a
-    broadcast cross join + argmax window — map-side per input row. Query
-    scoring joins on cell id only.
+    Codebook: pass `centroids` as (c_id long, cv array<double>) — e.g. a
+    k-means fit from operators/kmeans.py — or default to the first
+    n_centroids vectors (deterministic stand-in; the oracle-checked
+    catalog query uses this form). Assignment is a broadcast cross join +
+    argmax window — map-side per input row. Query scoring joins on cell id
+    only.
     """
     e = _base(embeddings)
-    cents = e.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    cents = (
+        centroids
+        if centroids is not None
+        else e.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+        )
     )
     scored = (
         e.crossJoin(F.broadcast(cents))

@@ -132,6 +132,43 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_oracle(n_planes: int = 8, dim: int = 64) -> str:
+    """Oracle for embedding_lsh_candidates, generated from the SAME plane
+    literals the Spark operator embeds (similarity.hyperplane_planes)."""
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        hyperplane_planes,
+    )
+
+    bits = []
+    for row in hyperplane_planes(n_planes, dim):
+        arr = "[" + ", ".join(f"({n}/1000.0)" for n in row) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    key = " || ".join(bits)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ b AS (SELECT vec_id, v, {key} AS bucket_key FROM e)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket_key,
+       {_COS.format(a='a.v', b='c.v')} AS cos_sim
+FROM b a JOIN b c ON a.bucket_key = c.bucket_key AND a.vec_id < c.vec_id
+"""
+
+
+@register("embedding_lsh_candidates", oracle=_lsh_oracle())
+def embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup blocking with NO label column: sign
+    bits of 8 fixed md5-derived planes form the bucket key; same-bucket
+    pairs are the candidates (expected bucket N/256). The oracle embeds
+    the identical plane literals, so bucketing AND pair cosines must match
+    bit-for-bit."""
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        lsh_candidate_pairs,
+    )
+
+    return lsh_candidate_pairs(T(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
+
+
 @register("kmeans_clusters")  # rows-only: iterative algorithm, no SQL twin
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (operators/kmeans.py), 3 Lloyd iterations, k=4.

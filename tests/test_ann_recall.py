@@ -41,6 +41,40 @@ def test_ivf_recall_measured_against_exact(spark, sf_dir):
     assert 0.15 <= r <= 1.0, r
 
 
+def test_ivf_with_trained_codebook(spark, sf_dir):
+    """Production ANN pipeline: k-means codebook -> IVF cell search.
+    The trained codebook must plug into ivf_topk and produce a valid
+    top-k (right row counts, ranks, in-cell neighbors only)."""
+    from migrate_cassandra_to_mysql_spark.operators.kmeans import kmeans
+    from pyspark.sql import functions as F2
+
+    emb = T(spark, sf_dir, "embeddings")
+    # Train and materialize the codebook as (c_id, cv).
+    assigned, _ = kmeans(emb, k=4, n_iter=2)
+    e = emb.select("vec_id", F2.col("embedding").cast("array<double>").alias("v"))
+    cents = (
+        assigned.join(e, "vec_id")
+        .select("cluster", F2.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F2.avg("val").alias("m"))
+        .groupBy("cluster")
+        .agg(F2.array_sort(F2.collect_list(F2.struct("pos", "m"))).alias("s"))
+        .select(
+            F2.col("cluster").cast("long").alias("c_id"),
+            F2.expr("transform(s, x -> x.m)").alias("cv"),
+        )
+    )
+    out = ivf_topk(emb, query_mod=100, k=3, centroids=cents)
+    rows = out.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(r["rnk"] for r in rs) == list(range(1, len(rs) + 1))
+        assert len({r["cell"] for r in rs}) == 1  # all neighbors in q's cell
+
+
 def test_kmeans_codebook_improves_cell_balance(spark, sf_dir):
     """Trained codebook should spread vectors across cells more evenly than
     arbitrary (first-k) centroids — the practical reason to train."""
