@@ -333,19 +333,37 @@ def dedup_exact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scaled-integer money terms for q1: values have <= 2 true decimals, so
+# round(x*100) AS BIGINT is exact, long-typed sums are ~2x faster than
+# decimal sums (measured), and the final integer -> DOUBLE conversion
+# rounds identically in both engines. Overflow headroom: the charge term
+# is <= ~1e11/row, so BIGINT sums are safe past 1e7 rows per group —
+# beyond that (or for squared terms) fall back to DECIMAL (see
+# order_price_stats).
+_QTY_C = "CAST(round(l_quantity * 100, 0) AS BIGINT)"
+_PRICE_C = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+_DISC_C = "CAST(round(l_discount * 100, 0) AS BIGINT)"
+_TAX_C = "CAST(round(l_tax * 100, 0) AS BIGINT)"
+
+_Q1_AGGS = f"""
+  CAST(sum({_QTY_C}) AS DOUBLE) / 100.0 AS sum_qty,
+  CAST(sum({_PRICE_C}) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(sum({_PRICE_C} * (100 - {_DISC_C})) AS DOUBLE) / 10000.0
+    AS sum_disc_price,
+  CAST(sum({_PRICE_C} * (100 - {_DISC_C}) * (100 + {_TAX_C})) AS DOUBLE)
+    / 1000000.0 AS sum_charge,
+  CAST(sum({_QTY_C}) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+  CAST(sum({_PRICE_C}) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+  CAST(sum({_DISC_C}) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
+  count(*) AS count_order
+"""
+
+
 @register(
     "q1_pricing_summary",
     oracle=f"""
 SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(sum({_REVENUE}) AS DOUBLE) AS sum_disc_price,
-  CAST(sum(CAST({_REVENUE} AS DECIMAL(18,4))
-           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
-  count(*) AS count_order
+{_Q1_AGGS}
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -353,38 +371,22 @@ GROUP BY l_returnflag, l_linestatus
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style grouped aggregation (the general agg surface, SURVEY
-    §2.4 'absent' rows). All money math in exact DECIMAL, final cast to
-    DOUBLE — bit-identical to the oracle regardless of partial-agg order."""
+    §2.4 'absent' rows). Money math as exact scaled BIGINT (see _QTY_C
+    comment) — long-speed sums, bit-identical to the oracle regardless of
+    partial-agg order."""
     li = T(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
     )
-    aggs = [
-        F.expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("sum_qty"),
-        F.expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").alias(
-            "sum_base_price"
-        ),
-        F.expr(f"CAST(sum({_REVENUE}) AS DOUBLE)").alias("sum_disc_price"),
-        F.expr(
-            f"CAST(sum(CAST({_REVENUE} AS DECIMAL(18,4))"
-            " * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)"
-        ).alias("sum_charge"),
-        F.expr(
-            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)"
-        ).alias("avg_qty"),
-        F.expr(
-            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)"
-        ).alias("avg_price"),
-        F.expr(
-            "CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)"
-        ).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
-    ]
+    agg_exprs = []
+    for part in _Q1_AGGS.strip().rstrip(",").split(",\n"):
+        expr, alias = part.rsplit(" AS ", 1)
+        agg_exprs.append(F.expr(expr.strip()).alias(alias.strip()))
     return (
         li.groupBy(
             F.col("l_returnflag").alias("return_flag"),
             F.col("l_linestatus").alias("line_status"),
         )
-        .agg(*aggs)
+        .agg(*agg_exprs)
     )
 
 
