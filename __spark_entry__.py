@@ -11,11 +11,19 @@ a thin adapter over its query catalog.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from migrate_cassandra_to_mysql_spark.plans import catalog
+# The engine package lives next to this file; make the import robust to
+# whichever CWD/sys.path the driver harness uses.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from migrate_cassandra_to_mysql_spark.plans import catalog  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -580,6 +580,87 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_function_suite",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey AS client_id, o_orderkey AS order_key,
+         o_totalprice AS total_price,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         percent_rank() OVER w AS prnk,
+         ntile(4) OVER w AS quartile,
+         lag(o_orderkey) OVER w AS prev_key,
+         lead(o_orderkey) OVER w AS next_key
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+)
+SELECT * FROM ranked WHERE rnk <= 5
+""",
+)
+def window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth (SURVEY §2.5 'absent' rows): rank /
+    dense_rank / percent_rank / ntile / lag / lead in one pass over a
+    single window definition — one shuffle, six functions."""
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("client_id"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").alias("total_price"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.lag("o_orderkey").over(w).alias("prev_key"),
+            F.lead("o_orderkey").over(w).alias("next_key"),
+        )
+        .where(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "scalar_functions_showcase",
+    oracle="""
+SELECT c_custkey AS client_id,
+       upper(c_name) AS name_upper,
+       length(c_name) AS name_len,
+       substring(c_name, 1, 8) AS name_prefix,
+       replace(c_name, 'Customer', 'Client') AS renamed,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+       concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_key,
+       levenshtein(c_mktsegment, 'BUILDING') AS seg_distance,
+       round(abs(c_acctbal), 2) AS abs_balance
+FROM customer
+""",
+)
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function breadth (SURVEY §2.6 'absent' rows): string
+    manipulation, padding, edit distance, abs/round — all JVM built-ins
+    with exact DuckDB twins."""
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("client_id"),
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.expr("replace(c_name, 'Customer', 'Client')").alias("renamed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.concat_ws(
+            "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("seg_key"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).alias(
+            "seg_distance"
+        ),
+        F.round(F.abs("c_acctbal"), 2).alias("abs_balance"),
+    )
+
+
+@register(
     "asof_last_purchase",
     oracle="""
 WITH clicks AS (
