@@ -63,6 +63,9 @@ def run_snapshot(
     to SELECT count(*) on cfg.table through connection_factory). Returns a
     summary dict including the persisted validation verdict.
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+
     df = snapshot_pipeline(
         source,
         key_col=cfg.key_col,
@@ -75,6 +78,16 @@ def run_snapshot(
     if cfg.drop_bucket_col:
         df = df.drop("token_bucket")
 
+    # Progress counters ride the job itself via observe() — the reference's
+    # lock-guarded progress_counter (A7, snapshot_only_python.py:247-249)
+    # without a second pass over the data.
+    obs = Observation("snapshot_metrics")
+    df = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_processed"),
+        F.min(cfg.key_col).alias("min_key"),
+        F.max(cfg.key_col).alias("max_key"),
+    )
     source_count = df.count()
     write_idempotent(
         df,
@@ -102,4 +115,5 @@ def run_snapshot(
         "target_count": target_count,
         "diff": abs(source_count - target_count),
         "status": status,
+        "metrics": obs.get,  # rows_processed / min_key / max_key (A5/A7)
     }

@@ -580,6 +580,45 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "full_outer_reconciliation",
+    oracle="""
+WITH o_agg AS (SELECT o_orderkey AS k, count(*) AS n_orders FROM orders
+               GROUP BY 1),
+ l_agg AS (SELECT l_orderkey AS k, count(*) AS n_items FROM lineitem
+           GROUP BY 1)
+SELECT coalesce(o_agg.k, l_agg.k) AS order_key,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_items, 0) AS n_items,
+       CASE WHEN o_agg.k IS NULL THEN 'orphan_items'
+            WHEN l_agg.k IS NULL THEN 'empty_order'
+            ELSE 'matched' END AS link_status
+FROM o_agg FULL OUTER JOIN l_agg ON o_agg.k = l_agg.k
+""",
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join reconciliation: classifies every key as matched /
+    empty_order / orphan_items in one pass — the bidirectional
+    generalization of the anti-join diagnostic (J1 covers only one
+    direction)."""
+    o = T(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("ok")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    li = T(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("lk")
+    ).agg(F.count(F.lit(1)).alias("n_items"))
+    j = o.join(li, o["ok"] == li["lk"], "full_outer")
+    return j.select(
+        F.coalesce("ok", "lk").alias("order_key"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        F.when(F.col("ok").isNull(), "orphan_items")
+        .when(F.col("lk").isNull(), "empty_order")
+        .otherwise("matched")
+        .alias("link_status"),
+    )
+
+
+@register(
     "window_function_suite",
     oracle="""
 WITH ranked AS (

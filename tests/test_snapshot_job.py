@@ -59,6 +59,10 @@ def test_snapshot_job_end_to_end_and_rerun(spark, sf_dir):
     assert summary["status"] == "OK"
     assert summary["diff"] == 0
     assert summary["source_count"] == src.count()
+    # observe() counters rode the same job (no extra pass):
+    assert summary["metrics"]["rows_processed"] == summary["source_count"]
+    assert summary["metrics"]["min_key"] >= 0
+    assert summary["metrics"]["max_key"] > summary["metrics"]["min_key"]
 
     # Rerun the entire job: INSERT IGNORE keeps it converged.
     summary2 = run_snapshot(src, factory, CFG)
