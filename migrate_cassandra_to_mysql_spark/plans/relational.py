@@ -580,6 +580,42 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "datetime_functions_showcase",
+    oracle="""
+SELECT o_orderkey AS order_key,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+         AS days_since_epoch95,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_quarter
+FROM orders WHERE o_orderkey % 10 = 0
+""",
+)
+def datetime_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar breadth (SURVEY §2.6): extraction, truncation, day
+    arithmetic, end-of-month, calendar-aware month addition — aligned with
+    DuckDB semantics (both engines clamp end-of-month the same way)."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.expr("CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT)").alias(
+            "days_since_epoch95"
+        ),
+        F.expr("CAST(last_day(o_orderdate) AS TIMESTAMP)").alias("month_end"),
+        F.expr("CAST(add_months(o_orderdate, 3) AS TIMESTAMP)").alias(
+            "plus_quarter"
+        ),
+    )
+
+
+@register(
     "full_outer_reconciliation",
     oracle="""
 WITH o_agg AS (SELECT o_orderkey AS k, count(*) AS n_orders FROM orders
