@@ -580,6 +580,33 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_per_customer_listagg",
+    oracle="""
+SELECT o_custkey AS client_id,
+       count(*) AS n_orders,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+         AS order_keys
+FROM orders
+WHERE o_custkey % 20 = 0
+GROUP BY o_custkey
+""",
+)
+def orders_per_customer_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (LISTAGG/string_agg): collect_list order is
+    nondeterministic under parallel aggregation, so the portable form is
+    array_sort BEFORE joining — a row-level determinism gotcha every
+    distributed engine user hits."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_custkey") % 20 == 0)
+    return o.groupBy(F.col("o_custkey").alias("client_id")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "concat_ws(',', transform(array_sort(collect_list(o_orderkey)),"
+            " x -> CAST(x AS STRING)))"
+        ).alias("order_keys"),
+    )
+
+
+@register(
     "datetime_functions_showcase",
     oracle="""
 SELECT o_orderkey AS order_key,
