@@ -248,3 +248,42 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("simhash"),
     )
     return sig
+
+
+def simhash32_md5(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash using md5-derived token hashes (differential-testing
+    twin of simhash64: md5 is the one hash both Spark and DuckDB share, so
+    this variant is fully oracle-checkable; see plans/textplans.py for the
+    generated SQL twin).
+
+    Per token occurrence: h = int(md5(tok)[:8], 16); bit i votes +1 if set
+    else -1; signature bit i = 1 iff the vote sum is positive. One groupBy
+    with 32 conditional sums — partial-aggregated map-side, one shuffle of
+    32 ints per doc.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    hashed = toks.select("doc_id", h.alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(32)
+        ]
+    )
+    return votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(32)
+            ]
+        ).alias("simhash"),
+    )

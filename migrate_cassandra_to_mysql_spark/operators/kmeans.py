@@ -1,17 +1,23 @@
 """Distributed k-means over embedding columns — the iterative-algorithm
-pattern (SURVEY §2: genuinely non-SQL-expressible; driver records it as a
-rows-only capability, tests pin the invariants).
+pattern (SURVEY §2: the reference has no iterative ops; this is a
+north-star extension). Every arithmetic step is cross-engine
+deterministic, so a fixed-iteration run has an exact SQL twin
+(plans/vectorplans.kmeans_oracle generates the unrolled CTE chain):
 
-Each iteration is one declarative round:
-  assign: crossJoin the corpus with the broadcast centroid table (K rows),
-          argmin distance via a window — map-side per input row;
-  update: posexplode + groupBy (cluster, pos) mean — the same partial-agg
-          shape as plans/vectorplans.label_centroids.
+  distance: d2 = round(v.v - 2 v.c + c.c, 6) — three sequential-fold dot
+            products, the same associativity DuckDB's list_dot_product
+            uses (parity proven by the embedding_* oracle queries);
+  update:   element means over FLOOR(val * 1e9) integer quantization —
+            exact order-independent BIGINT sums (no float partial-agg
+            nondeterminism), then round(sum / (1e9 * n), 4);
+  argmin:   (d2, c_id) ordering — total, tie-stable.
 
-Only the K x dim centroid table ever reaches the driver (control-plane
-sized, the reference's D3 discipline); corpus vectors never leave
-executors. Convergence: k-means inertia is non-increasing per iteration —
-pinned by the unit test.
+Each iteration is one declarative round: assign = crossJoin with the
+broadcast K-row centroid table + window argmin (map-side per input row);
+update = posexplode + groupBy (cluster, pos) — the same partial-agg shape
+as plans/vectorplans.label_centroids. Only the K x dim centroid table ever
+reaches the driver (control-plane sized, the reference's D3 discipline);
+corpus vectors never leave executors.
 """
 
 from __future__ import annotations
@@ -19,13 +25,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+QUANT = 1_000_000_000  # 1e9: centroid-update quantization (see module doc)
 
-def _sq_dist(a, b):
+
+def _dot(a, b):
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
+
+
+def _sq_dist(a, b):
+    # v.v - 2 v.c + c.c from three dots (NOT a zip_with fold of squared
+    # diffs) so the float op sequence matches DuckDB's list_dot_product.
+    return F.round(_dot(a, a) - 2 * _dot(a, b) + _dot(b, b), 6)
 
 
 def _assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -40,60 +54,101 @@ def _assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _update(assigned: DataFrame, cent_rows: list) -> list:
+    """Centroid update from an assignment: quantized-exact means rounded to
+    4 dp; empty clusters keep their previous centroid."""
+    agg = (
+        assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+        .select("cluster", "pos", F.floor(F.col("val") * QUANT).alias("q"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.round(
+                F.sum("q").cast("double") / (F.lit(float(QUANT)) * F.count(F.lit(1))),
+                4,
+            ).alias("mean_val")
+        )
+    )
+    new_rows = agg.collect()  # K x dim rows — control-plane sized
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in new_rows:
+        by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mean_val"]
+    return [
+        {
+            "c_id": r["c_id"],
+            "cv": [by_cluster[r["c_id"]][p] for p in sorted(by_cluster[r["c_id"]])]
+            if r["c_id"] in by_cluster
+            else list(r["cv"]),
+        }
+        for r in cent_rows
+    ]
+
+
+def init_first_k(e: DataFrame, k: int) -> list:
+    """Deterministic init: the k lowest-vec_id vectors (c_id = vec_id).
+    SQL-expressible — the catalog oracle uses the same rule."""
+    return [
+        {"c_id": int(r["vec_id"]), "cv": list(r["v"])}
+        for r in e.orderBy("vec_id").limit(k).select("vec_id", "v").collect()
+    ]
+
+
+def init_farthest_point(e: DataFrame, k: int) -> list:
+    """Greedy farthest-point init (deterministic k-means++ stand-in): start
+    from the lowest vec_id, then repeatedly add the point with the maximum
+    distance to its nearest chosen centroid (ties broken by vec_id). Each
+    round is one distributed argmax — k-1 passes over the corpus, no
+    randomness to seed, and empirically far better spread than first-k when
+    the leading vec_ids are clustered."""
+    spark = e.sparkSession
+    first = e.orderBy("vec_id").limit(1).select("vec_id", "v").collect()[0]
+    chosen = [{"c_id": int(first["vec_id"]), "cv": list(first["v"])}]
+    for _ in range(k - 1):
+        cent_df = spark.createDataFrame(
+            [(int(r["c_id"]), list(r["cv"])) for r in chosen],
+            "c_id long, cv array<double>",
+        )
+        far = (
+            _assign(e, cent_df)
+            .orderBy(F.desc("d2"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "v")
+            .collect()[0]
+        )
+        chosen.append({"c_id": int(far["vec_id"]), "cv": list(far["v"])})
+    return chosen
+
+
 def kmeans(
-    embeddings: DataFrame, k: int = 8, n_iter: int = 5
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    init: str = "first-k",
 ) -> tuple[DataFrame, list[float]]:
     """Lloyd's algorithm. Returns (assignments DataFrame, inertia history).
 
-    Initial centroids: first k vectors by vec_id (deterministic; replace
-    with k-means++ sampling for production quality). Empty clusters keep
-    their previous centroid.
+    init: 'first-k' (SQL-oracle-compatible) or 'farthest-point' (better
+    spread, still deterministic). Cluster ids are the vec_ids of the init
+    points in both modes.
     """
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    centroids = (
-        e.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("vec_id").cast("long").alias("c_id"), F.col("v").alias("cv"))
-    )
-    # Materialize the K-row codebook driver-side once per iteration.
-    cent_rows = centroids.collect()
     spark = embeddings.sparkSession
-    inertia_history: list[float] = []
+    if init == "farthest-point":
+        cent_rows = init_farthest_point(e, k)
+    else:
+        cent_rows = init_first_k(e, k)
 
+    inertia_history: list[float] = []
     for _ in range(n_iter):
         cent_df = spark.createDataFrame(
             [(int(r["c_id"]), list(r["cv"])) for r in cent_rows],
             "c_id long, cv array<double>",
         )
         assigned = _assign(e, cent_df)
-        agg = (
-            assigned.select(
-                "cluster", F.posexplode("v").alias("pos", "val"), "d2"
-            )
-            .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("mean_val"))
-        )
         inertia = assigned.agg(F.sum("d2").alias("i")).collect()[0]["i"]
         inertia_history.append(float(inertia))
-
-        new_rows = agg.collect()  # K x dim rows — control-plane sized
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in new_rows:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mean_val"]
-        cent_rows = [
-            {
-                "c_id": r["c_id"],
-                "cv": [
-                    by_cluster[r["c_id"]][p]
-                    for p in sorted(by_cluster[r["c_id"]])
-                ]
-                if r["c_id"] in by_cluster
-                else list(r["cv"]),  # empty cluster: keep previous centroid
-            }
-            for r in cent_rows
-        ]
+        cent_rows = _update(assigned, cent_rows)
 
     final_cent = spark.createDataFrame(
         [(int(r["c_id"]), list(r["cv"])) for r in cent_rows],

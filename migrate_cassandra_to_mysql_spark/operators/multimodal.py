@@ -24,23 +24,24 @@ from pyspark.sql import functions as F
 
 DECODED_SCHEMA = (
     "doc_id bigint, n_bytes bigint, width int, height int, format string, "
-    "features array<float>"
+    "features array<float>, hist array<int>"
 )
 
 
 def _decode_bytes(payload: bytes) -> dict:
     """Deterministic fake decode. Production: PIL.Image.open(BytesIO(b))."""
     n = len(payload)
+    # 8-bucket byte histogram: `hist` carries the raw integer counts
+    # (exactly reproducible across engines — the catalog oracle recomputes
+    # them); `features` is the float-normalized form downstream models use.
+    hist = [sum(1 for b in payload if b % 8 == k) for k in range(8)]
     return {
         "n_bytes": n,
         "width": (n % 640) + 1,
         "height": (n % 480) + 1,
         "format": ("png", "jpeg", "webp")[n % 3],
-        # 8-dim "feature vector": byte histogram over 8 buckets, normalized.
-        "features": [
-            float(sum(1 for b in payload if b % 8 == k)) / max(n, 1)
-            for k in range(8)
-        ],
+        "features": [float(c) / max(n, 1) for c in hist],
+        "hist": hist,
     }
 
 
@@ -70,6 +71,7 @@ def decode_image_stub(df_with_payload: DataFrame) -> DataFrame:
                     "height": meta.map(lambda m: m["height"]),
                     "format": meta.map(lambda m: m["format"]),
                     "features": meta.map(lambda m: m["features"]),
+                    "hist": meta.map(lambda m: m["hist"]),
                 }
             )
 

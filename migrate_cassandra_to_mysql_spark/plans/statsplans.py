@@ -242,22 +242,74 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_stats")  # rows-only: HLL sketches differ by impl
+_KMV_K = 64
+_KMV_SCALE = float((_KMV_K - 1) * (1 << 48))  # (k-1) * 2^48, exact in double
+
+
+def _kmv_oracle_branch(col: str) -> str:
+    return f"""
+SELECT '{col}' AS key_name, n_exact,
+       round(kmv_est, 4) AS kmv_estimate,
+       round((kmv_est - n_exact) / n_exact * 100, 4) AS rel_err_pct
+FROM (
+  SELECT (SELECT count(*) FROM (
+            SELECT DISTINCT CAST('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 12)
+                                 AS BIGINT) AS h FROM lineitem) d) AS n_exact,
+         (SELECT CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                      ELSE {_KMV_SCALE!r} / max(h) END
+          FROM (SELECT DISTINCT CAST('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 12)
+                                     AS BIGINT) AS h
+                FROM lineitem ORDER BY h LIMIT {_KMV_K}) t) AS kmv_est) s
+"""
+
+
+@register(
+    "approx_distinct_stats",
+    oracle=" UNION ALL ".join(
+        _kmv_oracle_branch(c) for c in ("l_orderkey", "l_partkey", "l_suppkey")
+    ),
+)
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (HyperLogLog++ distinct counts, approximate
-    quantiles) — the constant-memory path for 100 TB cardinality work.
-    No oracle: Spark's HLL++ and DuckDB's HLL produce different estimates
-    by construction; the accuracy contract (estimate within rsd of exact)
-    is pinned in tests/test_approx.py instead."""
+    """Distinct-count sketching via KMV (k-minimum-values, k=64): hash each
+    key with md5 to a uniform 48-bit space, keep the k smallest distinct
+    hashes; estimate = (k-1) * 2^48 / kth_min (exact count when fewer than
+    k values). Unlike HLL++ (whose estimates are implementation-specific),
+    KMV over a shared hash is bit-reproducible in both engines, so the
+    sketch itself is oracle-checked. The native constant-memory HLL++ path
+    (approx_count_distinct) keeps its accuracy contract in
+    tests/test_approx.py. Scale: the k-smallest pass is a per-partition
+    top-k (TakeOrdered) — only k rows per partition reach the driver-side
+    merge, and the estimate is O(1) memory at any corpus size."""
     li = T(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)"
-        ).alias("price_quantiles"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
+    branches = []
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        h = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        hashes = li.select(h.alias("h")).distinct()
+        kth = (
+            hashes.orderBy("h")
+            .limit(_KMV_K)
+            .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("m"))
+        )
+        n_exact = hashes.agg(F.count(F.lit(1)).alias("n_exact"))
+        est = F.when(F.col("m") < _KMV_K, F.col("m").cast("double")).otherwise(
+            F.lit(_KMV_SCALE) / F.col("kth")
+        )
+        branches.append(
+            kth.crossJoin(n_exact).select(
+                F.lit(col).alias("key_name"),
+                F.col("n_exact"),
+                F.round(est, 4).alias("kmv_estimate"),
+                F.round(
+                    (est - F.col("n_exact")) / F.col("n_exact") * 100, 4
+                ).alias("rel_err_pct"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
 
 
 @register(

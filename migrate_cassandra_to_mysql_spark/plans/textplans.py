@@ -288,27 +288,82 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_signatures")  # rows-only: xxhash64 has no DuckDB twin
+def _simhash_oracle(n_bits: int = 32) -> str:
+    """SQL twin of dedup.simhash32_md5, generated from the same bit loop."""
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(n_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+ h AS (SELECT doc_id,
+              CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS h
+       FROM toks),
+ votes AS (SELECT doc_id, {votes}
+           FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@register("simhash_signatures", oracle=_simhash_oracle())
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (production-path dedup sketch using
-    xxhash64 bit votes). No SQL oracle — xxhash64 is Spark-internal; the
-    operator's invariants (identical docs -> identical signatures, 64-bit
-    range) are pinned in tests/test_extension_ops.py."""
-    return dedup.simhash64(T(spark, sf_dir, "documents"))
+    """32-bit SimHash per document via md5-derived token hashes (bit votes
+    summed in one partial-agg groupBy). md5 is the hash both engines share,
+    so the full algorithm — tokenize, hash, vote, sign — is differentially
+    tested against the generated SQL twin. The 64-bit xxhash64 production
+    variant (dedup.simhash64) keeps its invariant tests in
+    tests/test_extension_ops.py."""
+    return dedup.simhash32_md5(T(spark, sf_dir, "documents"))
 
 
-@register("multimodal_decode")  # rows-only: mapInPandas decode stub
+_MM_HIST = ", ".join(
+    f"CAST(len(list_filter(codes, c -> c = {k})) AS VARCHAR)" for k in range(8)
+)
+
+_MM_DECODE_ORACLE = f"""
+WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+ c AS (SELECT doc_id, n,
+              list_transform(range(1, n + 1),
+                             i -> ascii(substr(text, i, 1)) % 8) AS codes
+       FROM b)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(n % 640 + 1 AS INTEGER) AS width,
+       CAST(n % 480 + 1 AS INTEGER) AS height,
+       CASE WHEN n % 3 = 0 THEN 'png'
+            WHEN n % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+       concat_ws(',', {_MM_HIST}) AS hist
+FROM c
+"""
+
+
+@register("multimodal_decode", oracle=_MM_DECODE_ORACLE)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched binary decode pipeline (operators/multimodal.py):
-    binary payload -> typed metadata + 8-dim feature histogram via
-    mapInPandas. The decode itself is a deterministic stub (media libs
-    not present); the Spark plumbing (schema, batching, feature arrays)
-    is the real deliverable. Rows-only check; determinism + shape pinned
-    in tests."""
+    binary payload -> typed metadata + 8-bucket byte histogram via
+    mapInPandas. The decode itself is a deterministic stub (media libs not
+    present); the Spark plumbing (schema, batching, feature arrays) is the
+    real deliverable. The oracle recomputes the stub per-byte in SQL
+    (documents.text is ASCII, so char codes == bytes) and the histogram is
+    compared as a comma-joined integer string — exact, no float formatting
+    in the hash."""
     from migrate_cassandra_to_mysql_spark.operators import multimodal
 
     docs = T(spark, sf_dir, "documents")
-    return multimodal.decode_image_stub(multimodal.attach_binary_payload(docs))
+    decoded = multimodal.decode_image_stub(multimodal.attach_binary_payload(docs))
+    return decoded.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "format",
+        F.concat_ws(",", F.col("hist").cast("array<string>")).alias("hist"),
+    )
 
 
 @register(

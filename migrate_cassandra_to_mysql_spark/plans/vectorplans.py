@@ -169,12 +169,62 @@ def embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(T(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
 
 
-@register("kmeans_clusters")  # rows-only: iterative algorithm, no SQL twin
+def _kmeans_oracle(k: int = 4, n_iter: int = 3) -> str:
+    """Unrolled Lloyd-iteration SQL twin of operators/kmeans.kmeans with
+    first-k init. Every step mirrors the Spark operator's deterministic
+    arithmetic (module doc there): rounded dot-combination distances,
+    FLOOR(val*1e9) quantized means rounded to 4 dp, (d2, c_id) argmin."""
+    d2 = (
+        "round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)"
+        " + list_dot_product(c.cv, c.cv), 6)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(1, n_iter + 1):
+        prev, cur = f"c{i - 1}", f"c{i}"
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.c_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, c.c_id ASC) AS rn
+    FROM e CROSS JOIN {prev} c) t
+  WHERE rn = 1)""")
+        ctes.append(f"""u{i} AS (
+  SELECT cell AS c_id, list(mv ORDER BY pos) AS cv FROM (
+    SELECT cell, pos, round(CAST(sum(q) AS DOUBLE) / (1e9 * count(*)), 4) AS mv
+    FROM (SELECT cell, u.pos AS pos, floor(u.val * 1e9) AS q
+          FROM a{i}, (SELECT unnest(v) AS val,
+                             generate_subscripts(v, 1) AS pos) u) qv
+    GROUP BY cell, pos) m
+  GROUP BY cell)""")
+        ctes.append(
+            f"{cur} AS (SELECT * FROM u{i} UNION ALL "
+            f"SELECT c_id, cv FROM {prev} WHERE c_id NOT IN (SELECT c_id FROM u{i}))"
+        )
+    final = f"""fin AS (
+  SELECT vec_id, cell AS cluster FROM (
+    SELECT e.vec_id, c.c_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, c.c_id ASC) AS rn
+    FROM e CROSS JOIN c{n_iter} c) t
+  WHERE rn = 1)"""
+    ctes.append(final)
+    return (
+        "WITH " + ",\n ".join(ctes) + "\nSELECT vec_id, cluster FROM fin"
+    )
+
+
+@register("kmeans_clusters", oracle=_kmeans_oracle())
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means (operators/kmeans.py), 3 Lloyd iterations, k=4.
-    Iterative — not SQL-expressible as one query; invariants (inertia
-    non-increasing, determinism) pinned in tests/test_kmeans.py. Returns
-    (vec_id, cluster) assignments."""
+    """Distributed k-means (operators/kmeans.py), 3 Lloyd iterations, k=4,
+    first-k init. The operator's arithmetic is cross-engine deterministic
+    (quantized-integer centroid means, rounded distances), so the full
+    iterative algorithm is differentially tested against a generated
+    3-iteration unrolled SQL twin. Inertia/initialization invariants are
+    additionally pinned in tests/test_kmeans.py. Returns (vec_id, cluster)
+    assignments."""
     from migrate_cassandra_to_mysql_spark.operators.kmeans import kmeans
 
     assigned, _ = kmeans(T(spark, sf_dir, "embeddings"), k=4, n_iter=3)

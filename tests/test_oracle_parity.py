@@ -45,12 +45,7 @@ def test_entry_smoke(spark):
     ]
 
 
-ROWS_ONLY = {  # no SQL twin exists for these
-    "simhash_signatures",
-    "multimodal_decode",
-    "kmeans_clusters",
-    "approx_distinct_stats",
-}
+ROWS_ONLY: set[str] = set()  # every catalog query has a DuckDB oracle
 
 
 def test_every_query_has_oracle_or_is_flagged():
