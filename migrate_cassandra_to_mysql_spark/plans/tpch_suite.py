@@ -490,6 +490,429 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH sp AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+ eur AS (
+  SELECT pk, sk, cost, s_name, n_name
+  FROM sp JOIN supplier ON s_suppkey = sk
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'),
+ best AS (SELECT pk, min(cost) AS mc FROM eur GROUP BY pk)
+SELECT p_partkey AS part_key, p_name AS part_name, sk AS supp_key,
+       s_name AS supp_name, n_name AS nation_name,
+       CAST(cost AS DOUBLE) AS min_cost
+FROM eur JOIN best USING (pk) JOIN part ON p_partkey = pk
+WHERE cost = mc AND p_size <= 15 AND p_type = 'STANDARD'
+ORDER BY part_key, supp_key
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (minimum-cost supplier; no partsupp table in the
+    testdata, so lineitem's (partkey, suppkey) pairs ARE the part-supplier
+    relation and min extendedprice stands in for ps_supplycost): the
+    correlated `cost = (SELECT min(cost) ... WHERE region)` subquery,
+    decorrelated into a per-part min + equality join back. The per-(part,
+    supplier) cost relation is ~|part|x|supp-per-part| — far smaller than
+    lineitem — so both the min-agg and the join-back shuffle on pk are
+    cheap; supplier/nation/region collapse to one broadcast map. All-ties
+    kept (TPC-H semantics); exact-decimal min so boundary equality is
+    cross-engine stable."""
+    li = T(spark, sf_dir, "lineitem")
+    sp = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.expr("min(CAST(l_extendedprice AS DECIMAL(18,2)))").alias("cost"))
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    s = (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    eur = sp.join(F.broadcast(s), sp["sk"] == s["s_suppkey"]).select(
+        "pk", "sk", "cost", "s_name", "n_name"
+    )
+    best = eur.groupBy("pk").agg(F.min("cost").alias("mc"))
+    p = (
+        T(spark, sf_dir, "part")
+        .where((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        eur.join(best, "pk")
+        .where(F.col("cost") == F.col("mc"))
+        .join(F.broadcast(p), F.col("pk") == p["p_partkey"])
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            F.col("p_name").alias("part_name"),
+            F.col("sk").alias("supp_key"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+        .orderBy("part_key", "supp_key")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, sn.n_name AS supp_nation,
+         {_REVENUE} AS rev
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = cn.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+SELECT yr,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
+       CAST(sum(rev) AS DOUBLE) AS total_volume,
+       count(*) AS n_items
+FROM vol GROUP BY yr ORDER BY yr
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of AMERICA-market
+    ECONOMY-part revenue per order year. The five dimension joins (customer
+    +nation+region, supplier+nation, part) all broadcast; lineitem->orders
+    is the single big shuffle join. Numerator and denominator are exact
+    decimal sums folded into ONE aggregation pass (conditional CASE sum);
+    the division happens once per year-group in double, then rounds."""
+    o = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    c = (
+        T(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey")
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    p = T(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    li = T(spark, sf_dir, "lineitem")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    )
+    nation_rev = F.expr(
+        f"sum(CASE WHEN supp_nation = 'NATION_3' THEN {_REVENUE}"
+        " ELSE CAST(0 AS DECIMAL(18,2)) END)"
+    )
+    total_rev = F.expr(f"sum({_REVENUE})")
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.round(
+                nation_rev.cast("double") / total_rev.cast("double"), 6
+            ).alias("mkt_share"),
+            total_rev.cast("double").alias("total_volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+SELECT n_name AS nation_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(sum({_REVENUE}
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(0.10 AS DECIMAL(3,2))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation_name, yr
+""",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (product-type profit; ps_supplycost doesn't exist, so
+    cost is modeled as 10% of p_retailprice per unit): profit per supplier
+    nation per order year over a part-name LIKE filter. The LIKE pushes to
+    the part scan, part broadcasts, and the per-row profit expression is
+    pure exact-decimal arithmetic — identical bits in both engines — summed
+    in one partial+final agg. lineitem->orders stays the only shuffle."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        T(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = T(spark, sf_dir, "nation")
+    s = (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_suppkey", "n_name")
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+    )
+    profit = F.expr(
+        f"sum({_REVENUE} - CAST(p_retailprice AS DECIMAL(18,2))"
+        " * CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.10 AS DECIMAL(3,2)))"
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(profit.cast("double").alias("profit"))
+        .orderBy("nation_name", "yr")
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+WITH val AS (
+  SELECT l_partkey AS part_key,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_regionkey = 2
+  GROUP BY l_partkey),
+ tot AS (SELECT sum(v) AS t, count(*) AS n FROM val)
+SELECT part_key, CAST(v AS DOUBLE) AS part_value
+FROM val, tot
+WHERE CAST(v AS DOUBLE) * n > CAST(t AS DOUBLE) * 2
+ORDER BY part_value DESC, part_key
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (important stock identification): parts whose
+    ASIA-supplied value exceeds 2x the average part value — the global-sum
+    scalar subquery (`HAVING value > fraction * sum(...)`) shape. The
+    per-part value relation is aggregated once; the global (sum, count)
+    scalar is a 1-row broadcast crossJoin, NOT a second scan. Threshold
+    compares double-cast exact decimals with an integer multiplier — no
+    decimal-precision clamping on either engine, identical boundary
+    behavior. A fixed fraction would shrink the result as |part| grows;
+    the relative-to-average form is scale-stable."""
+    li = T(spark, sf_dir, "lineitem")
+    n = T(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+    s = (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.expr("sum(CAST(l_extendedprice AS DECIMAL(18,2)))").alias("v"))
+    )
+    tot = val.agg(F.sum("v").alias("t"), F.count(F.lit(1)).alias("n"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("v").cast("double") * F.col("n")
+            > F.col("t").cast("double") * 2
+        )
+        .select("part_key", F.col("v").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("part_key"))
+    )
+
+
+@register(
+    "q16_supplier_relation_count",
+    oracle="""
+SELECT p_brand AS brand, p_type AS ptype, p_size AS psize,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, brand, ptype, psize
+""",
+)
+def q16_supplier_relation_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog (parts/supplier relationship; lineitem is the
+    part-supplier relation): distinct-supplier counts per part attribute
+    triple, excluding a supplier denylist (NOT IN subquery -> LEFT ANTI
+    against the low-balance suppliers; keys are non-NULL so the NOT IN /
+    anti-join equivalence is exact). count(DISTINCT) expands to Spark's
+    two-phase distinct-agg — partial dedup map-side before the shuffle."""
+    p = T(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#12")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = T(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 1000).select(
+        "s_suppkey"
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("ptype"),
+            F.col("p_size").alias("psize"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "ptype", "psize")
+    )
+
+
+@register(
+    "q20_excess_inventory_suppliers",
+    oracle="""
+SELECT s_suppkey AS supp_key, s_name AS supp_name, n_name AS nation_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 30)
+ORDER BY supp_key
+""",
+)
+def q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (potential part promotion): suppliers who moved >30
+    units of any 'small%' part in 1997 — two nested IN subqueries become a
+    broadcast semi-join (part name filter) feeding a grouped HAVING, whose
+    survivor keys semi-join back into supplier. Quantity sums are exact
+    decimals so the HAVING boundary is cross-engine stable. The inner agg
+    shuffles lineitem by (suppkey, partkey) AFTER the part filter cut it
+    down; supplier-side join is a broadcast of the distinct survivor keys."""
+    parts = (
+        T(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    movers = (
+        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"], "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.expr("sum(CAST(l_quantity AS DECIMAL(18,2)))").alias("q"))
+        .where(F.col("q") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(movers), s["s_suppkey"] == movers["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .orderBy("supp_key")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s_suppkey AS supp_key, s_name AS supp_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, supp_key
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (suppliers who kept orders waiting; late = shipped
+    >90 days after order date since commit/receipt dates don't exist):
+    finalized orders where exactly one supplier shipped late. The EXISTS /
+    NOT EXISTS pair over inequality self-joins becomes LEFT SEMI (another
+    supplier participated) + LEFT ANTI (no OTHER supplier was late) on
+    orderkey with a suppkey<> residual. All three legs hash-shuffle on
+    l_orderkey, so Spark reuses one exchange; supplier broadcast at the
+    end. The late-items leg is computed once and reused for both l1 and
+    l3 (self-referential decorrelation)."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderstatus")
+    )
+    l1 = late.where(F.col("o_orderstatus") == "F").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    kept = l1.join(
+        others,
+        (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
+        "left_anti",
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        kept.join(F.broadcast(s), kept["sk"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_suppkey").alias("supp_key"), F.col("s_name").alias("supp_name")
+        )
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("supp_key"))
+    )
+
+
+@register(
     "q22_idle_customers",
     oracle="""
 WITH avg_bal AS (
