@@ -35,3 +35,7 @@ try:
     import migrate_cassandra_to_mysql_spark.plans.tpch_suite  # noqa: F401
 except ImportError:  # pragma: no cover - module added in a later milestone
     pass
+try:
+    import migrate_cassandra_to_mysql_spark.plans.funcplans  # noqa: F401
+except ImportError:  # pragma: no cover - module added in a later milestone
+    pass
