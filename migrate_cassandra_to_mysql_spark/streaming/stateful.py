@@ -68,6 +68,39 @@ def _make_sessionizer(continuous: bool):
     return sessionize_group
 
 
+ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def rocksdb_state_conf(
+    changelog_checkpointing: bool = True,
+    bounded_memory_mb: int | None = None,
+) -> dict[str, str]:
+    """Session conf switching streaming state to the RocksDB provider.
+
+    The default HDFSBackedStateStoreProvider keeps every key's state as
+    JVM heap objects — fine for thousands of keys, an OOM at the 100 TB
+    design point (state ~ O(active users/keys), easily 10^8+). RocksDB
+    spills state to local SSD with a block-cache working set, and
+    changelog checkpointing uploads only the per-batch delta instead of
+    snapshotting the full store every commit.
+
+    Pass to `session.get_spark(extra_conf=rocksdb_state_conf())` (conf is
+    session-wide; set before the streaming query starts).
+    """
+    conf = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": str(
+            changelog_checkpointing
+        ).lower(),
+    }
+    if bounded_memory_mb is not None:
+        conf["spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"] = "true"
+        conf["spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"] = str(
+            bounded_memory_mb
+        )
+    return conf
+
+
 def sessionize_stream(events_stream: DataFrame, continuous: bool = False) -> DataFrame:
     """Assign gap-based session ids over an event stream.
 
