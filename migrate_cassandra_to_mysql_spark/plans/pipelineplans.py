@@ -100,3 +100,64 @@ def idempotent_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [("orders", n, "OK")], "table_name string, sink_rows long, rerun_status string"
     )
+
+
+@register(
+    "pyds_pushdown_scan",
+    oracle="""
+SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_totalprice > 150000 AND o_orderstatus IN ('O', 'F')
+GROUP BY o_orderstatus
+""",
+)
+def pyds_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full relational read path through the Python DataSource V2 connector
+    (sources/pydatasource.py): stage orders into sqlite, scan it back with
+    8 key-range splits, and let Catalyst push the filters into the
+    connector (pushFilters -> per-split WHERE). The aggregate over the
+    connector scan must equal the same aggregate over the parquet source —
+    proving the pushdown dropped no rows and the splits are disjoint and
+    complete. This is the reference's whole read side (token-range splits +
+    server-side predicates, snapshot_use_pyspark.py:107-137,216-224) as
+    one oracle-checked query."""
+    from migrate_cassandra_to_mysql_spark.sources import pydatasource
+
+    db = tempfile.mkdtemp(prefix="mc2m_pyds_") + "/orders.db"
+    rows = (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    )
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE orders (o_orderkey BIGINT PRIMARY KEY,"
+        " o_orderstatus VARCHAR, o_totalprice DOUBLE)"
+    )
+    con.executemany("INSERT INTO orders VALUES (?,?,?)", [tuple(r) for r in rows])
+    con.commit()
+    con.close()
+
+    pydatasource.register(spark)
+    scan = (
+        spark.read.format(pydatasource.FORMAT_NAME)
+        .option("path", db)
+        .option("table", "orders")
+        .option("partitionColumn", "o_orderkey")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return (
+        scan.where(
+            (F.col("o_totalprice") > 150000)
+            & F.col("o_orderstatus").isin("O", "F")
+        )
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+    )
