@@ -54,3 +54,40 @@ def test_filter_pushed_to_scan(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "topk_orders")
     assert "TakeOrderedAndProject" in plan  # heap top-k, no global sort
+
+
+def test_pivot_declared_values_single_aggregate(spark, sf_dir):
+    """Declared pivot values: no extra distinct-scan job; pivotfirst runs
+    inside a regular partial+final HashAggregate pair."""
+    plan = _plan(spark, sf_dir, "pivot_status_by_year")
+    assert "pivotfirst" in plan
+    # One scan only — an undeclared pivot would have planned a second
+    # FileScan job just to enumerate the pivot keys.
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_unpivot_is_one_expand_one_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "unpivot_part_measures")
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # Column pruning reaches the scan: only the 3 unpivoted columns read.
+    assert "ReadSchema: struct<p_partkey:bigint,p_size:int,p_retailprice:double>" in scan_line
+
+
+def test_moving_frames_share_one_window_sort(spark, sf_dir):
+    """All four window functions (row_number, trailing count/sum,
+    cumulative sum) must share a single partition+sort: one Window node,
+    one Exchange, one Sort."""
+    plan = _plan(spark, sf_dir, "moving_order_spend")
+    assert plan.count("Window [") == 1
+    assert plan.count("Exchange") == 1
+    assert plan.count("+- Sort") == 1
+
+
+def test_function_showcases_are_python_free(spark, sf_dir):
+    for name in ("regexp_showcase", "array_hof_showcase", "corr_covar_stats"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert plan.count("FileScan parquet") == 1, name
