@@ -1,0 +1,153 @@
+"""Persisted IVF index: train once, lay the corpus out by cell, prune at
+query time.
+
+operators/similarity.ivf_topk computes cell assignment inline on every
+query — right for a one-shot, wrong for a served corpus. At the 100 TB
+design point the index is built ONCE (codebook fit + cell assignment +
+corpus rewrite partitioned by cell) and each query then reads only its
+probe cells: the cell filter collapses to parquet PartitionFilters, so a
+1000-executor query touches n_probe/k of the data instead of all of it.
+This mirrors the reference's token-range layout discipline (contiguous
+ranges = prunable scan units, snapshot_use_pyspark.py:107-137) applied
+to vector search.
+
+Layout under index_dir:
+  codebook/            k rows (c_id, cv) — the trained centroids
+  corpus/cell=N/...    full vectors, hive-partitioned by nearest centroid
+
+The codebook is pluggable: first-k (deterministic, SQL-oracle-able) or a
+k-means fit from operators/kmeans.py (farthest-point init + Lloyd
+iterations, still deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.functions.vectors import cosine
+from migrate_cassandra_to_mysql_spark.operators import kmeans as km
+
+
+def _base(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _nearest_cells(vectors: DataFrame, codebook: DataFrame, n: int) -> DataFrame:
+    """Top-n nearest centroids per vector (cosine, 6-dp rounded, tie on
+    c_id) — broadcast cross join + window rank, map-side per input row."""
+    scored = vectors.crossJoin(F.broadcast(codebook)).select(
+        vectors["*"],
+        "c_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("c_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= n)
+        .drop("c_sim")
+    )
+
+
+def first_k_codebook(embeddings: DataFrame, k: int) -> DataFrame:
+    """Deterministic stand-in codebook: the k lowest-vec_id vectors."""
+    return _base(embeddings).where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+
+
+def kmeans_codebook(
+    embeddings: DataFrame, k: int, n_iter: int = 3, init: str = "farthest-point"
+) -> DataFrame:
+    """Trained codebook: k-means fit (see operators/kmeans.py). Centroid
+    ids are re-numbered 0..k-1 in vec_id order of the init points so cell
+    directory names are stable and dense."""
+    spark = embeddings.sparkSession
+    e = _base(embeddings)
+    if init == "farthest-point":
+        rows = km.init_farthest_point(e, k)
+    else:
+        rows = km.init_first_k(e, k)
+    cents = rows
+    for _ in range(n_iter):
+        cent_df = spark.createDataFrame(
+            [(int(r["c_id"]), list(r["cv"])) for r in cents],
+            "c_id long, cv array<double>",
+        )
+        assigned = km._assign(e, cent_df)
+        cents = km._update(assigned, cents)
+    renumbered = [
+        (i, list(r["cv"]))
+        for i, r in enumerate(sorted(cents, key=lambda r: r["c_id"]))
+    ]
+    return spark.createDataFrame(renumbered, "c_id long, cv array<double>")
+
+
+def build_ivf_index(
+    embeddings: DataFrame, index_dir: str, codebook: DataFrame
+) -> None:
+    """Assign every vector to its nearest centroid and persist:
+    codebook/ (k rows) + corpus/ hive-partitioned by cell. The corpus
+    write is one shuffle-free map stage plus the partitioned write."""
+    assigned = _nearest_cells(_base(embeddings), codebook, 1).select(
+        "vec_id", "v", F.col("c_id").alias("cell")
+    )
+    codebook.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/corpus"
+    )
+
+
+def load_codebook(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{index_dir}/codebook")
+
+
+def ivf_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Top-k cosine neighbors per query row (q_id, qv) over the persisted
+    index, probing the n_probe nearest cells per query.
+
+    The probed cell set is collected (control-plane sized: <= k_centroids
+    values) and applied as a literal IN filter so it reaches the corpus
+    scan as a parquet PartitionFilter — the unprobed cells' files are
+    never opened. Candidate scoring is a broadcast join (queries are the
+    small side) on cell, then a per-query top-k window.
+    """
+    codebook = load_codebook(spark, index_dir)
+    qv = queries.select(
+        F.col("q_id").alias("vec_id"), F.col("qv").alias("v")
+    )
+    q_cells = _nearest_cells(qv, codebook, n_probe).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("c_id").alias("q_cell"),
+    )
+    probed = [r["q_cell"] for r in q_cells.select("q_cell").distinct().collect()]
+    corpus = (
+        spark.read.parquet(f"{index_dir}/corpus")
+        .where(F.col("cell").isin(probed))
+        .select("vec_id", "v", F.col("cell").cast("long").alias("cell"))
+    )
+    cand = (
+        F.broadcast(q_cells)
+        .join(corpus, F.col("cell") == F.col("q_cell"))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            "cell",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )

@@ -100,6 +100,56 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_persisted_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+ c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 4),
+ scored AS (SELECT e.vec_id, e.v, c.c_id,
+                   {_COS.format(a='e.v', b='c.cv')} AS c_sim
+            FROM e CROSS JOIN c),
+ asn AS (SELECT vec_id, v, c_id AS cell FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY c_sim DESC, c_id) AS rn
+           FROM scored) t
+         WHERE rn = 1),
+ q AS (SELECT vec_id AS q_id, v AS qv, cell AS q_cell FROM asn
+       WHERE vec_id % 100 = 0),
+ cand AS (SELECT q.q_id, a.vec_id AS n_id, CAST(a.cell AS BIGINT) AS cell,
+                 {_COS.format(a='q.qv', b='a.v')} AS cos_sim
+          FROM q JOIN asn a ON a.cell = q.q_cell AND a.vec_id != q.q_id),
+ ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, n_id) AS rnk
+            FROM cand)
+SELECT q_id, n_id, cell, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index form of embedding_ivf_topk (same oracle: the
+    served path must be semantics-preserving): build the index — codebook
+    + corpus hive-partitioned by cell (operators/ivf_index.py) — then
+    answer the same top-3 queries reading ONLY the probed cell partitions
+    (literal IN filter -> parquet PartitionFilters). This is the train-
+    once / query-many layout a 100 TB vector corpus needs; the inline
+    variant above re-assigns cells on every query."""
+    import tempfile
+
+    from migrate_cassandra_to_mysql_spark.operators import ivf_index
+
+    emb = T(spark, sf_dir, "embeddings")
+    index_dir = tempfile.mkdtemp(prefix="mc2m_ivf_")
+    ivf_index.build_ivf_index(
+        emb, index_dir, ivf_index.first_k_codebook(emb, 4)
+    )
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return ivf_index.ivf_search(spark, index_dir, queries, k=3, n_probe=1)
+
+
+@register(
     "label_centroids",
     oracle="""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
