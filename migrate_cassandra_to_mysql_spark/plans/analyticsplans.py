@@ -1,0 +1,199 @@
+"""Behavioral / product-analytics catalog: stratified sampling, retention
+cohorts, modal values + discrete percentiles, funnel conversion.
+
+The reference has no analytics surface at all; these are the standard
+event-analytics operators a warehouse team runs daily, re-expressed as
+shuffle-lean Spark plans with DuckDB oracles.
+
+Scale notes:
+  - Stratified sampling is a pure filter (md5 bucket vs per-stratum
+    threshold) — pushes to the scan, zero shuffle, reproducible across
+    engines/retries (same contract as deterministic_sample).
+  - Retention reduces events to distinct (user, day) FIRST (one partial-
+    agg shuffle on a small key) before any join; the cohort join is then
+    users-sized, not events-sized.
+  - Funnel stages join events against the *previous stage's* per-user
+    timestamps — stage tables shrink monotonically, and each is
+    broadcast-joined back to events (users << events always).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.functions.hashing import (
+    md5_token_bucket,
+    oracle_bucket_sql,
+)
+from migrate_cassandra_to_mysql_spark.plans.registry import register
+from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+# Per-stratum sampling thresholds out of 256 hash buckets: oversample the
+# rare-but-interesting stratum, undersample the bulk (the usual shape of
+# training-data curation).
+_STRATA = {"O": 25, "F": 8, "P": 2}
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+SELECT o_orderkey AS order_key, o_orderstatus AS status,
+       o_totalprice AS total_price
+FROM orders
+WHERE {oracle_bucket_sql('o_orderkey')} <
+      CASE o_orderstatus WHEN 'O' THEN 25 WHEN 'F' THEN 8 ELSE 2 END
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: each status keeps a different
+    hash-bucket share (~10%/3%/0.8%). One scan, one filter, no shuffle —
+    and the same keys are kept on every engine, rerun, and scale."""
+    o = T(spark, sf_dir, "orders")
+    bucket = md5_token_bucket(F.col("o_orderkey"))
+    threshold = (
+        F.when(F.col("o_orderstatus") == "O", _STRATA["O"])
+        .when(F.col("o_orderstatus") == "F", _STRATA["F"])
+        .otherwise(_STRATA["P"])
+    )
+    return o.where(bucket < threshold).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events GROUP BY 1, 2),
+ c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+SELECT c.cohort_day,
+       CAST(datediff('day', c.cohort_day, d.day) AS INTEGER) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d JOIN c ON d.user_id = c.user_id
+GROUP BY 1, 2
+""",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users bucketed by first-seen day
+    (cohort), counted on each subsequent active day. Events collapse to
+    distinct (user, day) before anything else — the cohort computation
+    and join then run on users x days, ~3 orders of magnitude smaller
+    than the event log."""
+    e = T(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(c, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "mode_and_percentile_disc",
+    oracle="""
+WITH counts AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2),
+ modal AS (SELECT status, prio AS modal_priority, n AS n_modal FROM (
+    SELECT *, row_number() OVER (PARTITION BY status
+                                 ORDER BY n DESC, prio) AS rn
+    FROM counts) t WHERE rn = 1),
+ pct AS (SELECT o_orderstatus AS status,
+                quantile_disc(o_totalprice, 0.5) AS p50_disc
+         FROM orders GROUP BY 1)
+SELECT m.status, m.modal_priority, m.n_modal, p.p50_disc
+FROM modal m JOIN pct p ON m.status = p.status
+""",
+)
+def mode_and_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value (explicit count + deterministic tie-break — the builtin
+    mode() leaves ties unspecified, useless for a differential harness)
+    and discrete median (percentile_disc: an actual data value, not an
+    interpolation) per status."""
+    o = T(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("status").orderBy(F.desc("n"), F.asc("prio"))
+    modal = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "status", F.col("prio").alias("modal_priority"),
+            F.col("n").alias("n_modal"),
+        )
+    )
+    pct = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50_disc")
+    )
+    return modal.join(pct, "status")
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END)
+                   AS t1
+            FROM events GROUP BY 1),
+ s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 1 DAY
+        GROUP BY 1),
+ s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s2.t2 + INTERVAL 3 DAY
+        GROUP BY 1)
+SELECT (SELECT CAST(count(t1) AS BIGINT) FROM s1) AS n_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_view_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_full_funnel
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with per-step windows: first view -> first click
+    within 1 day -> first purchase within 3 days. Each stage is a
+    broadcast join of the (shrinking) per-user stage table back onto
+    events, then a partial-agg min — event rows are never shuffled, only
+    re-scanned with a tighter stage filter."""
+    e = T(spark, sf_dir, "events")
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        e.join(F.broadcast(s1.where(F.col("t1").isNotNull())), "user_id")
+        .where(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.join(F.broadcast(s2), "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 3 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count("t1").alias("n_view"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n_view_click"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    return n1.crossJoin(n2).crossJoin(n3)

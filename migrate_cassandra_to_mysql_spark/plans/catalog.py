@@ -39,3 +39,7 @@ try:
     import migrate_cassandra_to_mysql_spark.plans.funcplans  # noqa: F401
 except ImportError:  # pragma: no cover - module added in a later milestone
     pass
+try:
+    import migrate_cassandra_to_mysql_spark.plans.analyticsplans  # noqa: F401
+except ImportError:  # pragma: no cover - module added in a later milestone
+    pass
