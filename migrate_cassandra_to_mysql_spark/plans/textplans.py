@@ -402,3 +402,94 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signatures are computed map-side; only 4 band rows per doc shuffle."""
     base = _inject_dups_spark(T(spark, sf_dir, "documents"))
     return dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2)
+
+
+@register(
+    "bpe_token_count",
+    oracle="""
+SELECT event_id,
+       CAST(len(regexp_extract_all(lower(props),
+            '[a-z]+|[0-9]{1,3}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(lower(props), '[a-z]+')) AS BIGINT)
+         AS n_alpha_runs,
+       CAST(len(regexp_extract_all(lower(props), '[0-9]{1,3}')) AS BIGINT)
+         AS n_digit_chunks,
+       CAST(len(regexp_extract_all(lower(props), '[^a-z0-9 ]')) AS BIGINT)
+         AS n_punct
+FROM events
+""",
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex token counting (GPT-2-tokenizer-shaped rules:
+    letter runs | <=3-digit chunks | punctuation) over the JSON props
+    strings — the realistic "how many tokens will this cost" pre-pass of
+    an LLM data pipeline. Pure regexp_extract_all column expressions,
+    zero shuffle. Run against events.props because it is the corpus with
+    mixed alpha/digit/punct content; documents.text is whitespace-clean
+    prose where BPE == whitespace counting."""
+    e = T(spark, sf_dir, "events")
+    low = F.lower("props")
+
+    def n(pat: str):
+        return F.size(F.regexp_extract_all(low, F.lit(pat), 0)).cast("bigint")
+
+    return e.select(
+        "event_id",
+        n("[a-z]+|[0-9]{1,3}|[^a-z0-9 ]").alias("n_bpe_tokens"),
+        n("[a-z]+").alias("n_alpha_runs"),
+        n("[0-9]{1,3}").alias("n_digit_chunks"),
+        n("[^a-z0-9 ]").alias("n_punct"),
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+ g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+         list_transform(range(0, len(toks) - 2),
+           i -> CAST('0x' || substring(md5(array_to_string(toks[i+1:i+3], ' ')),
+                                       1, 12) AS BIGINT))
+       ELSE [] END AS h FROM t),
+ w AS (SELECT doc_id, CASE WHEN len(h) >= 4 THEN
+         list_distinct(list_transform(range(0, len(h) - 3),
+                                      j -> list_min(h[j+1:j+4])))
+       ELSE list_distinct(h) END AS fps FROM g)
+SELECT doc_id, unnest(fps) AS fp FROM w
+""",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (the MOSS
+    algorithm, Schleimer et al. 2003): hash every word 3-gram (48-bit
+    md5 slice), slide a window of 4 consecutive hashes, keep each
+    window's minimum, dedupe. Guarantees every match of >= 6 consecutive
+    words shares a fingerprint, with ~1/4 the storage of full shingling.
+    All per-row higher-order functions (transform/slice/array_min) —
+    zero shuffle until the final explode, and the fingerprint table is
+    the compact join key for plagiarism/overlap detection at corpus
+    scale."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(toks) >= 3 THEN "
+            "transform(sequence(0, size(toks) - 3), i -> "
+            " CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, 3))),"
+            "           1, 12), 16, 10) AS BIGINT))"
+            " ELSE CAST(array() AS ARRAY<BIGINT>) END"
+        ).alias("h"),
+    )
+    fps = grams.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(h) >= 4 THEN "
+            "array_distinct(transform(sequence(0, size(h) - 4), j -> "
+            " array_min(slice(h, j + 1, 4))))"
+            " ELSE array_distinct(h) END"
+        ).alias("fps"),
+    )
+    return fps.select("doc_id", F.explode("fps").alias("fp"))
