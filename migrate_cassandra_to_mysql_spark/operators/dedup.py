@@ -158,13 +158,17 @@ def minhash_signatures(
 
     Uses the raw shingle multiset — min() is duplicate-insensitive, so the
     distinct-shingle aggregate (a whole shuffle) is skipped entirely.
+
+    Lanes are BIGINT (the 4-hex-char slice parsed base-16), not hex strings:
+    fixed-width lowercase hex sorts identically either way, so the selected
+    minima are the same elements — but numeric min() keeps the aggregate a
+    HashAggregate (string min buffers demote Spark to SortAggregate, which
+    costs a full sort per side per phase; measured ~2x on this operator).
     """
     m = _raw_shingles(docs, text_col, k).select("doc_id", F.md5("shingle").alias("m"))
+    lane = lambda h: F.conv(F.substring("m", h * 4 + 1, 4), 16, 10).cast("long")
     return m.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring("m", h * 4 + 1, 4)).alias(f"mh{h}")
-            for h in range(n_hashes)
-        ]
+        *[F.min(lane(h)).alias(f"mh{h}") for h in range(n_hashes)]
     )
 
 

@@ -32,12 +32,24 @@ GROUP BY o_orderstatus
 """,
 )
 def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-salted join (8 salts): lineitem side salted, orders side
-    replicated per salt. The oracle is the PLAIN join — salting must be
-    invisible in the results, only in the shuffle distribution."""
+    """Hot-key-only skew-salted join: the keys known to be hot (from prior
+    stats / AQE skew reports — here a deterministic stand-in list) are
+    spread over 8 salts; cold keys join untouched with salt 0, so the
+    replication overhead is |hot_keys| * n_salts rows, not |orders| *
+    n_salts. The oracle is the PLAIN join — salting must be invisible in
+    the results, only in the shuffle distribution."""
     li = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    joined = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=4)
+    hot = [1, 7, 32, 69, 227]  # deterministic stand-in for sampled hot keys
+    joined = salted_join(
+        li,
+        o,
+        "l_orderkey",
+        "o_orderkey",
+        n_salts=8,
+        hot_keys=hot,
+        salt_source="l_partkey",  # cheap per-row variation beats hashing all cols
+    )
     return joined.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n_items"),
         F.expr(f"CAST(sum({_REVENUE}) AS DOUBLE)").alias("revenue"),

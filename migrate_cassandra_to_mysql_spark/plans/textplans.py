@@ -399,9 +399,11 @@ GROUP BY 1, 2
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 hashes) + LSH (4 bands x 2 rows) candidate pairs.
-    Signatures are computed map-side; only 4 band rows per doc shuffle."""
+    Signatures are computed map-side; only 4 band rows per doc shuffle.
+    cache=True: the bands relation feeds BOTH self-join sides — without it
+    the whole shingle->md5->min pipeline executes twice."""
     base = _inject_dups_spark(T(spark, sf_dir, "documents"))
-    return dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2)
+    return dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2, cache=True)
 
 
 @register(

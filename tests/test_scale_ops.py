@@ -33,6 +33,42 @@ def test_salted_left_join_preserves_unmatched(spark, sf_dir):
     )
 
 
+def test_hot_key_salted_join_equals_plain_join(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    salted = salted_join(
+        li, o, "l_orderkey", "o_orderkey", n_salts=4, hot_keys=[1, 7, 32]
+    )
+    plain = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    assert salted.count() == plain.count()
+    s = salted.agg(F.sum("l_quantity"), F.sum("o_totalprice")).collect()[0]
+    p = plain.agg(F.sum("l_quantity"), F.sum("o_totalprice")).collect()[0]
+    assert s == p
+
+
+def test_hot_key_salting_replicates_only_hot_rows(spark):
+    """Cold keys must NOT be replicated: build-side blowup is |hot|*n_salts."""
+    facts = spark.range(0, 1000).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k2 long, v string"
+    )
+    out = salted_join(facts, dim, "k", "k2", n_salts=8, hot_keys=[3])
+    assert out.count() == 1000  # identical results
+    # The exploded build side: 9 cold rows * 1 salt + 1 hot row * 8 salts.
+    b = dim.withColumn(
+        "__salt",
+        F.explode(
+            F.when(
+                F.array_contains(F.array(F.lit(3)), F.col("k2")),
+                F.expr("sequence(0, 7)"),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    assert b.count() == 9 + 8
+
+
 def test_salt_spreads_hot_key(spark):
     """A single hot key must land in multiple salted partitions."""
     hot = spark.range(0, 10000).select(
