@@ -104,6 +104,7 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     cache: bool = False,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard >= threshold.
 
@@ -115,10 +116,40 @@ def jaccard_pairs(
     A/B measurement: no cold-run win (the index is consumed in one pass
     per side and Spark already pipelines it), but ~8x on WARM reuse —
     enable when the same corpus index feeds several dedup queries.
+
+    max_df: DOCUMENTED APPROXIMATION. Shingles appearing in more than
+    max_df documents ("stop-shingles") are removed from the universe, and
+    Jaccard is computed exactly on the pruned sets. A shingle in d
+    documents contributes O(d^2) candidate pairs — the candidate-join
+    blowup at corpus scale is entirely driven by the hot tail, while the
+    rare shingles carry nearly all of the near-dup signal (standard
+    prefix-filter / common-gram practice in set-similarity joins). With
+    max_df=None semantics are exact.
     """
     # Carry |set| on every exploded row so no join back to a sizes table is
     # needed — one equi-join on `shingle`, one groupBy, done.
-    ex = exploded_shingles(docs, text_col, k)
+    if max_df is None:
+        ex = exploded_shingles(docs, text_col, k)
+    else:
+        # df-filter rides a shuffle the self-join needs anyway (partition
+        # by shingle); set sizes are computed AFTER pruning so the ratio
+        # stays a true Jaccard of the pruned sets.
+        ded = (
+            _raw_shingles(docs, text_col, k)
+            .groupBy("doc_id", "shingle")
+            .agg(F.lit(1).alias("_one"))
+            .drop("_one")
+        )
+        ex = (
+            ded.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .where(F.col("_df") <= max_df)
+            .drop("_df")
+            .withColumn(
+                "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+            )
+        )
     if cache:
         from pyspark.storagelevel import StorageLevel
 

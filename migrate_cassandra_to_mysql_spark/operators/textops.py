@@ -122,3 +122,99 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(docs: DataFrame, text_col: str = "text") -> Column:
     """md5 fingerprint of whitespace-normalized, lowercased text."""
     return F.md5(normalized(F.col(text_col)))
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters: the fraction of a document made of
+    its most frequent token / most frequent word 2-gram, and the fraction
+    of 2-gram occurrences that are repeats.
+
+    Per-row "mode of an array" would be O(len^2) in higher-order functions,
+    so this is expressed as what it really is at scale: two two-level
+    aggregations (explode -> count per (doc, gram) -> max/sum per doc),
+    each map-side partial-aggregated, joined on doc_id. Thresholds follow
+    Rae et al. 2021 (Gopher) §A1.1 table A1 ballpark: top 2-gram > 0.18 or
+    duplicate 2-grams > 0.30 flag the document.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("g")
+    )
+    tc = toks.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    ts = tc.groupBy("doc_id").agg(
+        F.max("c").alias("max_tok"),
+        F.sum("c").alias("n_toks"),
+    )
+    bigrams = docs.select(
+        "doc_id", tokens(F.col(text_col)).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat_ws(' ', slice(toks, i + 1, 2)))"
+                " ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("bg"),
+    )
+    bc = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bs = bc.groupBy("doc_id").agg(
+        F.max("c").alias("max_bg"),
+        F.sum("c").alias("n_bg"),
+        F.count(F.lit(1)).alias("n_distinct_bg"),
+    )
+    out = ts.join(bs, "doc_id", "left")
+    top_tok = F.col("max_tok").cast("double") / F.col("n_toks")
+    top_bg = F.coalesce(
+        F.col("max_bg").cast("double") / F.col("n_bg"), F.lit(0.0)
+    )
+    dup_bg = F.coalesce(
+        F.lit(1.0) - F.col("n_distinct_bg").cast("double") / F.col("n_bg"),
+        F.lit(0.0),
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        top_tok.alias("top_tok_frac"),
+        top_bg.alias("top_bigram_frac"),
+        dup_bg.alias("dup_bigram_frac"),
+        F.when((top_bg > 0.18) | (dup_bg > 0.30), F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+        .alias("rep_flag"),
+    )
+
+
+def winnowing(
+    docs: DataFrame, text_col: str = "text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints (MOSS, Schleimer et al. 2003).
+
+    Hash every word k-gram (48-bit md5 slice), slide a window of w
+    consecutive hashes, keep each window's minimum, dedupe per doc. Every
+    match of >= k+w-1 consecutive words between two documents shares a
+    fingerprint, at ~1/w the storage of full shingling. All per-row
+    higher-order functions — zero shuffle until the caller aggregates.
+    """
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(toks) >= {k} THEN "
+            f"transform(sequence(0, size(toks) - {k}), i -> "
+            f" CAST(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, {k}))),"
+            f"           1, 12), 16, 10) AS BIGINT))"
+            f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
+        ).alias("h"),
+    )
+    fps = grams.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(h) >= {w} THEN "
+            f"array_distinct(transform(sequence(0, size(h) - {w}), j -> "
+            f" array_min(slice(h, j + 1, {w}))))"
+            f" ELSE array_distinct(h) END"
+        ).alias("fps"),
+    )
+    return fps.select("doc_id", F.explode("fps").alias("fp"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from migrate_cassandra_to_mysql_spark.functions import text as textfns
 from migrate_cassandra_to_mysql_spark.operators import dedup, textops
 from migrate_cassandra_to_mysql_spark.plans.registry import register
 from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
@@ -170,6 +171,48 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join over distinct shingles."""
     base = _inject_dups_spark(T(spark, sf_dir, "documents"))
     return dedup.jaccard_pairs(base, k=3, threshold=0.5)
+
+
+@register(
+    "ngram_jaccard_pruned",
+    oracle=f"""
+WITH base AS ({_INJECT_SQL}),
+ t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM base),
+ s AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 3 THEN
+                list_distinct(list_transform(range(0, len(toks) - 2),
+                  i -> array_to_string(toks[i+1:i+3], ' ')))
+              ELSE [] END AS shset
+       FROM t),
+ exd AS (SELECT doc_id, unnest(shset) AS shingle FROM s),
+ f AS (SELECT doc_id, shingle FROM (
+         SELECT doc_id, shingle,
+                count(*) OVER (PARTITION BY shingle) AS df
+         FROM exd) t WHERE df <= 10),
+ sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM f GROUP BY 1),
+ pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS n_shared
+           FROM f a JOIN f b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       CAST(p.n_shared AS DOUBLE) / (za.n_sh + zb.n_sh - p.n_shared) AS jaccard
+FROM pairs p
+JOIN sz za ON p.doc_a = za.doc_id
+JOIN sz zb ON p.doc_b = zb.doc_id
+WHERE CAST(p.n_shared AS DOUBLE) / (za.n_sh + zb.n_sh - p.n_shared) >= 0.5
+""",
+)
+def ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-pruned 3-gram Jaccard near-dup pairs (threshold 0.5,
+    max_df=10): stop-shingles appearing in >10 documents are dropped from
+    the universe before the candidate join, then Jaccard is exact on the
+    pruned sets. A shingle shared by d docs costs O(d^2) candidate pairs,
+    so at corpus scale the hot tail IS the join — pruning it bounds the
+    blowup while the rare shingles keep the near-dup signal (the oracle
+    applies the identical pruning, so the comparison is exact)."""
+    base = _inject_dups_spark(T(spark, sf_dir, "documents"))
+    return dedup.jaccard_pairs(base, k=3, threshold=0.5, max_df=10)
 
 
 @register(
@@ -404,6 +447,117 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole shingle->md5->min pipeline executes twice."""
     base = _inject_dups_spark(T(spark, sf_dir, "documents"))
     return dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2, cache=True)
+
+
+@register(
+    "repetition_signals",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+ tok AS (SELECT doc_id, unnest(toks) AS g FROM t),
+ tc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY 1, 2),
+ ts AS (SELECT doc_id, max(c) AS max_tok, CAST(sum(c) AS BIGINT) AS n_toks
+        FROM tc GROUP BY 1),
+ bgl AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(0, len(toks) - 1),
+                          i -> array_to_string(toks[i+1:i+2], ' '))
+         ELSE [] END AS bgs FROM t),
+ bg AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
+ bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+ bs AS (SELECT doc_id, max(c) AS max_bg, sum(c) AS n_bg,
+               count(*) AS n_distinct_bg
+        FROM bc GROUP BY 1),
+ j AS (SELECT ts.doc_id, ts.n_toks,
+              CAST(ts.max_tok AS DOUBLE) / ts.n_toks AS top_tok_frac,
+              coalesce(CAST(bs.max_bg AS DOUBLE) / bs.n_bg, 0.0)
+                AS top_bigram_frac,
+              coalesce(1.0 - CAST(bs.n_distinct_bg AS DOUBLE) / bs.n_bg, 0.0)
+                AS dup_bigram_frac
+       FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id)
+SELECT doc_id, n_toks, top_tok_frac, top_bigram_frac, dup_bigram_frac,
+       CASE WHEN top_bigram_frac > 0.18 OR dup_bigram_frac > 0.30
+            THEN 'repetitive' ELSE 'ok' END AS rep_flag
+FROM j
+""",
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (top-token fraction, top /
+    duplicate 2-gram fractions) as two map-side-partial two-level
+    aggregations joined on doc_id — the scale-out shape of "mode per
+    document" (operators/textops.py:repetition_signals)."""
+    return textops.repetition_signals(T(spark, sf_dir, "documents"))
+
+
+_DIRTY_SQL = """
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or '
+              || CAST(100 + doc_id % 900 AS VARCHAR) || '-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+  FROM documents
+"""
+
+
+def _dirty_docs_spark(d: DataFrame) -> DataFrame:
+    """Deterministic PII-bearing corpus: one email, phone, and IPv4 per doc,
+    derived from doc_id (the testdata corpus itself is PII-free, so the
+    scrubber needs synthetic targets; same construction as _DIRTY_SQL)."""
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.col("text"),
+            F.lit(" reach user"),
+            did.cast("string"),
+            F.lit("@mail.example.com or "),
+            (F.lit(100) + did % 900).cast("string"),
+            F.lit("-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit(".0."),
+            ((did * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+WITH dirty AS ({_DIRTY_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '{textfns.PII_PATTERNS["email"][0]}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text,
+            '{textfns.PII_PATTERNS["phone"][0]}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text,
+            '{textfns.PII_PATTERNS["ipv4"][0]}')) AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(text,
+            '{textfns.PII_PATTERNS["email"][0]}', '<EMAIL>', 'g'),
+            '{textfns.PII_PATTERNS["ipv4"][0]}', '<IP>', 'g'),
+            '{textfns.PII_PATTERNS["phone"][0]}', '<PHONE>', 'g') AS redacted
+FROM dirty
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass — the compliance step every training-data
+    pipeline runs before anything else: count and redact emails, phone
+    numbers, and IPv4 addresses with typed placeholders. Pure
+    regexp_replace/extract_all column chain (whole-stage codegen, no UDF,
+    no shuffle); patterns restricted to the Java-regex/RE2 shared subset
+    (functions/text.py)."""
+    dirty = _dirty_docs_spark(T(spark, sf_dir, "documents"))
+    t = F.col("text")
+    return dirty.select(
+        "doc_id",
+        textfns.pii_count(t, "email").alias("n_emails"),
+        textfns.pii_count(t, "phone").alias("n_phones"),
+        textfns.pii_count(t, "ipv4").alias("n_ips"),
+        textfns.pii_redact(t).alias("redacted"),
+    )
 
 
 @register(
