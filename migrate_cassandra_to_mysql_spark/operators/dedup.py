@@ -195,9 +195,28 @@ def minhash_signatures(
     minima are the same elements — but numeric min() keeps the aggregate a
     HashAggregate (string min buffers demote Spark to SortAggregate, which
     costs a full sort per side per phase; measured ~2x on this operator).
+
+    One md5 yields 32 hex chars = 8 four-char lanes. n_hashes > 8 derives
+    further lane groups from seeded md5 calls (md5(g || '#' || shingle) for
+    group g) — substring past position 32 would silently return '' and
+    conv('') -> NULL lanes, which concat_ws then DROPS from band keys,
+    merging distinct bands into spurious candidates.
     """
-    m = _raw_shingles(docs, text_col, k).select("doc_id", F.md5("shingle").alias("m"))
-    lane = lambda h: F.conv(F.substring("m", h * 4 + 1, 4), 16, 10).cast("long")
+    sh = _raw_shingles(docs, text_col, k)
+    n_groups = (n_hashes + 7) // 8
+    m = sh.select(
+        "doc_id",
+        F.md5("shingle").alias("m0"),
+        *[
+            F.md5(F.concat_ws("#", F.lit(str(g)), "shingle")).alias(f"m{g}")
+            for g in range(1, n_groups)
+        ],
+    )
+
+    def lane(h: int):
+        src = f"m{h // 8}"
+        return F.conv(F.substring(src, (h % 8) * 4 + 1, 4), 16, 10).cast("long")
+
     return m.groupBy("doc_id").agg(
         *[F.min(lane(h)).alias(f"mh{h}") for h in range(n_hashes)]
     )

@@ -25,6 +25,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Join types for which salting preserves semantics. The `other` side is
+# replicated n_salts times, so any join that can null-extend or emit
+# unmatched `other` rows (right/full outer) would surface each unmatched
+# replicated row n_salts times — silently wrong. Semi/anti joins and
+# inner/left only ever emit `skewed`-side rows, which are never replicated.
+_SALTABLE_JOINS = frozenset(
+    {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+     "left_semi", "anti", "leftanti", "left_anti"}
+)
+
 
 def salted_join(
     skewed: DataFrame,
@@ -50,7 +60,20 @@ def salted_join(
     salt_source: a column of `skewed` with per-row variation (defaults to
     xxhash of all columns; any varying column works — its exact
     distribution only affects balance, never results).
+
+    how: restricted to joins whose output contains only `skewed`-side /
+    matched rows (inner, left, semi, anti). right/full outer would emit
+    each unmatched replicated `other` row n_salts times — a silent
+    correctness bug, so they raise instead.
     """
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALTABLE_JOINS
+    }:
+        raise ValueError(
+            f"salted_join cannot preserve '{how}' semantics: the replicated "
+            "side would duplicate unmatched rows; use inner/left/semi/anti "
+            "or AQE skew-join handling for outer joins"
+        )
     src = F.col(salt_source) if salt_source else F.xxhash64(*skewed.columns)
     salt = F.pmod(F.xxhash64(src), F.lit(n_salts))
     if hot_keys is None:

@@ -79,13 +79,19 @@ class _RangeSplit(InputPartition):
     hi: int | None
 
 
-def _sql_literal(value) -> str:
+def _sql_literal(value) -> str | None:
+    """Render a pushed-filter literal as SQL, or None when the type has no
+    safe textual form (datetime/date/bytes/Decimal would render via repr()
+    as invalid SQL and fail the executor query — declining pushdown keeps
+    Spark evaluating the filter post-scan instead)."""
     if isinstance(value, str):
         escaped = value.replace("'", "''")
         return f"'{escaped}'"
     if isinstance(value, bool):
         return "1" if value else "0"
-    return repr(value)
+    if isinstance(value, (int, float)):
+        return repr(value)
+    return None
 
 
 def _filter_to_sql(f: Filter) -> str | None:
@@ -95,19 +101,22 @@ def _filter_to_sql(f: Filter) -> str | None:
     if attr is None or len(attr) != 1:
         return None  # nested field or attribute-less filter
     col = f'"{attr[0]}"'
-    if isinstance(f, EqualTo):
-        return f"{col} = {_sql_literal(f.value)}"
-    if isinstance(f, GreaterThan):
-        return f"{col} > {_sql_literal(f.value)}"
-    if isinstance(f, GreaterThanOrEqual):
-        return f"{col} >= {_sql_literal(f.value)}"
-    if isinstance(f, LessThan):
-        return f"{col} < {_sql_literal(f.value)}"
-    if isinstance(f, LessThanOrEqual):
-        return f"{col} <= {_sql_literal(f.value)}"
+    _CMP = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    for ftype, op in _CMP.items():
+        if isinstance(f, ftype):
+            lit = _sql_literal(f.value)
+            return None if lit is None else f"{col} {op} {lit}"
     if isinstance(f, In):
-        vals = ", ".join(_sql_literal(v) for v in f.value)
-        return f"{col} IN ({vals})"
+        lits = [_sql_literal(v) for v in f.value]
+        if any(l is None for l in lits) or not lits:
+            return None
+        return f"{col} IN ({', '.join(lits)})"
     if isinstance(f, IsNull):
         return f"{col} IS NULL"
     if isinstance(f, IsNotNull):
@@ -150,6 +159,10 @@ class SQLiteReader(DataSourceReader):
         finally:
             conn.close()
         if lo is None or hi is None or lo == hi:
+            return [_RangeSplit(None, None)]
+        if not isinstance(lo, int) or not isinstance(hi, int):
+            # TEXT/REAL partition column: range splitting needs integral
+            # bounds; fall back to a single full scan rather than crash.
             return [_RangeSplit(None, None)]
         n = self.num_partitions
         step = max(1, (int(hi) - int(lo) + 1) // n)

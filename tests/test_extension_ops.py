@@ -61,3 +61,27 @@ def test_brute_force_topk_matches_ivf_when_one_cell(spark, sf_dir):
     ivf_pairs = {(r["q_id"], r["n_id"], r["rnk"]) for r in ivf.collect()}
     bf_pairs = {(r["q_id"], r["n_id"], r["rnk"]) for r in bf.collect()}
     assert ivf_pairs == bf_pairs
+
+
+def test_minhash_wide_signatures_have_no_null_lanes(spark, sf_dir):
+    from migrate_cassandra_to_mysql_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+    from pyspark.sql import functions as F
+
+    docs = T(spark, sf_dir, "documents").limit(50)
+    wide = minhash_signatures(docs, n_hashes=12)
+    assert wide.columns == ["doc_id"] + [f"mh{i}" for i in range(12)]
+    nulls = wide.select(
+        [F.sum(F.col(c).isNull().cast("int")).alias(c) for c in wide.columns]
+    ).collect()[0]
+    assert all(v == 0 for v in nulls), nulls.asDict()
+    # Lanes 0-7 are unchanged vs the 8-hash form (same unseeded md5).
+    narrow = minhash_signatures(docs, n_hashes=8)
+    assert (
+        wide.select("doc_id", *[f"mh{i}" for i in range(8)])
+        .exceptAll(narrow)
+        .count()
+        == 0
+    )

@@ -143,3 +143,31 @@ def test_schema_error_on_missing_table(orders_db):
         SQLiteDataSource({"path": orders_db, "table": "orders"}).schema(),
         StructType,
     )
+
+
+def test_sql_literal_declines_unrepresentable_types():
+    import datetime
+
+    from migrate_cassandra_to_mysql_spark.sources.pydatasource import (
+        _sql_literal,
+    )
+
+    assert _sql_literal("o'brien") == "'o''brien'"
+    assert _sql_literal(True) == "1"
+    assert _sql_literal(42) == "42"
+    assert _sql_literal(1.5) == "1.5"
+    assert _sql_literal(datetime.date(2024, 1, 1)) is None
+    assert _sql_literal(b"raw") is None
+
+
+def test_filter_to_sql_declines_on_bad_literals():
+    from pyspark.sql.datasource import EqualTo, In
+
+    from migrate_cassandra_to_mysql_spark.sources.pydatasource import (
+        _filter_to_sql,
+    )
+    import datetime
+
+    assert _filter_to_sql(EqualTo(("c",), datetime.date(2024, 1, 1))) is None
+    assert _filter_to_sql(In(("c",), (1, datetime.date(2024, 1, 1)))) is None
+    assert _filter_to_sql(EqualTo(("c",), 7)) == '"c" = 7'

@@ -108,3 +108,13 @@ def test_merge_latest_wins_upserts(spark):
         ).collect()
     }
     assert out == {1: "old", 2: "new", 3: "new"}
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest
+
+    li = spark.range(10).withColumnRenamed("id", "k")
+    o = spark.range(10).withColumnRenamed("id", "k2")
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join cannot preserve"):
+            salted_join(li, o, "k", "k2", how=how)
