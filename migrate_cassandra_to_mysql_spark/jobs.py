@@ -89,6 +89,17 @@ def run_snapshot(
         F.max(cfg.key_col).alias("max_key"),
     )
     source_count = df.count()
+    if cfg.wal:
+        # WAL rows are written per-batch DURING the distributed write, so
+        # the WAL table must exist before the first executor batch lands
+        # (reference creates it in init.sql up front, mysql-init/init.sql).
+        from migrate_cassandra_to_mysql_spark.sinks.idempotent import WAL_DDL
+
+        conn = connection_factory()
+        cur = conn.cursor()
+        cur.execute(WAL_DDL)
+        conn.commit()
+        conn.close()
     write_idempotent(
         df,
         connection_factory,

@@ -11,11 +11,11 @@ from __future__ import annotations
 
 import functools
 import sqlite3
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from migrate_cassandra_to_mysql_spark.plans._work import memo, workdir
 from migrate_cassandra_to_mysql_spark.plans.registry import register
 from migrate_cassandra_to_mysql_spark.sinks import idempotent as sink
 from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
@@ -35,7 +35,7 @@ def streaming_snapshot_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch into a batchId-keyed parquet sink, then reconcile counts.
     The streaming checkpoint replaces the reference's checkpoint table +
     wave loop (snapshot_use_pyspark.py:143-177,465-478)."""
-    work = tempfile.mkdtemp(prefix="mc2m_stream_")
+    work = workdir("mc2m_stream_")
     src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
     orders = T(spark, sf_dir, "orders")
     orders.write.parquet(src)
@@ -79,7 +79,7 @@ def idempotent_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     run simulates a full task-retry wave), then verify the sink holds
     exactly one row per key — the INSERT IGNORE + unique-key contract
     (snapshot_use_pyspark.py:455-458, mysql-init/init.sql:27)."""
-    db = tempfile.mkdtemp(prefix="mc2m_sink_") + "/sink.db"
+    db = workdir("mc2m_sink_") + "/sink.db"
     con = sqlite3.connect(db)
     con.execute("CREATE TABLE dst (file_id INTEGER PRIMARY KEY, total REAL)")
     con.commit()
@@ -99,6 +99,92 @@ def idempotent_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     con.close()
     return spark.createDataFrame(
         [("orders", n, "OK")], "table_name string, sink_rows long, rerun_status string"
+    )
+
+
+@register(
+    "snapshot_job_e2e",
+    oracle="""
+SELECT 'files' AS table_name,
+       (SELECT count(DISTINCT o_orderkey) FROM orders) AS source_count,
+       (SELECT count(DISTINCT o_orderkey) FROM orders) AS target_count,
+       CAST(0 AS BIGINT) AS diff,
+       'OK' AS status,
+       CAST(1 AS BIGINT) AS n_validation_rows,
+       'OK' AS wal_status,
+       (SELECT count(*) FROM orders WHERE o_orderstatus = 'O')
+         AS n_sanitized_empty
+""",
+)
+def snapshot_job_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's COMPLETE main() lifecycle as one driver-verified
+    query (snapshot_use_pyspark.py:410-490): config -> WAL bootstrap ->
+    sanitize/rename/dedup plan -> batched idempotent sink write with WAL
+    bracketing -> control-table validation verdict. Orders plays the
+    `files` table with injected NULL statuses (sanitize fodder, NULL->''
+    per the reference's string contract :241-255). The returned row proves
+    each lifecycle stage against the DuckDB oracle: migrated count ==
+    source count, validation verdict persisted, every WAL batch that
+    STARTED also COMMITTED, and exactly the NULL-injected rows were
+    sanitized to ''."""
+    from migrate_cassandra_to_mysql_spark.jobs import (
+        SnapshotJobConfig,
+        run_snapshot,
+    )
+
+    db = workdir("mc2m_job_") + "/job.db"
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE files (file_id INTEGER PRIMARY KEY, status TEXT,"
+        " total_price REAL)"
+    )
+    con.commit()
+    con.close()
+
+    src = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("file_id"),
+        F.expr("nullif(o_orderstatus, 'O')").alias("status"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    factory = functools.partial(sink.sqlite_connection_factory, db)
+    cfg = SnapshotJobConfig(
+        table="files",
+        key_col="file_id",
+        empty_string_cols=["status"],
+        dialect=sink.SQLITE,
+        batch_size=2000,
+        wal=True,
+    )
+    summary = run_snapshot(src, factory, cfg)
+
+    con = sqlite3.connect(db)
+    n_val = con.execute("SELECT count(*) FROM snapshot_validation").fetchone()[0]
+    started, committed = con.execute(
+        "SELECT sum(CASE WHEN status = 'STARTED' THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN status = 'COMMITTED' THEN 1 ELSE 0 END)"
+        " FROM snapshot_wal"
+    ).fetchone()
+    n_empty = con.execute(
+        "SELECT count(*) FROM files WHERE status = ''"
+    ).fetchone()[0]
+    con.close()
+    wal_ok = "OK" if (started == committed and committed > 0) else "MISMATCH"
+    return spark.createDataFrame(
+        [
+            (
+                "files",
+                summary["source_count"],
+                summary["target_count"],
+                summary["diff"],
+                summary["status"],
+                n_val,
+                wal_ok,
+                n_empty,
+            )
+        ],
+        "table_name string, source_count long, target_count long, diff long,"
+        " status string, n_validation_rows long, wal_status string,"
+        " n_sanitized_empty long",
     )
 
 
@@ -124,20 +210,36 @@ def pyds_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     one oracle-checked query."""
     from migrate_cassandra_to_mysql_spark.sources import pydatasource
 
-    db = tempfile.mkdtemp(prefix="mc2m_pyds_") + "/orders.db"
-    rows = (
-        T(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .collect()
-    )
-    con = sqlite3.connect(db)
-    con.execute(
-        "CREATE TABLE orders (o_orderkey BIGINT PRIMARY KEY,"
-        " o_orderstatus VARCHAR, o_totalprice DOUBLE)"
-    )
-    con.executemany("INSERT INTO orders VALUES (?,?,?)", [tuple(r) for r in rows])
-    con.commit()
-    con.close()
+    def _stage() -> str:
+        # Fixture staging, memoized per sf_dir: the sqlite DB the connector
+        # scans is built ONCE per process, partition-by-partition via
+        # toLocalIterator (bounded driver memory — at most one partition
+        # resident, never a full-table collect()), and reused by every
+        # subsequent invocation so the timed region measures the scan.
+        path = workdir("mc2m_pyds_") + "/orders.db"
+        con = sqlite3.connect(path)
+        con.execute(
+            "CREATE TABLE orders (o_orderkey BIGINT PRIMARY KEY,"
+            " o_orderstatus VARCHAR, o_totalprice DOUBLE)"
+        )
+        batch: list[tuple] = []
+        it = (
+            T(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .toLocalIterator(prefetchPartitions=True)
+        )
+        for r in it:
+            batch.append(tuple(r))
+            if len(batch) >= 10000:
+                con.executemany("INSERT INTO orders VALUES (?,?,?)", batch)
+                batch.clear()
+        if batch:
+            con.executemany("INSERT INTO orders VALUES (?,?,?)", batch)
+        con.commit()
+        con.close()
+        return path
+
+    db = memo(("pyds_orders", sf_dir), _stage)
 
     pydatasource.register(spark)
     scan = (

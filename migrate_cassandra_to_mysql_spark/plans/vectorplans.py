@@ -133,15 +133,21 @@ def ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (literal IN filter -> parquet PartitionFilters). This is the train-
     once / query-many layout a 100 TB vector corpus needs; the inline
     variant above re-assigns cells on every query."""
-    import tempfile
-
     from migrate_cassandra_to_mysql_spark.operators import ivf_index
+    from migrate_cassandra_to_mysql_spark.plans._work import memo, workdir
 
     emb = T(spark, sf_dir, "embeddings")
-    index_dir = tempfile.mkdtemp(prefix="mc2m_ivf_")
-    ivf_index.build_ivf_index(
-        emb, index_dir, ivf_index.first_k_codebook(emb, 4)
-    )
+
+    def _build() -> str:
+        # Train-once semantics for real: the index is built ONCE per
+        # process per sf_dir (memoized, rmtree'd at exit) and every later
+        # invocation runs only the pruned search — the production shape,
+        # where queries never pay the build.
+        d = workdir("mc2m_ivf_")
+        ivf_index.build_ivf_index(emb, d, ivf_index.first_k_codebook(emb, 4))
+        return d
+
+    index_dir = memo(("ivf_index", sf_dir), _build)
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
