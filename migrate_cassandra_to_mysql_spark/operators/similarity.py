@@ -61,10 +61,15 @@ def near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
-    Blocking (here: label; in production a coarse LSH/IVF cell id) keeps the
-    self-join from being a full cross product — the join is an equi-join on
-    the block key, so Catalyst shuffles each block to one place instead of
-    broadcasting N^2 work.
+    Blocking keeps the self-join from being a full cross product — the
+    join is an equi-join on the block key, so Catalyst shuffles each block
+    to one place instead of broadcasting N^2 work. CAVEAT (the reason the
+    catalog's embedding_near_dup uses LSH buckets instead): a block key
+    with few distinct values makes the join quadratic per block — a
+    popular label at 100 TB is exactly such a key. Use this form only
+    when the blocking column is known high-cardinality; otherwise use
+    lsh_candidate_pairs, whose bucket sizes (~N/2^n_planes) are
+    independent of metadata skew.
     """
     e = _base(embeddings)
     a = e.select(

@@ -47,9 +47,87 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver's correctness harness verifies the FIRST 50 queries in
+# catalog order against their DuckDB oracles; everything after rides the
+# in-repo parity suite (tools/check_oracles.py + tests/test_oracle_parity,
+# which cover ALL entries). PRIORITY curates that 50-slot window: the 25
+# bench headline queries, the reference-lifecycle pipeline queries, the
+# LLM-data-pipeline operator family (partly via the *_suite wide rows,
+# which give several component operators a driver row through one slot),
+# and the structurally-distinct TPC-H core. Registration order within
+# modules stays meaningful for everything not listed here.
+PRIORITY: list[str] = [
+    # bench headliners (bench.py HEADLINE, same order)
+    "snapshot_sanitize",
+    "token_range_counts",
+    "missing_ids_anti_join",
+    "running_max_token",
+    "dedup_exact_lineitem",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "events_sessionize",
+    "json_events_agg",
+    "text_stats",
+    "doc_fingerprint",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pruned",
+    "embedding_topk_cosine",
+    "embedding_ivf_topk",
+    "order_price_stats",
+    "events_cube",
+    "top_ngrams",
+    "salted_skew_join",
+    "snapshot_merge_upsert",
+    "asof_last_purchase",
+    "range_join_attribution",
+    "tfidf_top_terms",
+    "label_centroids",
+    # reference lifecycle (sources -> sinks -> streaming -> full job)
+    "snapshot_reconciliation",
+    "checkpoint_progress",
+    "streaming_snapshot_drain",
+    "idempotent_sink_roundtrip",
+    "pyds_pushdown_scan",
+    "snapshot_job_e2e",
+    # join-operator coverage (P6 existence probe, J2 lookup join)
+    "orders_with_items_semi",
+    "missing_ids_enriched",
+    # LLM-pipeline operators (suites carry six + two components each)
+    "ngram_jaccard_dedup",
+    "doc_signal_suite",
+    "multimodal_suite",
+    "bpe_token_count",
+    "winnowing_fingerprints",
+    "embedding_near_dup",
+    "embedding_lsh_candidates",
+    "ivf_persisted_topk",
+    "kmeans_clusters",
+    # TPC-H core (scalar suite carries q6/q14/q17/q19)
+    "tpch_scalar_suite",
+    "q4_priority_late_ship",
+    "q7_nation_volume",
+    "q9_product_type_profit",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+]
+
+
+def _ordered_names() -> list[str]:
+    prioritized = [n for n in PRIORITY if n in CATALOG]
+    rest = [n for n in CATALOG if n not in set(prioritized)]
+    return prioritized + rest
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: e.fn for name, e in CATALOG.items()}
+    return {name: CATALOG[name].fn for name in _ordered_names()}
 
 
 def oracles() -> dict[str, str]:
-    return {name: e.oracle for name, e in CATALOG.items() if e.oracle is not None}
+    return {
+        name: CATALOG[name].oracle
+        for name in _ordered_names()
+        if CATALOG[name].oracle is not None
+    }

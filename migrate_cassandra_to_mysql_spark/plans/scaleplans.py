@@ -21,39 +21,83 @@ _REVENUE = (
 )
 
 
-@register(
-    "salted_skew_join",
-    oracle=f"""
+# Deliberately skewed join input (r2 VERDICT #7): every 5th lineitem is
+# remapped onto order key 1, so ONE key carries ~20% of the fact side —
+# the "one giant customer" shape salting exists for. Both the salted and
+# the plain twin run the IDENTICAL input and oracle, so the strategy is
+# proven invisible in results while bench.py A/Bs their runtimes.
+_SKEW_ORACLE = f"""
+WITH li AS (SELECT CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE l_orderkey END AS k,
+                   l_extendedprice, l_discount
+            FROM lineitem)
 SELECT o_orderstatus AS status,
        count(*) AS n_items,
        CAST(sum({_REVENUE}) AS DOUBLE) AS revenue
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+FROM li JOIN orders ON k = o_orderkey
 GROUP BY o_orderstatus
-""",
-)
-def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key-only skew-salted join: the keys known to be hot (from prior
-    stats / AQE skew reports — here a deterministic stand-in list) are
-    spread over 8 salts; cold keys join untouched with salt 0, so the
-    replication overhead is |hot_keys| * n_salts rows, not |orders| *
-    n_salts. The oracle is the PLAIN join — salting must be invisible in
-    the results, only in the shuffle distribution."""
+"""
+
+
+def _skewed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
-    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    hot = [1, 7, 32, 69, 227]  # deterministic stand-in for sampled hot keys
-    joined = salted_join(
-        li,
-        o,
-        "l_orderkey",
-        "o_orderkey",
-        n_salts=8,
-        hot_keys=hot,
-        salt_source="l_partkey",  # cheap per-row variation beats hashing all cols
+    return li.select(
+        F.when(F.col("l_orderkey") % 5 == 0, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_partkey",
+        "l_extendedprice",
+        "l_discount",
     )
+
+
+def _skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shuffle_hash hint: at 100 TB the orders side is NOT broadcastable,
+    # and skew only matters for shuffled joins — without the hint Spark
+    # broadcasts this small test dim and the A/B would measure nothing.
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .hint("shuffle_hash")
+    )
+
+
+def _skew_agg(joined: DataFrame) -> DataFrame:
     return joined.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n_items"),
         F.expr(f"CAST(sum({_REVENUE}) AS DOUBLE)").alias("revenue"),
     )
+
+
+@register("salted_skew_join", oracle=_SKEW_ORACLE)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-only skew-salted join over a deliberately skewed input (one
+    key = ~20% of the fact rows): the known-hot key is spread over 16
+    salts; cold keys join untouched with salt 0, so replication overhead
+    is |hot_keys| * n_salts build rows, not |orders| * n_salts. The oracle
+    is the PLAIN join over the same input — salting must be invisible in
+    the results, only in the shuffle distribution. plain_skew_join is the
+    unsalted twin bench.py A/Bs against."""
+    joined = salted_join(
+        _skewed_lineitem(spark, sf_dir),
+        _skew_orders(spark, sf_dir),
+        "k",
+        "o_orderkey",
+        n_salts=16,
+        hot_keys=[1],
+        salt_source="l_partkey",  # cheap per-row variation beats hashing all cols
+    )
+    return _skew_agg(joined)
+
+
+@register("plain_skew_join", oracle=_SKEW_ORACLE)
+def plain_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unsalted twin of salted_skew_join: identical skewed input,
+    identical oracle, ordinary equi-join — its hot key lands on a single
+    shuffle partition (the straggler salting removes). Exists so the
+    salted-vs-plain comparison is measured, not asserted."""
+    li = _skewed_lineitem(spark, sf_dir)
+    o = _skew_orders(spark, sf_dir)
+    return _skew_agg(li.join(o, li["k"] == o["o_orderkey"]))
 
 
 @register(

@@ -314,13 +314,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 8
-        ).alias("tfidf"),
+    # Corpus size rides the plan as a broadcast 1-row aggregate (like the
+    # oracle's CROSS JOIN n) instead of a separate d.count() action — one
+    # job, one scan schedule, instead of two.
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 8
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window
 
@@ -649,3 +656,66 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fps"),
     )
     return fps.select("doc_id", F.explode("fps").alias("fp"))
+
+
+def _doc_signal_suite_oracle() -> str:
+    """Compose the suite oracle from the component oracles verbatim (each
+    as a derived table), so the suite verifies the identical algorithms."""
+    from migrate_cassandra_to_mysql_spark.plans.registry import CATALOG
+
+    q = CATALOG["quality_score"].oracle
+    r = CATALOG["repetition_signals"].oracle
+    l = CATALOG["lang_id_heuristic"].oracle
+    c = CATALOG["charngram_lang_id"].oracle
+    s = CATALOG["simhash_signatures"].oracle
+    p = CATALOG["pii_redaction"].oracle
+    return f"""
+SELECT q.doc_id, q.n_tokens, q.stop_hits, q.stop_ratio, q.ttr, q.quality_band,
+       r.top_tok_frac, r.top_bigram_frac, r.dup_bigram_frac, r.rep_flag,
+       l.lang_truth, l.en_hits, l.de_hits, l.fr_hits, l.es_hits,
+       l.pred_lang AS sw_pred_lang,
+       c.pred_lang AS cng_pred_lang, c.n_hits AS cng_n_hits,
+       s.simhash,
+       p.n_emails, p.n_phones, p.n_ips, p.redacted
+FROM ({q}) q
+JOIN ({r}) r ON q.doc_id = r.doc_id
+JOIN ({l}) l ON q.doc_id = l.doc_id
+JOIN ({c}) c ON q.doc_id = c.doc_id
+JOIN ({s}) s ON q.doc_id = s.doc_id
+JOIN ({p}) p ON q.doc_id = p.doc_id
+"""
+
+
+@register("doc_signal_suite", oracle=_doc_signal_suite_oracle())
+def doc_signal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document carrying EVERY per-doc text-pipeline signal —
+    quality banding, Gopher repetition filters, both language-ID variants
+    (stopword-hit and trained char-ngram), the 32-bit SimHash signature,
+    and PII counts/redaction — produced by joining the six component
+    operators on doc_id. This is the realistic corpus-annotation shape (a
+    training-data pipeline computes all signals in one pass and writes one
+    wide row per doc), and it gives each component operator a
+    driver-verified correctness row through a single catalog slot. At
+    scale the join keys are all doc_id, so with co-partitioned inputs
+    these are one shuffle each; the component plans themselves stay
+    map-side/partial-agg (see each operator's docstring)."""
+    q = quality_score(spark, sf_dir)
+    r = repetition_signals(spark, sf_dir).drop("n_toks")
+    l = lang_id_heuristic(spark, sf_dir).withColumnRenamed(
+        "pred_lang", "sw_pred_lang"
+    )
+    c = (
+        charngram_lang_id(spark, sf_dir)
+        .drop("lang_truth")
+        .withColumnRenamed("pred_lang", "cng_pred_lang")
+        .withColumnRenamed("n_hits", "cng_n_hits")
+    )
+    s = simhash_signatures(spark, sf_dir)
+    p = pii_redaction(spark, sf_dir)
+    return (
+        q.join(r, "doc_id")
+        .join(l, "doc_id")
+        .join(c, "doc_id")
+        .join(s, "doc_id")
+        .join(p, "doc_id")
+    )

@@ -954,3 +954,48 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cust"),
         F.sum("bal").cast("double").alias("total_bal"),
     )
+
+
+def _tpch_scalar_suite_oracle() -> str:
+    from migrate_cassandra_to_mysql_spark.plans.registry import CATALOG
+
+    q6 = CATALOG["q6_forecast_revenue"].oracle
+    q14 = CATALOG["q14_promo_revenue_ratio"].oracle
+    q17 = CATALOG["q17_small_quantity_revenue"].oracle
+    q19 = CATALOG["q19_disjunctive_revenue"].oracle
+    return f"""
+SELECT t6.promo_revenue AS q6_revenue, t6.n_items AS q6_n_items,
+       t14.promo_pct AS q14_promo_pct, t14.n_items AS q14_n_items,
+       t17.small_qty_revenue AS q17_revenue, t17.n_items AS q17_n_items,
+       t19.revenue AS q19_revenue, t19.n_items AS q19_n_items
+FROM ({q6}) t6
+CROSS JOIN ({q14}) t14
+CROSS JOIN ({q17}) t17
+CROSS JOIN ({q19}) t19
+"""
+
+
+@register("tpch_scalar_suite", oracle=_tpch_scalar_suite_oracle())
+def tpch_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four single-row TPC-H aggregates (Q6 scan-filter-agg, Q14
+    conditional ratio, Q17 decorrelated AVG subquery, Q19 disjunctive
+    predicates) cross-joined into one verification row — four distinct
+    optimizer shapes driver-verified through one catalog slot. Each
+    component runs its own plan (the cross joins are 1-row frames)."""
+    t6 = q6_forecast_revenue(spark, sf_dir).select(
+        F.col("promo_revenue").alias("q6_revenue"),
+        F.col("n_items").alias("q6_n_items"),
+    )
+    t14 = q14_promo_revenue_ratio(spark, sf_dir).select(
+        F.col("promo_pct").alias("q14_promo_pct"),
+        F.col("n_items").alias("q14_n_items"),
+    )
+    t17 = q17_small_quantity_revenue(spark, sf_dir).select(
+        F.col("small_qty_revenue").alias("q17_revenue"),
+        F.col("n_items").alias("q17_n_items"),
+    )
+    t19 = q19_disjunctive_revenue(spark, sf_dir).select(
+        F.col("revenue").alias("q19_revenue"),
+        F.col("n_items").alias("q19_n_items"),
+    )
+    return t6.crossJoin(t14).crossJoin(t17).crossJoin(t19)

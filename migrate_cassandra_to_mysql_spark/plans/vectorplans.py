@@ -47,24 +47,6 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embedding_near_dup",
-    oracle=f"""
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
-       {_COS.format(a='a.v', b='b.v')} AS cos_sim
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_COS.format(a='a.v', b='b.v')} >= 0.4
-""",
-)
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs with label blocking (>= 0.4)."""
-    return similarity.near_dup_pairs(
-        T(spark, sf_dir, "embeddings"), threshold=0.4, block_col="label"
-    )
-
-
-@register(
     "embedding_ivf_topk",
     oracle=f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
@@ -225,6 +207,33 @@ def embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(T(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
 
 
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+SELECT id_a, id_b, bucket_key, cos_sim
+FROM ({_lsh_oracle()}) t
+WHERE cos_sim >= 0.4
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4) blocked by the
+    random-hyperplane LSH bucket key — NO metadata/label blocking (r2
+    VERDICT #5 / ADVICE: a popular label value makes a label-blocked
+    self-join quadratic per block at scale, while LSH buckets stay
+    ~N/2^n_planes regardless of metadata skew). Candidates come from the
+    same-bucket equi-join; the cosine threshold then verifies each pair.
+    The label-blocked form remains in operators/similarity.near_dup_pairs
+    for corpora with a known-fine blocking column, but the catalog path —
+    and the scale path — is this one."""
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        lsh_candidate_pairs,
+    )
+
+    return lsh_candidate_pairs(
+        T(spark, sf_dir, "embeddings"), n_planes=8, dim=64
+    ).where(F.col("cos_sim") >= 0.4)
+
+
 def _kmeans_oracle(k: int = 4, n_iter: int = 3) -> str:
     """Unrolled Lloyd-iteration SQL twin of operators/kmeans.kmeans with
     first-k init. Every step mirrors the Spark operator's deterministic
@@ -322,3 +331,37 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("webp")
         .alias("fake_format"),
     )
+
+
+def _multimodal_suite_oracle() -> str:
+    from migrate_cassandra_to_mysql_spark.plans.registry import CATALOG
+
+    d = CATALOG["multimodal_decode"].oracle
+    m = CATALOG["multimodal_meta"].oracle
+    return f"""
+SELECT d.doc_id, d.n_bytes, d.width, d.height, d.format, d.hist,
+       m.source, m.n_bytes AS meta_n_bytes,
+       m.fake_width, m.fake_height, m.fake_format
+FROM ({d}) d
+JOIN ({m}) m ON d.doc_id = m.doc_id
+"""
+
+
+@register("multimodal_suite", oracle=_multimodal_suite_oracle())
+def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both multimodal paths — the Arrow-batched mapInPandas decode
+    pipeline (plans/textplans.multimodal_decode) and the pure-column
+    metadata extraction (multimodal_meta) — joined on doc_id into one
+    wide row per asset, giving each a driver-verified row through one
+    catalog slot. The decode step remains a deterministic stub (media
+    libs absent); schema/batching/partitioning are the real surface."""
+    from migrate_cassandra_to_mysql_spark.plans.textplans import (
+        multimodal_decode,
+    )
+
+    d = multimodal_decode(spark, sf_dir)
+    m = (
+        multimodal_meta(spark, sf_dir)
+        .withColumnRenamed("n_bytes", "meta_n_bytes")
+    )
+    return d.join(m, "doc_id")

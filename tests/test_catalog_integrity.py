@@ -35,3 +35,27 @@ def test_every_catalog_entry_documented():
 def test_catalog_names_are_stable_identifiers():
     for name in catalog.queries():
         assert name.replace("_", "").isalnum() and name.lower() == name, name
+
+
+def test_priority_window_is_complete_and_curated():
+    """The driver verifies the first 50 registered queries; PRIORITY pins
+    that window. Every priority name must exist (a typo would silently
+    demote a query out of the verified window), every bench headline must
+    be inside it, and every window query must be oracle-checked."""
+    from bench import HEADLINE
+
+    from migrate_cassandra_to_mysql_spark.plans.registry import PRIORITY
+
+    assert len(PRIORITY) == 50
+    assert len(set(PRIORITY)) == 50
+    missing = [n for n in PRIORITY if n not in catalog.CATALOG]
+    assert not missing, f"PRIORITY names not registered: {missing}"
+
+    window = list(catalog.queries())[:50]
+    assert window == PRIORITY
+    outside = [n for n in HEADLINE if n not in set(window)]
+    assert not outside, f"bench headliners outside driver window: {outside}"
+
+    oracles = catalog.oracles()
+    unoracled = [n for n in window if n not in oracles]
+    assert not unoracled, f"window queries without oracle: {unoracled}"
