@@ -126,30 +126,11 @@ def jaccard_pairs(
     prefix-filter / common-gram practice in set-similarity joins). With
     max_df=None semantics are exact.
     """
+    if max_df is not None:
+        return _jaccard_pairs_pruned(docs, text_col, k, threshold, max_df)
     # Carry |set| on every exploded row so no join back to a sizes table is
     # needed — one equi-join on `shingle`, one groupBy, done.
-    if max_df is None:
-        ex = exploded_shingles(docs, text_col, k)
-    else:
-        # df-filter rides a shuffle the self-join needs anyway (partition
-        # by shingle); set sizes are computed AFTER pruning so the ratio
-        # stays a true Jaccard of the pruned sets.
-        ded = (
-            _raw_shingles(docs, text_col, k)
-            .groupBy("doc_id", "shingle")
-            .agg(F.lit(1).alias("_one"))
-            .drop("_one")
-        )
-        ex = (
-            ded.withColumn(
-                "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-            )
-            .where(F.col("_df") <= max_df)
-            .drop("_df")
-            .withColumn(
-                "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-            )
-        )
+    ex = exploded_shingles(docs, text_col, k)
     if cache:
         from pyspark.storagelevel import StorageLevel
 
@@ -165,6 +146,100 @@ def jaccard_pairs(
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "n_sh_a", "n_sh_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+def _jaccard_pairs_pruned(
+    docs: DataFrame, text_col: str, k: int, threshold: float, max_df: int
+) -> DataFrame:
+    """df-pruned exact Jaccard via posting lists, not a self-join.
+
+    The self-join form computes the whole shingle pipeline TWICE (both
+    join sides re-derive it unless persisted) and needs two sort-windows
+    (df by shingle, set size by doc). This form is single-pass and
+    sort-free:
+
+      1. distinct (doc_id, shingle) — one hash-agg shuffle;
+      2. df counts per shingle (partial-agg safe on hot stop-shingles —
+         never materializes a posting list before the df filter, so a
+         shingle in 10^8 documents costs a counter, not a 10^8-element
+         buffer);
+      3. surviving rows groupBy(shingle) -> sort_array(collect_set(..))
+         posting lists, BOUNDED at max_df elements — this groupBy lands
+         on the same partitioning as the df join, so AQE plans no new
+         exchange;
+      4. ordered candidate pairs unfold from each posting list with
+         array HOFs (i < j via the sorted array), then one bounded
+         groupBy counts |A ∩ B| — at most max_df*(max_df-1)/2 pairs per
+         shingle by construction;
+      5. pruned set sizes join in from a narrow per-doc count.
+
+    Only narrow (id, count) or bounded-pair rows shuffle after step 2;
+    the document text is long gone. Semantics are identical to the
+    self-join form (the oracle is unchanged): exact Jaccard over the
+    df-pruned shingle sets.
+
+    DAG shape matters as much as operator choice here: every downstream
+    consumer (pair counts, both size joins) derives from ONE persisted
+    compact posting table, because each un-persisted fork would re-run
+    the whole corpus->shingle pipeline (measured: the naive fork layout
+    executed the Generate six times — zero ReusedExchange fired since
+    each branch's pre-Exchange aggregates differ after optimization).
+    The df filter is a window count rather than a count-groupBy+join for
+    the same reason: the window rides the one hash(shingle) exchange the
+    posting groupBy needs anyway (WindowExec buffers per-key and spills,
+    so a 10^8-doc stop-shingle costs disk, not heap), while a join-shaped
+    filter forks the index into two full recomputations.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ded = (
+        _raw_shingles(docs, text_col, k)
+        .groupBy("doc_id", "shingle")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    kept = (
+        ded.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .where(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+    # One row per surviving shingle, arrays capped at max_df elements —
+    # tiny next to the exploded index, cheap to keep MEMORY_AND_DISK.
+    postings = kept.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = (
+        postings.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
+    shared = (
+        postings.where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_shared")

@@ -28,12 +28,31 @@ from migrate_cassandra_to_mysql_spark.functions.sanitize import sanitize_columns
 
 
 def dedup_by_key(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
-    """Keep exactly one row per key, survivor chosen by order_cols ascending."""
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    """Keep exactly one row per key, survivor chosen by order_cols ascending.
+
+    min_by over a struct comparator, not row_number over a window: struct
+    ordering is lexicographic on its fields, so `min_by(row, struct(order
+    cols))` picks the identical survivor the rn=1 window would — but as a
+    hash aggregate with map-side partial combine (each input partition
+    forwards at most one candidate row per key) instead of a full
+    shuffle-and-sort of every duplicate. At 100 TB that is the difference
+    between shuffling the table once unsorted and sort-spilling it.
+    order_cols must still pin a unique row per key for deterministic
+    (idempotent-rerun) output — ties fall to whichever candidate arrives
+    first, same as the window form's tie behavior.
+    """
+    other = [c for c in df.columns if c not in key_cols]
+    picked = df.groupBy(*key_cols).agg(
+        F.min_by(
+            F.struct(*[F.col(c) for c in other]),
+            F.struct(*[F.col(c) for c in order_cols]),
+        ).alias("__row")
+    )
+    return picked.select(
+        *[
+            F.col(c) if c in key_cols else F.col(f"__row.{c}").alias(c)
+            for c in df.columns
+        ]
     )
 
 

@@ -93,12 +93,15 @@ PRIORITY: list[str] = [
     # join-operator coverage (P6 existence probe, J2 lookup join)
     "orders_with_items_semi",
     "missing_ids_enriched",
-    # LLM-pipeline operators (suites carry six + two components each)
+    # LLM-pipeline operators (suites carry six + two components each;
+    # bpe_token_count / winnowing_fingerprints rotated out in r3 — both
+    # hold green r2 driver rows — to admit the two new cluster-resolution
+    # and decontamination operators)
     "ngram_jaccard_dedup",
     "doc_signal_suite",
     "multimodal_suite",
-    "bpe_token_count",
-    "winnowing_fingerprints",
+    "dedup_clusters",
+    "contamination_check",
     "embedding_near_dup",
     "embedding_lsh_candidates",
     "ivf_persisted_topk",

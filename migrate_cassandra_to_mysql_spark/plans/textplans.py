@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from migrate_cassandra_to_mysql_spark.functions import text as textfns
-from migrate_cassandra_to_mysql_spark.operators import dedup, textops
+from migrate_cassandra_to_mysql_spark.operators import components, dedup, textops
 from migrate_cassandra_to_mysql_spark.plans.registry import register
 from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
 
@@ -718,4 +718,114 @@ def doc_signal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, "doc_id")
         .join(s, "doc_id")
         .join(p, "doc_id")
+    )
+
+
+def _dedup_clusters_oracle() -> str:
+    """Recursive-CTE twin of min-label propagation: a node's component is
+    the minimum doc_id that reaches it over the symmetric candidate graph
+    (the LSH candidate oracle verbatim supplies the edges)."""
+    from migrate_cassandra_to_mysql_spark.plans.registry import CATALOG
+
+    lsh = CATALOG["minhash_lsh_candidates"].oracle
+    return f"""
+WITH RECURSIVE
+ cand AS ({lsh}),
+ edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+           UNION SELECT doc_b, doc_a FROM cand),
+ reach(id, lbl) AS (
+   SELECT s, s FROM edges
+   UNION
+   SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+ ),
+ comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+ base AS ({_INJECT_SQL})
+SELECT b.doc_id,
+       CAST(coalesce(c.component, b.doc_id) AS BIGINT) AS component,
+       coalesce(c.component, b.doc_id) = b.doc_id AS is_survivor
+FROM base b LEFT JOIN comp c ON b.doc_id = c.id
+"""
+
+
+@register("dedup_clusters", oracle=_dedup_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair->cluster resolution for corpus dedup: MinHash+LSH candidate
+    pairs (the same plan minhash_lsh_candidates verifies) become duplicate
+    CLUSTERS via distributed connected components (min-label propagation,
+    operators/components.py), with the minimum doc_id as each cluster's
+    deterministic survivor. This is the step the pairwise dedup operators
+    stop short of — transitive groups (A~B, B~C => {A,B,C} share one
+    survivor) — and the last piece of an end-to-end near-dedup pass:
+    candidates -> clusters -> keep is_survivor."""
+    base = _inject_dups_spark(T(spark, sf_dir, "documents"))
+    pairs = dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2, cache=True)
+    return components.dedup_clusters(base, pairs)
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+WITH base AS ({_INJECT_SQL}),
+ t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM base),
+ s AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 3 THEN
+                list_distinct(list_transform(range(0, len(toks) - 2),
+                  i -> array_to_string(toks[i+1:i+3], ' ')))
+              ELSE [] END AS shset
+       FROM t),
+ exd AS (SELECT doc_id, unnest(shset) AS shingle FROM s),
+ bench AS (SELECT DISTINCT shingle FROM exd WHERE doc_id % 97 = 0),
+ train AS (SELECT doc_id, shingle FROM exd WHERE doc_id % 97 <> 0),
+ hits AS (SELECT t.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(count(b.shingle) AS BIGINT) AS n_hits
+          FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+          GROUP BY 1)
+SELECT doc_id, n_grams, n_hits,
+       CAST(n_hits AS DOUBLE) / n_grams AS overlap_frac,
+       n_hits >= 8 AND CAST(n_hits AS DOUBLE) / n_grams >= 0.5
+         AS contaminated
+FROM hits
+""",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents whose
+    3-gram shingle sets overlap a held-out benchmark set (docs with
+    doc_id % 97 == 0 stand in for the eval suite; in production this is
+    the actual benchmark corpus). Per train doc: distinct-shingle count,
+    hits against the benchmark shingle universe, overlap fraction, and a
+    contaminated flag (>= 8 hits AND >= 50% overlap — the n-gram-overlap
+    decontamination rule used by large-LM training pipelines).
+
+    Scale shape: the benchmark side is eval-suite-sized (thousands of
+    docs), so its distinct-shingle set broadcast-joins against the train
+    index — the 100-TB train side never shuffles for the probe; the only
+    wide aggregation is the per-doc hit count, which is partial-agg
+    friendly. The injected duplicates (doc_id % 50 clones) guarantee
+    nonzero contamination on the synthetic corpus: clones of benchmark
+    docs land in train with ~full overlap."""
+    base = _inject_dups_spark(T(spark, sf_dir, "documents"))
+    ex = dedup.exploded_shingles(base, "text", 3).drop("n_sh")
+    bench = (
+        ex.where(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = ex.where(F.col("doc_id") % 97 != 0)
+    hits = (
+        train.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hits"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        (F.col("n_hits") / F.col("n_grams")).alias("overlap_frac"),
+        (
+            (F.col("n_hits") >= 8)
+            & (F.col("n_hits") / F.col("n_grams") >= 0.5)
+        ).alias("contaminated"),
     )
