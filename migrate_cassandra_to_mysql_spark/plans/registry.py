@@ -90,9 +90,10 @@ PRIORITY: list[str] = [
     "idempotent_sink_roundtrip",
     "pyds_pushdown_scan",
     "snapshot_job_e2e",
-    # join-operator coverage (P6 existence probe, J2 lookup join)
-    "orders_with_items_semi",
-    "missing_ids_enriched",
+    "snapshot_cdc_diff",
+    # training-mix curation (orders_with_items_semi / missing_ids_enriched
+    # rotated out on green r2 driver rows)
+    "temperature_mix_sample",
     # LLM-pipeline operators (suites carry six + two components each;
     # bpe_token_count / winnowing_fingerprints rotated out in r3 — both
     # hold green r2 driver rows — to admit the two new cluster-resolution

@@ -29,6 +29,7 @@ from migrate_cassandra_to_mysql_spark.functions.hashing import (
     oracle_bucket_sql,
 )
 from migrate_cassandra_to_mysql_spark.operators.reconcile import (
+    snapshot_diff,
     count_reconciliation,
     missing_keys,
     per_bucket_counts,
@@ -874,4 +875,69 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(running)
         .cast("long")
         .alias("session_id"),
+    )
+
+
+@register(
+    "snapshot_cdc_diff",
+    oracle="""
+WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+ upd AS (SELECT o_orderkey,
+                CASE WHEN o_orderkey % 501 = 0 THEN o_totalprice + 1
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderstatus
+         FROM o WHERE o_orderkey % 997 <> 0),
+ ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice,
+                o_orderstatus
+         FROM o WHERE o_orderkey % 1009 = 0),
+ n AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS order_key,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       CAST(o.o_totalprice AS DOUBLE) AS old_price,
+       o.o_orderstatus AS old_status,
+       CAST(n.o_totalprice AS DOUBLE) AS new_price,
+       n.o_orderstatus AS new_status
+FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_totalprice <> n.o_totalprice
+   OR o.o_orderstatus <> n.o_orderstatus
+""",
+)
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-snapshot delta (CDC shape): diff two keyed snapshots
+    into insert/delete/update rows via operators/reconcile.snapshot_diff
+    — ONE co-partitioned full-outer join, column-wise null-safe compare,
+    no row hashing, no driver materialization. The "new" snapshot is
+    simulated deterministically from orders (deletes: key % 997, updates:
+    +1 price on key % 501, inserts: cloned keys offset by 1e8), so both
+    engines construct the identical pair of snapshots. This is the re-run
+    path the reference's one-shot migration lacks: second and later runs
+    write only the delta through the idempotent sink."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    upd = o.where(F.col("o_orderkey") % 997 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 501 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    ins = o.where(F.col("o_orderkey") % 1009 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    new = upd.unionByName(ins)
+    d = snapshot_diff(
+        o, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return d.select(
+        F.col("o_orderkey").alias("order_key"),
+        "change_type",
+        F.col("old_o_totalprice").cast("double").alias("old_price"),
+        F.col("old_o_orderstatus").alias("old_status"),
+        F.col("new_o_totalprice").cast("double").alias("new_price"),
+        F.col("new_o_orderstatus").alias("new_status"),
     )

@@ -829,3 +829,60 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_hits") / F.col("n_grams") >= 0.5)
         ).alias("contaminated"),
     )
+
+
+@register(
+    "temperature_mix_sample",
+    oracle="""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+           FROM documents GROUP BY 1),
+ m AS (SELECT min(n_lang) AS min_n FROM c),
+ p AS (SELECT lang, n_lang,
+              CAST(floor(round(pow(CAST(n_lang AS DOUBLE) / min_n, -0.7), 6)
+                         * 65536) AS BIGINT) AS thr
+       FROM c, m)
+SELECT d.doc_id, d.lang, p.n_lang, p.thr
+FROM documents d JOIN p ON d.lang = p.lang
+WHERE (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT)
+      < p.thr
+""",
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language rebalancing (the multilingual-corpus
+    mixing rule: sampling probability proportional to n_lang^(alpha-1),
+    alpha=0.3): the rarest language keeps everything, a language k times
+    larger keeps ~k^-0.7 of its docs — flattening the head without
+    touching the tail. Selection is a deterministic md5 bucket per doc_id
+    against a per-language threshold, so the SAME docs are kept on every
+    engine, rerun, retry, and scale — a Bernoulli sample would be
+    unverifiable and non-idempotent. The threshold is quantized (round to
+    6 decimals, then floor to a 16-bit bucket) so double-precision pow()
+    differences between engines cannot flip a boundary doc.
+
+    Scale shape: language stats are a tiny partial-agg (|langs| rows),
+    thresholds broadcast; the corpus side is a map-only filter — zero
+    corpus shuffles, filter evaluable at the scan."""
+    d = T(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    m = c.agg(F.min("n_lang").alias("min_n"))
+    p = c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        "n_lang",
+        F.floor(
+            F.round(
+                F.pow(F.col("n_lang").cast("double") / F.col("min_n"), -0.7),
+                6,
+            )
+            * 65536
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        d.join(F.broadcast(p), "lang")
+        .where(bucket < F.col("thr"))
+        .select("doc_id", "lang", "n_lang", "thr")
+    )
