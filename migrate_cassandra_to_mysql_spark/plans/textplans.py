@@ -449,11 +449,11 @@ GROUP BY 1, 2
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 hashes) + LSH (4 bands x 2 rows) candidate pairs.
-    Signatures are computed map-side; only 4 band rows per doc shuffle.
-    cache=True: the bands relation feeds BOTH self-join sides — without it
-    the whole shingle->md5->min pipeline executes twice."""
+    Signatures are computed map-side; only 4 band rows per doc shuffle,
+    then bucket-grouped pair unfolding (single chain, no self-join, no
+    persist — see operators/dedup.lsh_candidates)."""
     base = _inject_dups_spark(T(spark, sf_dir, "documents"))
-    return dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2, cache=True)
+    return dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2)
 
 
 @register(
@@ -758,7 +758,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor) — and the last piece of an end-to-end near-dedup pass:
     candidates -> clusters -> keep is_survivor."""
     base = _inject_dups_spark(T(spark, sf_dir, "documents"))
-    pairs = dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2, cache=True)
+    pairs = dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2)
     return components.dedup_clusters(base, pairs)
 
 
