@@ -95,10 +95,10 @@ PRIORITY: list[str] = [
     # rotated out on green r2 driver rows)
     "temperature_mix_sample",
     # LLM-pipeline operators (suites carry six + two components each;
-    # bpe_token_count / winnowing_fingerprints rotated out in r3 — both
-    # hold green r2 driver rows — to admit the two new cluster-resolution
-    # and decontamination operators)
-    "ngram_jaccard_dedup",
+    # bpe_token_count / winnowing_fingerprints / ngram_jaccard_dedup
+    # rotated out in r3 — all hold green r2 driver rows — to admit the
+    # cluster-resolution, decontamination, and end-to-end curation ops)
+    "corpus_curation",
     "doc_signal_suite",
     "multimodal_suite",
     "dedup_clusters",

@@ -122,12 +122,30 @@ FROM lineitem GROUP BY 1
 )
 def token_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-token-range counts (A1/A5): one groupBy replaces the reference's
-    256 separate per-range CQL count(*) round-trips. Partial aggregation
-    happens map-side; only 256 rows shuffle."""
-    li = T(spark, sf_dir, "lineitem").withColumn(
-        "token_bucket", md5_token_bucket(F.col("l_orderkey"))
+    256 separate per-range CQL count(*) round-trips.
+
+    Aggregates per KEY first, then per bucket: the bucket is a pure
+    function of the key, so row counts can partial-agg on the raw key
+    (map-side combine, no hash evaluation) and the md5 runs once per
+    DISTINCT key instead of once per row — 4x fewer hashes here, more on
+    duplicate-heavier data — while count(DISTINCT key) degenerates to
+    count(*), eliminating the Expand duplication a distinct-aggregate
+    plan pays. Identical results to the naive form; the oracle keeps the
+    naive SQL."""
+    li = T(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        per_key.withColumn(
+            "token_bucket", md5_token_bucket(F.col("l_orderkey"))
+        )
+        .groupBy("token_bucket")
+        .agg(
+            F.sum("_c").alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
     )
-    return per_bucket_counts(li, "token_bucket", "l_orderkey")
 
 
 @register(

@@ -886,3 +886,116 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(bucket < F.col("thr"))
         .select("doc_id", "lang", "n_lang", "thr")
     )
+
+
+_PLAIN_BASE_SQL = "SELECT doc_id, text FROM documents"
+
+
+def _corpus_curation_oracle() -> str:
+    """Assembled from the component oracles with the duplicate-injection
+    base swapped for the plain corpus (string-level substitution of the
+    shared _INJECT_SQL fragment keeps the algorithms verbatim)."""
+    from migrate_cassandra_to_mysql_spark.plans.registry import CATALOG
+
+    q = CATALOG["quality_score"].oracle
+    clusters = CATALOG["dedup_clusters"].oracle.replace(
+        _INJECT_SQL, _PLAIN_BASE_SQL
+    )
+    contam = CATALOG["contamination_check"].oracle.replace(
+        _INJECT_SQL, _PLAIN_BASE_SQL
+    )
+    mix = CATALOG["temperature_mix_sample"].oracle
+    return f"""
+SELECT d.doc_id, d.lang,
+       q.quality_band,
+       c.is_survivor,
+       (d.doc_id % 97 = 0) AS is_benchmark,
+       coalesce(t.contaminated, FALSE) AS contaminated,
+       m.doc_id IS NOT NULL AS mix_kept,
+       q.quality_band IN ('high', 'medium')
+         AND c.is_survivor
+         AND d.doc_id % 97 <> 0
+         AND NOT coalesce(t.contaminated, FALSE)
+         AND m.doc_id IS NOT NULL AS curated
+FROM documents d
+JOIN ({q}) q ON d.doc_id = q.doc_id
+JOIN ({clusters}) c ON d.doc_id = c.doc_id
+LEFT JOIN ({contam}) t ON d.doc_id = t.doc_id
+LEFT JOIN ({mix}) m ON d.doc_id = m.doc_id
+"""
+
+
+@register("corpus_curation", oracle=_corpus_curation_oracle())
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus curation decision table — every
+    pipeline family composed into one row per document:
+
+      quality_score   -> quality_band   (keep high/medium)
+      dedup_clusters  -> is_survivor    (MinHash-LSH candidates ->
+                                         connected components -> min-id
+                                         survivor)
+      contamination   -> contaminated   (benchmark n-gram overlap;
+                                         benchmark docs themselves are
+                                         excluded from training)
+      temperature mix -> mix_kept       (language rebalancing)
+      curated = quality AND survivor AND NOT benchmark AND NOT
+                contaminated AND mix_kept
+
+    This is the query a 100-TB pretraining pipeline actually runs before
+    writing shards: all signals joined on doc_id (co-partitioned
+    shuffles), each component retaining its own scale shape (broadcast
+    benchmark set / thresholds, bucketed LSH, label-propagation rounds).
+    Returning the full decision table rather than the filtered corpus
+    keeps every branch auditable — the production filter is
+    `.where("curated")` on this frame."""
+    d = T(spark, sf_dir, "documents")
+    plain = d.select("doc_id", "text")
+    q = textops.quality_score(d).select("doc_id", "quality_band")
+    pairs = dedup.lsh_candidates(plain, k=3, n_hashes=8, band_size=2)
+    clusters = components.dedup_clusters(plain, pairs).select(
+        "doc_id", "is_survivor"
+    )
+    ex = dedup.exploded_shingles(plain, "text", 3).drop("n_sh")
+    bench = (
+        ex.where(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    contam = (
+        ex.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.count("_hit").alias("n_hits"))
+        .select(
+            "doc_id",
+            (
+                (F.col("n_hits") >= 8)
+                & (F.col("n_hits") / F.col("n_grams") >= 0.5)
+            ).alias("contaminated"),
+        )
+    )
+    mix = temperature_mix_sample(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("mix_kept")
+    )
+    out = (
+        d.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .join(clusters, "doc_id")
+        .join(contam, "doc_id", "left")
+        .join(mix, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "quality_band",
+        "is_survivor",
+        (F.col("doc_id") % 97 == 0).alias("is_benchmark"),
+        F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        F.col("mix_kept").isNotNull().alias("mix_kept"),
+        (
+            F.col("quality_band").isin("high", "medium")
+            & F.col("is_survivor")
+            & (F.col("doc_id") % 97 != 0)
+            & ~F.coalesce("contaminated", F.lit(False))
+            & F.col("mix_kept").isNotNull()
+        ).alias("curated"),
+    )
