@@ -304,16 +304,21 @@ WHERE rnk <= 3
 """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF top-3 terms per document. tf and df are partial-aggregated
-    groupBys; the df table is vocabulary-sized and broadcast back onto tf.
-    Scores rounded to 8 dp before ranking (ln() may differ by 1 ulp
-    between JVM and libm)."""
+    """TF-IDF top-3 terms per document. tf is one partial-aggregated
+    groupBy over the exploded tokens; df DERIVES from tf — tf's rows are
+    exactly the distinct (doc, token) pairs, so df(tok) = count(*) over
+    tf — which drops the second corpus explode AND the countDistinct
+    Expand that a from-scratch df aggregation pays (at 100 TB that is a
+    whole extra corpus scan + token-volume shuffle; here the df input is
+    the already-reduced tf table). The vocabulary-sized df result is
+    broadcast back onto tf. Scores rounded to 8 dp before ranking (ln()
+    may differ by 1 ulp between JVM and libm)."""
     d = T(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # Corpus size rides the plan as a broadcast 1-row aggregate (like the
     # oracle's CROSS JOIN n) instead of a separate d.count() action — one
     # job, one scan schedule, instead of two.
