@@ -12,7 +12,7 @@ testdata.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from migrate_cassandra_to_mysql_spark.functions import text as textfns
@@ -1041,4 +1041,122 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.coalesce("contaminated", F.lit(False))
             & F.col("mix_kept").isNotNull()
         ).alias("curated"),
+    )
+
+
+_CHUNK_W = 32  # tokens per chunk (the training context window)
+_CHUNK_S = 24  # stride (W - S = 8 tokens of overlap between chunks)
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+ s AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks), {_CHUNK_S}))
+         AS start FROM t)
+SELECT doc_id,
+       CAST((start - 1) / {_CHUNK_S} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_tok,
+       CAST(len(list_slice(toks, start, start + {_CHUNK_W} - 1)) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start, start + {_CHUNK_W} - 1), ' ')
+         AS chunk_text
+FROM s
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    token windows of {W} tokens at stride {S} — the standard prep step
+    for embedding / pretraining pipelines whose models take fixed-size
+    inputs. Pure per-row higher-order functions (split -> sequence ->
+    slice -> array_join): ZERO shuffles, whole-stage-codegen'd, scales
+    embarrassingly — each 128 MB parquet split chunks independently, and
+    output rows inherit the input's partitioning (downstream per-chunk
+    ops need no exchange). Starts are 1-based and the tail chunk is kept
+    short rather than dropped (no token of a document is lost; Spark
+    slice and DuckDB list_slice both clamp at the array end)."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    d = d.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(_CHUNK_S))
+    s = d.select(
+        "doc_id", "toks", F.explode(starts).alias("start")
+    )
+    chunk = F.slice("toks", F.col("start"), _CHUNK_W)
+    return s.select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_S).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+_PACK_SHARDS = 32
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         len({_TOKS_SQL}) AS n_tokens
+  FROM documents),
+ c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_off,
+       CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS seq_no,
+       (cum - n_tokens) // {_PACK_BUDGET} <> (cum - 1) // {_PACK_BUDGET}
+         AS straddles
+FROM c
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concat-and-split sequence packing: documents are laid out
+    back-to-back in doc_id order and cut every {BUDGET} tokens into
+    training sequences — the packing used by GPT-style pretraining
+    loaders (each doc gets its sequence number, its offset inside the
+    stream, and whether it straddles a cut point and so will be split
+    across two training sequences).
+
+    Scale shape: packing is a running sum, which is inherently
+    sequential — a GLOBAL cumsum would funnel 100 TB through one
+    reducer. Training does not need one global stream, only locally
+    dense sequences, so the stream is sharded (doc_id % {N}): each shard
+    packs independently under a window partitioned by shard — 32-way (or
+    10k-way) parallel, one shuffle by shard key, no global sort. The
+    same trick is how the reference scatters token ranges across
+    workers (SURVEY S2/D1); here the 'ring' is the doc_id space."""
+    d = T(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        start.cast("long").alias("start_off"),
+        F.floor(start / _PACK_BUDGET).cast("long").alias("seq_no"),
+        (
+            F.floor(start / _PACK_BUDGET)
+            != F.floor((F.col("cum") - 1) / _PACK_BUDGET)
+        ).alias("straddles"),
     )
