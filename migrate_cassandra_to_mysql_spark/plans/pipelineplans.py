@@ -263,3 +263,74 @@ def pyds_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_price"),
         )
     )
+
+
+@register(
+    "streaming_hourly_rollup",
+    oracle="""
+WITH wm AS (
+  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR AS w FROM events),
+ agg AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2)
+SELECT a.window_start, a.event_type, a.n_events, a.sum_value
+FROM agg a, wm
+WHERE a.window_start + INTERVAL 1 HOUR <= wm.w
+""",
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed aggregation, differentially tested
+    INCLUDING its late-data semantics: the events table drains through a
+    real Structured Streaming query (Trigger.AvailableNow, 2-hour
+    watermark, 1-hour tumbling windows, APPEND output mode), and the
+    DuckDB oracle reproduces the append-mode contract in SQL — a window
+    is emitted iff it CLOSED under the final watermark
+    (window_end <= max(ts) - 2h), so both the aggregation values and the
+    which-windows-fire cutoff are verified. This is the engine's
+    unbounded-stream shape: state is bounded by the watermark horizon
+    (open windows only), closed windows emit exactly once across
+    micro-batches regardless of how the file source chunks the backlog,
+    and the same plan runs unchanged against Kafka (streaming/
+    jdbc_stream.py wires the rate-limited source options). Replaces the
+    reference's poll-loop incremental sync with event-time-correct
+    streaming (no reference analog — its sync is snapshot-only)."""
+
+    def build() -> str:
+        work = workdir("mc2m_wstream_")
+        src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+        ev = T(spark, sf_dir, "events").select("ts", "event_type", "value")
+        ev.write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.expr(
+                    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+                ).alias("sum_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        (
+            agg.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .start()
+            .awaitTermination()
+        )
+        return out
+
+    out = memo(("wstream_rollup", sf_dir), build)
+    return spark.read.parquet(str(out))

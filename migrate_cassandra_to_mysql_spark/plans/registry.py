@@ -83,11 +83,15 @@ PRIORITY: list[str] = [
     "range_join_attribution",
     "tfidf_top_terms",
     "label_centroids",
-    # reference lifecycle (sources -> sinks -> streaming -> full job)
+    # reference lifecycle (sources -> sinks -> streaming -> full job).
+    # streaming_snapshot_drain / idempotent_sink_roundtrip rotated out in
+    # r3b (both hold green r2 driver rows, and snapshot_job_e2e's row
+    # exercises the same checkpoint + idempotent-sink lifecycle) to admit
+    # the watermark-semantics streaming row and the chunk/pack suite.
     "snapshot_reconciliation",
     "checkpoint_progress",
-    "streaming_snapshot_drain",
-    "idempotent_sink_roundtrip",
+    "streaming_hourly_rollup",
+    "chunk_pack_suite",
     "pyds_pushdown_scan",
     "snapshot_job_e2e",
     "snapshot_cdc_diff",

@@ -1160,3 +1160,48 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             != F.floor((F.col("cum") - 1) / _PACK_BUDGET)
         ).alias("straddles"),
     )
+
+
+def _chunk_pack_suite_oracle() -> str:
+    """Compose the chunking + packing oracles verbatim (suite pattern:
+    one driver slot verifies both component algorithms end-to-end)."""
+    from migrate_cassandra_to_mysql_spark.plans.registry import CATALOG
+
+    ch = CATALOG["doc_chunking"].oracle
+    pk = CATALOG["sequence_packing"].oracle
+    return f"""
+WITH ch AS ({ch}),
+ pk AS ({pk}),
+ c2 AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(n_chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+         CAST(max(n_chunk_tokens) AS BIGINT) AS max_chunk_tokens
+  FROM ch GROUP BY 1)
+SELECT p.doc_id, p.shard, p.n_tokens, p.start_off, p.seq_no, p.straddles,
+       c.n_chunks, c.sum_chunk_tokens, c.max_chunk_tokens
+FROM pk p JOIN c2 c ON p.doc_id = c.doc_id
+"""
+
+
+@register("chunk_pack_suite", oracle=_chunk_pack_suite_oracle())
+def chunk_pack_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document carrying BOTH training-data layout signals —
+    its sequence-packing placement (shard, stream offset, sequence
+    number, boundary-straddle flag) and its context-window chunking
+    profile (chunk count, token coverage) — by joining the two component
+    operators on doc_id. Suite pattern (cf. doc_signal_suite): a single
+    driver-verified slot differentially checks both component plans; the
+    components themselves stay registered for direct use. The join key
+    is doc_id on both sides, so co-partitioned inputs make it one
+    shuffle each at scale."""
+    ch = (
+        doc_chunking(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("sum_chunk_tokens"),
+            F.max("n_chunk_tokens").cast("long").alias("max_chunk_tokens"),
+        )
+    )
+    return sequence_packing(spark, sf_dir).join(ch, "doc_id")
