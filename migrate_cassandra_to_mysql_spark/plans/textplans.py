@@ -1205,3 +1205,44 @@ def chunk_pack_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sequence_packing(spark, sf_dir).join(ch, "doc_id")
+
+
+@register(
+    "dataset_split_assignment",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS BIGINT) % 100 AS bucket
+  FROM documents)
+SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < 96 THEN 'train'
+            WHEN bucket < 98 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test split assignment (96/2/2) by hashing the
+    document KEY, not by rand(): the split is a pure function of doc_id,
+    so it is reproducible across runs/engines, survives re-partitioning
+    and incremental corpus growth (new docs never move old docs between
+    splits — the property rand()-based splits lack), and needs zero
+    shuffle (map-only, codegen'd md5). Hash-of-key is also how the
+    reference buckets rows into token ranges (SURVEY S3); here the same
+    primitive drives leakage-safe dataset partitioning."""
+    d = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 96, "train")
+        .when(F.col("bucket") < 98, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -365,3 +365,73 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("n_bytes", "meta_n_bytes")
     )
     return d.join(m, "doc_id")
+
+
+def _jl_signs(in_dim: int = 64, out_dim: int = 16) -> list[tuple[int, int, int]]:
+    """Deterministic +-1 Johnson-Lindenstrauss sign matrix, derived from
+    md5 so both engines inline the IDENTICAL literal matrix (computed once
+    at import; no RNG, no seed state)."""
+    import hashlib
+
+    return [
+        (
+            i,
+            j,
+            1
+            if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1,
+        )
+        for i in range(in_dim)
+        for j in range(out_dim)
+    ]
+
+
+_JL = _jl_signs()
+
+
+@register(
+    "random_projection",
+    oracle=f"""
+WITH m(pos, out_dim, sign) AS (
+  VALUES {",".join(f"({i},{j},{s})" for i, j, s in _JL)}),
+ e AS (SELECT vec_id, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) - 1 AS pos
+       FROM embeddings)
+SELECT e.vec_id, CAST(m.out_dim AS INTEGER) AS out_dim,
+       CAST(sum(CASE WHEN m.sign = 1
+                     THEN CAST(CAST(e.v AS DOUBLE) AS DECIMAL(20,9))
+                     ELSE -CAST(CAST(e.v AS DOUBLE) AS DECIMAL(20,9)) END)
+         AS DOUBLE)
+         AS proj
+FROM e JOIN m ON e.pos = m.pos
+GROUP BY e.vec_id, m.out_dim
+""",
+)
+def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 16 dims with
+    a +-1 sign matrix (Achlioptas 2001's database-friendly projection):
+    the md5-derived matrix is a 1024-row broadcast dimension, embeddings
+    posexplode to (vec_id, pos, v), and each output dim is one
+    partial-aggregated sum of signed components — map-side combine
+    reduces each vector to 16 rows before the exchange, so the shuffle
+    carries out_dim/in_dim (=1/4) of the embedding volume. Products are
+    summed as exact decimals then cast to double once, keeping the
+    result independent of Spark's nondeterministic float-add order (and
+    bit-identical to the oracle). At 100 TB this is the standard ANN
+    pre-step: project, bucket/index in the low-dim space, verify in the
+    original space."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    )
+    m = spark.createDataFrame(_JL, "pos INT, out_dim INT, sign INT")
+    # float -> DOUBLE -> DECIMAL on both sides: DuckDB's direct
+    # FLOAT->DECIMAL cast converts in float32 arithmetic (~7 significant
+    # digits), while Spark rounds from the double expansion — routing
+    # through DOUBLE first makes both engines round the same value.
+    dec = F.col("v").cast("double").cast("decimal(20,9)")
+    signed = F.when(F.col("sign") == 1, dec).otherwise(-dec)
+    return (
+        e.join(F.broadcast(m), "pos")
+        .groupBy("vec_id", "out_dim")
+        .agg(F.sum(signed).cast("double").alias("proj"))
+    )
