@@ -35,18 +35,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which the vectorized
-        # parquet reader rejects. Read nanos as raw INT64 and convert exactly
-        # (integer div — double math would lose precision at ~1e18 nanos).
-        # The DuckDB oracle mirrors this with CAST(ts AS TIMESTAMP), which
-        # also truncates nanos -> micros.
+        # Some testdata generations store events.ts as TIMESTAMP(NANOS),
+        # which the vectorized parquet reader rejects; others use plain
+        # TIMESTAMP(MICROS). Enable the nanos-as-long escape hatch, then
+        # branch on the type the reader actually produced: a LongType ts is
+        # raw nanos and is converted exactly (integer div — double math
+        # would lose precision at ~1e18 nanos); a timestamp ts passes
+        # through untouched. The DuckDB oracle mirrors the nanos case with
+        # CAST(ts AS TIMESTAMP), which also truncates nanos -> micros.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return (
-            spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            # TIMESTAMP(MICROS) parquet surfaces as TIMESTAMP_NTZ; the
+            # engine standardizes on TIMESTAMP (LTZ) — watermarks reject
+            # NTZ event time, and the session TZ is pinned UTC above so the
+            # cast is value-identical to what timestamp_micros() produced.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
