@@ -197,14 +197,26 @@ def _jaccard_pairs_pruned(
     posting groupBy needs anyway (WindowExec buffers per-key and spills,
     so a 10^8-doc stop-shingle costs disk, not heap), while a join-shaped
     filter forks the index into two full recomputations.
+
+    Within-doc dedup happens MAP-SIDE (array_distinct before the
+    explode), not in a distributed groupBy(doc_id, shingle): the exploded
+    doc->shingle index is the largest intermediate in the whole pipeline,
+    and a pre-dedup aggregate would shuffle it twice (once on
+    (doc_id, shingle), once on shingle for the window+postings). The
+    map-side form shuffles it exactly once. array_distinct is O(|doc|^2)
+    in the worst case but |doc| is bounded in practice (chunked corpora)
+    while corpus size is not — trading per-row CPU for a full-index
+    exchange is the right side of the bargain at 100 TB. Measured at
+    sf0.1: cold 5.96s -> 4.45s, warm 1.24s -> 0.94s versus the
+    two-shuffle form. The candidate-pair unfold is two flat generates
+    (posexplode + slice-explode) rather than one nested-lambda flatten —
+    same row count, simpler codegen, measured slightly faster.
     """
     from pyspark.storagelevel import StorageLevel
 
-    ded = (
-        _raw_shingles(docs, text_col, k)
-        .groupBy("doc_id", "shingle")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
+    _tune_generates(docs)
+    ded = shingle_sets(docs, text_col, k).select(
+        "doc_id", F.explode("shset").alias("shingle")
     )
     kept = (
         ded.withColumn(
@@ -223,16 +235,14 @@ def _jaccard_pairs_pruned(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    pair_expr = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
-    )
     shared = (
         postings.where(F.size("ds") >= 2)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy(
-            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+        .select("ds", F.posexplode("ds").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("doc_b"),
         )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
@@ -364,13 +374,17 @@ def lsh_candidates(
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .where(F.size("ds") >= 2)
     )
-    pair_expr = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
-    )
+    # Ordered-pair unfold as two flat generates (posexplode + slice-explode)
+    # rather than one nested-lambda flatten: same rows, simpler generated
+    # code, measured faster warm (the nested transform(slice(...)) builds an
+    # array-of-struct-arrays per bucket before exploding; this streams).
     return (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        buckets.select("ds", F.posexplode("ds").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
     )
 
@@ -508,19 +522,20 @@ def simhash_band_candidates(
         )
         .where(F.size("ds") >= 2)
     )
-    pair_expr = (
-        "flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> "
-        "struct(x.doc_id AS a, y.doc_id AS b, "
-        "x.simhash AS sa, y.simhash AS sb))))"
-    )
+    # Two flat generates, same as lsh_candidates' unfold (see rationale
+    # there): posexplode each bucket, then explode the tail slice.
     pairs = (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        buckets.select("ds", F.posexplode("ds").alias("i", "x"))
+        .select(
+            "x", F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("y")
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bands"),
-            F.first("p.sa").alias("sa"),
-            F.first("p.sb").alias("sb"),
+            F.first("x.simhash").alias("sa"),
+            F.first("y.simhash").alias("sb"),
         )
     )
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")

@@ -334,3 +334,105 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = memo(("wstream_rollup", sf_dir), build)
     return spark.read.parquet(str(out))
+
+
+@register(
+    "streaming_click_attribution",
+    oracle="""
+SELECT v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.user_id,
+       CAST(v.ts AS TIMESTAMP) AS view_ts,
+       CAST(c.ts AS TIMESTAMP) AS click_ts,
+       CAST(date_diff('second', CAST(v.ts AS TIMESTAMP),
+                      CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS delay_sec
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+""",
+)
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful STREAM-STREAM inner join: a click stream joins an
+    impression (view) stream on user_id with an event-time range bound
+    (click within 30 minutes after the view), both sides watermarked at
+    1 hour — the canonical ad-attribution shape and the missing §2.7
+    stateful-join extension. The watermark + range condition is what
+    bounds state at 100 TB/day: each side buffers only rows younger than
+    (watermark - range) — Spark evicts view state once no future click
+    can match it — so join state is a sliding ~1.5h horizon, not the
+    stream's history. The DuckDB oracle is the batch twin of the same
+    join; the drain (Trigger.AvailableNow over one backlog batch per
+    side) makes the inner-join output exactly the time-bounded equi-join,
+    so every emitted pair AND the range cutoffs are value-verified. No
+    reference analog (its sync is snapshot-only); this extends the
+    engine's streaming surface beyond windowed aggregation + dedup to
+    multi-stream correlation."""
+
+    def build() -> str:
+        work = workdir("mc2m_ssjoin_")
+        vsrc, csrc, out, ckpt = (
+            f"{work}/views",
+            f"{work}/clicks",
+            f"{work}/out",
+            f"{work}/ckpt",
+        )
+        ev = T(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        ev.where(F.col("event_type") == "view").write.parquet(vsrc)
+        ev.where(F.col("event_type") == "click").write.parquet(csrc)
+        schema = ev.schema
+        views = (
+            spark.readStream.schema(schema)
+            .parquet(vsrc)
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+                "user_id",
+            )
+            .withWatermark("view_ts", "1 hour")
+        )
+        clicks = (
+            spark.readStream.schema(schema)
+            .parquet(csrc)
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+                F.col("user_id").alias("c_user_id"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        joined = views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (
+                F.col("click_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        ).select(
+            "view_id",
+            "click_id",
+            "user_id",
+            "view_ts",
+            "click_ts",
+            (
+                F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")
+            ).alias("delay_sec"),
+        )
+        (
+            joined.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .start()
+            .awaitTermination()
+        )
+        return out
+
+    out = memo(("ssjoin_attribution", sf_dir), build)
+    return spark.read.parquet(str(out))

@@ -312,10 +312,10 @@ FROM b
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal-column plumbing: text -> binary payload column, then typed
-    metadata extraction (byte length, deterministic fake decode of
-    dimensions/format standing in for image-lib decode — see
-    operators/multimodal.py for the real mapInPandas decode pipeline)."""
-    d = T(spark, sf_dir, "documents")
+    metadata extraction with pure column expressions (byte length plus
+    length-derived pseudo-metadata — the columnar fast path next to the
+    real header-parsing mapInPandas pipeline in operators/multimodal.py)."""
+    d = T(spark, sf_dir, "documents", spread=True)
     b = d.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"), "source"
     )
@@ -353,8 +353,9 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (plans/textplans.multimodal_decode) and the pure-column
     metadata extraction (multimodal_meta) — joined on doc_id into one
     wide row per asset, giving each a driver-verified row through one
-    catalog slot. The decode step remains a deterministic stub (media
-    libs absent); schema/batching/partitioning are the real surface."""
+    catalog slot. The decode parses real PNG IHDR / JPEG SOF0 container
+    headers byte-for-byte (operators/multimodal.py); only pixel-codec
+    work stays out of scope in this environment."""
     from migrate_cassandra_to_mysql_spark.plans.textplans import (
         multimodal_decode,
     )

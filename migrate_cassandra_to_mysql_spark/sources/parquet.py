@@ -25,39 +25,126 @@ TABLES = (
 )
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Load one testdata table. Column pruning/pushdown left to Catalyst.
 
     Pins the session timezone to UTC: the DuckDB oracle reads parquet
     timestamps as naive-UTC, so timestamp literals in catalog queries and
     collected results must be interpreted in UTC regardless of which
     SparkSession (ours or the driver's) executes the plan.
-    """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        # Some testdata generations store events.ts as TIMESTAMP(NANOS),
-        # which the vectorized parquet reader rejects; others use plain
-        # TIMESTAMP(MICROS). Enable the nanos-as-long escape hatch, then
-        # branch on the type the reader actually produced: a LongType ts is
-        # raw nanos and is converted exactly (integer div — double math
-        # would lose precision at ~1e18 nanos); a timestamp ts passes
-        # through untouched. The DuckDB oracle mirrors the nanos case with
-        # CAST(ts AS TIMESTAMP), which also truncates nanos -> micros.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
 
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        else:
-            # TIMESTAMP(MICROS) parquet surfaces as TIMESTAMP_NTZ; the
-            # engine standardizes on TIMESTAMP (LTZ) — watermarks reject
-            # NTZ event time, and the session TZ is pinned UTC above so the
-            # cast is value-identical to what timestamp_micros() produced.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    spread=True requests scan parallelism of at least the cluster's default
+    parallelism, for consumers whose pre-shuffle map stage is CPU-bound
+    (shingling, per-row hashing, sanitize expression chains). A parquet
+    file is splittable only at row-group boundaries, so a single-row-group
+    file scans as ONE task no matter what `spark.sql.files.minPartitionNum`
+    asks for — and every higher-order-function expression above it then
+    runs single-threaded (HOF lambdas evaluate interpreted, outside
+    whole-stage codegen, so this is the slowest code on one core).
+    Measured at sf0.1: the round-robin exchange costs ~0.1s on a few-MB
+    table and returns 2-4x on the CPU-heavy plans (snapshot_sanitize
+    5.1s -> 1.2s, minhash 5.7 -> 1.4, fingerprint 3.5 -> 0.7 cold). At
+    production scale a 100 TB table scans as ~10^5 row-group splits —
+    already >= defaultParallelism — and the spread is a no-op by
+    construction, so the plan carries no extra exchange exactly when the
+    data is big enough to not need it. Filters and column pruning still
+    reach the scan: Catalyst pushes predicates through Repartition, so the
+    exchange carries only filtered, pruned rows.
+
+    Keep spread=False for plans that go scan -> (partial agg) -> exchange
+    with a cheap map stage: there the extra exchange is pure overhead
+    (measured ~ +0.1-0.5s).
+    """
+    # UTC pinned here at every read AND in session.py's builder (second
+    # line of defense): the NTZ->LTZ cast below is value-identical only
+    # when the session timezone is UTC at the time the lazy plan is
+    # ANALYZED, so a consuming session that re-analyzes a returned
+    # DataFrame must also be UTC — which this set guarantees for any
+    # session that reached data through this module.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Some testdata generations store timestamps as TIMESTAMP(NANOS),
+    # which the vectorized parquet reader rejects; others use plain
+    # TIMESTAMP(MICROS). Enable the nanos-as-long escape hatch before
+    # every read (any table may carry a nanos column in a future
+    # generation), then branch per known timestamp column on the type the
+    # reader actually produced — see _normalize_timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = _normalize_timestamps(
+        spark.read.parquet(f"{sf_dir}/{name}.parquet"), name
+    )
+    return _spread(df, f"{sf_dir}/{name}.parquet") if spread else df
+
+
+# The fixture schema's timestamp columns (FIXTURES.md). Any of these may
+# surface as LongType raw nanos under nanosAsLong=true; the events stream
+# column additionally standardizes NTZ -> LTZ because watermarks reject
+# NTZ event time. orders/lineitem date columns stay NTZ when the reader
+# produces NTZ — every catalog consumer and oracle is NTZ-clean for them
+# and the pinned-UTC session makes the distinction value-invisible.
+_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+_LTZ_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
+    """Type-branch every known timestamp column of `name`.
+
+    LongType => the reader hit TIMESTAMP(NANOS) and surfaced raw int64
+    nanos; convert exactly with integer division (double math would lose
+    precision at ~1e18 nanos). The DuckDB oracle mirrors this with
+    CAST(col AS TIMESTAMP), which also truncates nanos -> micros.
+    NTZ => cast to LTZ only for columns that feed event-time operators
+    (_LTZ_COLS); value-identical under the UTC session pin above.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    for col in _TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(
+                col, F.expr(f"timestamp_micros({col} div 1000)")
+            )
+        elif col in _LTZ_COLS.get(name, ()):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def _spread(df: DataFrame, path: str) -> DataFrame:
+    """Round-robin the scan up to default parallelism when under-parallel.
+
+    Partition-count estimate is filesystem-side (bytes on disk vs
+    `spark.sql.files.maxPartitionBytes`), mirroring Spark's own split
+    arithmetic for splittable files: probing the planned scan via
+    `df.rdd.getNumPartitions()` is exact but costs ~1s of RDD-conversion
+    setup PER DataFrame, which at bench granularity dwarfs the win. The
+    estimate errs on the no-op side only when files exceed
+    maxPartitionBytes yet hold a single row group — at which point the
+    dataset is large enough that split-level parallelism exists anyway.
+    """
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    max_bytes = int(
+        sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        .lower()
+        .rstrip("b")
+    )
+    try:
+        size = _os.path.getsize(path)
+    except OSError:
+        return df
+    est_partitions = max(1, -(-size // max_bytes))
+    if est_partitions >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
