@@ -126,7 +126,14 @@ def _decode_bytes(payload: bytes) -> dict:
     width = height = None
     fmt = "unknown"
     body = payload
-    if payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR":
+    # len guard: a truncated payload carrying the PNG signature + IHDR tag
+    # (16 <= len < 24) would make the unpack below raise struct.error —
+    # poison bytes must degrade to format='unknown', never kill the stage.
+    if (
+        len(payload) >= 24
+        and payload[:8] == _PNG_SIG
+        and payload[12:16] == b"IHDR"
+    ):
         width, height = struct.unpack(">II", payload[16:24])
         fmt = "png"
         body = payload[PNG_HEADER_LEN:]

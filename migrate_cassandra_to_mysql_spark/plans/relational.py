@@ -78,7 +78,7 @@ def snapshot_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanitize contract on NULL-free testdata) -> sanitize -> bucket -> dedup
     -> token-range filter. One declarative plan; the only shuffle is the
     dedup window, and the range filter is pushed into the scan."""
-    src = T(spark, sf_dir, "orders", spread=True).select(
+    src = T(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("file_id"),
         F.expr("nullif(o_orderstatus, 'O')").alias("status_n"),
         F.expr("nullif(o_orderpriority, '1-URGENT')").alias("prio_n"),

@@ -326,7 +326,7 @@ LIMIT 20
 def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequency top-k — explode -> partial-agg map-side ->
     20-row TakeOrdered. The classic vocabulary/frequency profiling op."""
-    d = T(spark, sf_dir, "documents", spread=True)
+    d = T(spark, sf_dir, "documents")
     return (
         d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
         .groupBy("tok")

@@ -60,7 +60,7 @@ FROM t
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting / char stats / type-token ratio per document — all
     map-side higher-order functions, zero shuffle."""
-    return textops.text_stats(T(spark, sf_dir, "documents", spread=True))
+    return textops.text_stats(T(spark, sf_dir, "documents"))
 
 
 @register(
@@ -87,7 +87,7 @@ FROM scored
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID with deterministic argmax cascade."""
-    return textops.lang_id(T(spark, sf_dir, "documents", spread=True))
+    return textops.lang_id(T(spark, sf_dir, "documents"))
 
 
 @register(
@@ -112,7 +112,7 @@ FROM s
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining-style quality banding from cheap column signals."""
-    return textops.quality_score(T(spark, sf_dir, "documents", spread=True))
+    return textops.quality_score(T(spark, sf_dir, "documents"))
 
 
 @register(
@@ -129,7 +129,7 @@ FROM f GROUP BY fingerprint
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup via md5 fingerprint of normalized text: groupBy
     fingerprint, keep min doc_id as canonical (deterministic survivor)."""
-    d = T(spark, sf_dir, "documents", spread=True)
+    d = T(spark, sf_dir, "documents")
     return (
         d.select("doc_id", textops.fingerprint(d).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -169,7 +169,7 @@ WHERE CAST(p.n_shared AS DOUBLE) / (za.n_sh + zb.n_sh - p.n_shared) >= 0.5
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via inverted-index
     join over distinct shingles."""
-    base = _inject_dups_spark(T(spark, sf_dir, "documents", spread=True))
+    base = _inject_dups_spark(T(spark, sf_dir, "documents"))
     return dedup.jaccard_pairs(base, k=3, threshold=0.5)
 
 
@@ -211,7 +211,7 @@ def ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     so at corpus scale the hot tail IS the join — pruning it bounds the
     blowup while the rare shingles keep the near-dup signal (the oracle
     applies the identical pruning, so the comparison is exact)."""
-    base = _inject_dups_spark(T(spark, sf_dir, "documents", spread=True))
+    base = _inject_dups_spark(T(spark, sf_dir, "documents"))
     return dedup.jaccard_pairs(base, k=3, threshold=0.5, max_df=10)
 
 
@@ -251,7 +251,7 @@ def charngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from migrate_cassandra_to_mysql_spark.functions.text import char_ngrams_expr
     from pyspark.sql import Window
 
-    d = T(spark, sf_dir, "documents", spread=True)
+    d = T(spark, sf_dir, "documents")
     g = d.select(
         "doc_id", "lang", F.explode(char_ngrams_expr("text", 3)).alias("gram")
     )
@@ -313,7 +313,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the already-reduced tf table). The vocabulary-sized df result is
     broadcast back onto tf. Scores rounded to 8 dp before ranking (ln()
     may differ by 1 ulp between JVM and libm)."""
-    d = T(spark, sf_dir, "documents", spread=True)
+    d = T(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     )
@@ -373,7 +373,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested against the generated SQL twin. The 64-bit xxhash64 production
     variant (dedup.simhash64) keeps its invariant tests in
     tests/test_extension_ops.py."""
-    return dedup.simhash32_md5(T(spark, sf_dir, "documents", spread=True))
+    return dedup.simhash32_md5(T(spark, sf_dir, "documents"))
 
 
 def _simhash_band_oracle(n_bands: int = 4, max_hamming: int = 3) -> str:
@@ -411,7 +411,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is exactly {pairs : hamming <= 3}. Bucket-unfold plan (no
     self-join, signatures computed once, text never shuffles); see
     operators/dedup.py:simhash_band_candidates for the scale rationale."""
-    return dedup.simhash_band_candidates(T(spark, sf_dir, "documents", spread=True))
+    return dedup.simhash_band_candidates(T(spark, sf_dir, "documents"))
 
 
 _MM_HIST = ", ".join(
@@ -451,7 +451,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     string — exact, no float formatting in the hash."""
     from migrate_cassandra_to_mysql_spark.operators import multimodal
 
-    docs = T(spark, sf_dir, "documents", spread=True)
+    docs = T(spark, sf_dir, "documents")
     decoded = multimodal.decode_assets(multimodal.attach_binary_payload(docs))
     return decoded.select(
         "doc_id",
@@ -498,7 +498,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 hashes) + LSH (4 bands x 2 rows) candidate pairs.
     Signatures are computed map-side; only 4 band rows per doc shuffle,
     then bucket-grouped pair unfolding (single chain, no self-join, no
-    persist — see operators/dedup.lsh_candidates)."""
+    persist — see operators/dedup.lsh_candidates).
+
+    spread=True kept here ONLY: the r4→r5 bench A/B showed minhash is the
+    one catalog query whose CPU-bound shingle+hash map stage wins from the
+    extra scan exchange (~-0.4s cold at sf0.1); every other plan lost
+    0.1-0.7s to it (see sources/parquet.table docstring)."""
     base = _inject_dups_spark(T(spark, sf_dir, "documents", spread=True))
     return dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2)
 
@@ -539,7 +544,7 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate 2-gram fractions) as two map-side-partial two-level
     aggregations joined on doc_id — the scale-out shape of "mode per
     document" (operators/textops.py:repetition_signals)."""
-    return textops.repetition_signals(T(spark, sf_dir, "documents", spread=True))
+    return textops.repetition_signals(T(spark, sf_dir, "documents"))
 
 
 _DIRTY_SQL = """
@@ -603,7 +608,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_replace/extract_all column chain (whole-stage codegen, no UDF,
     no shuffle); patterns restricted to the Java-regex/RE2 shared subset
     (functions/text.py)."""
-    dirty = _dirty_docs_spark(T(spark, sf_dir, "documents", spread=True))
+    dirty = _dirty_docs_spark(T(spark, sf_dir, "documents"))
     t = F.col("text")
     return dirty.select(
         "doc_id",
@@ -679,7 +684,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle until the final explode, and the fingerprint table is
     the compact join key for plagiarism/overlap detection at corpus
     scale."""
-    d = T(spark, sf_dir, "documents", spread=True)
+    d = T(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
     )
@@ -804,7 +809,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop short of — transitive groups (A~B, B~C => {A,B,C} share one
     survivor) — and the last piece of an end-to-end near-dedup pass:
     candidates -> clusters -> keep is_survivor."""
-    base = _inject_dups_spark(T(spark, sf_dir, "documents", spread=True))
+    base = _inject_dups_spark(T(spark, sf_dir, "documents"))
     pairs = dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2)
     return components.dedup_clusters(base, pairs)
 
@@ -851,7 +856,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     friendly. The injected duplicates (doc_id % 50 clones) guarantee
     nonzero contamination on the synthetic corpus: clones of benchmark
     docs land in train with ~full overlap."""
-    base = _inject_dups_spark(T(spark, sf_dir, "documents", spread=True))
+    base = _inject_dups_spark(T(spark, sf_dir, "documents"))
     ex = dedup.exploded_shingles(base, "text", 3).drop("n_sh")
     bench = (
         ex.where(F.col("doc_id") % 97 == 0).select("shingle").distinct()
@@ -909,7 +914,7 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: language stats are a tiny partial-agg (|langs| rows),
     thresholds broadcast; the corpus side is a map-only filter — zero
     corpus shuffles, filter evaluable at the scan."""
-    d = T(spark, sf_dir, "documents", spread=True)
+    d = T(spark, sf_dir, "documents")
     c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     m = c.agg(F.min("n_lang").alias("min_n"))
     p = c.crossJoin(F.broadcast(m)).select(
@@ -995,7 +1000,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returning the full decision table rather than the filtered corpus
     keeps every branch auditable — the production filter is
     `.where("curated")` on this frame."""
-    d = T(spark, sf_dir, "documents", spread=True)
+    d = T(spark, sf_dir, "documents")
     plain = d.select("doc_id", "text")
     q = textops.quality_score(d).select("doc_id", "quality_band")
     pairs = dedup.lsh_candidates(plain, k=3, n_hashes=8, band_size=2)
@@ -1081,7 +1086,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops need no exchange). Starts are 1-based and the tail chunk is kept
     short rather than dropped (no token of a document is lost; Spark
     slice and DuckDB list_slice both clamp at the array end)."""
-    d = T(spark, sf_dir, "documents", spread=True)
+    d = T(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), r"\s+")
     d = d.select("doc_id", toks.alias("toks"))
     starts = F.sequence(F.lit(1), F.size("toks"), F.lit(_CHUNK_S))
@@ -1139,7 +1144,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     10k-way) parallel, one shuffle by shard key, no global sort. The
     same trick is how the reference scatters token ranges across
     workers (SURVEY S2/D1); here the 'ring' is the doc_id space."""
-    d = T(spark, sf_dir, "documents", spread=True)
+    d = T(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
     t = d.select(
         "doc_id",
@@ -1235,7 +1240,7 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (map-only, codegen'd md5). Hash-of-key is also how the
     reference buckets rows into token ranges (SURVEY S3); here the same
     primitive drives leakage-safe dataset partitioning."""
-    d = T(spark, sf_dir, "documents", spread=True)
+    d = T(spark, sf_dir, "documents")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("long")

@@ -315,7 +315,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata extraction with pure column expressions (byte length plus
     length-derived pseudo-metadata — the columnar fast path next to the
     real header-parsing mapInPandas pipeline in operators/multimodal.py)."""
-    d = T(spark, sf_dir, "documents", spread=True)
+    d = T(spark, sf_dir, "documents")
     b = d.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"), "source"
     )

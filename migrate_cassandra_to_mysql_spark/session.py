@@ -40,6 +40,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate re-runs computed generator inputs inside
+        # its inferred size()>0 filter; every generate in this engine takes
+        # a computed input (token/shingle arrays), so exclude it uniformly
+        # at session build (sources/parquet.table re-pins it per load for
+        # foreign sessions, keeping optimizer config order-independent).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")

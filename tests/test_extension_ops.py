@@ -83,6 +83,24 @@ def test_multimodal_decode_rejects_garbage_without_raising():
     assert out["n_bytes"] == 19
 
 
+def test_multimodal_decode_truncated_headers_degrade_to_unknown():
+    """Poison bytes that START like a valid container must not raise
+    (round-4 advice: a 16<=len<24 PNG-signature payload crashed the
+    struct.unpack in the mapInPandas stage)."""
+    png_prefix = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR"
+    for cut in range(len(png_prefix) + 1):  # every truncation 0..20 bytes
+        out = multimodal._decode_bytes(png_prefix[:cut])
+        assert out["format"] == "unknown"
+    # 16..23 bytes: signature + IHDR tag present, dims truncated
+    for pad in range(8):
+        out = multimodal._decode_bytes(png_prefix + b"\x01" * pad)
+        assert out["format"] == "unknown"
+        assert out["width"] is None
+    # truncated JPEG: SOI + marker byte but segment bytes missing
+    for p in (b"\xff\xd8", b"\xff\xd8\xff", b"\xff\xd8\xff\xc0\x00"):
+        assert multimodal._decode_bytes(p)["format"] == "unknown"
+
+
 def test_multimodal_decode_deterministic(spark, sf_dir):
     docs = T(spark, sf_dir, "documents").limit(10)
     p = multimodal.attach_binary_payload(docs)

@@ -91,3 +91,58 @@ def test_jdbc_options():
     assert w["isolationLevel"] == "READ_COMMITTED"
     r = read_options(url, "files", "id", 0, 10_000, num_partitions=8)
     assert r["numPartitions"] == "8" and r["partitionColumn"] == "id"
+
+
+def test_parse_bytes_accepts_spark_byte_strings():
+    from migrate_cassandra_to_mysql_spark.sources.parquet import _parse_bytes
+
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("64mb") == 64 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("2K") == 2048
+    assert _parse_bytes("12345") == 12345
+    # unrecognized forms degrade to None (=> spread becomes a no-op),
+    # never raise — a bad conf value must not crash a table load.
+    assert _parse_bytes("") is None
+    assert _parse_bytes("mb") is None
+    assert _parse_bytes("1.5g") is None
+    assert _parse_bytes("1x") is None
+
+
+def test_spread_survives_unit_suffixed_max_partition_bytes(spark, sf_dir):
+    from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+    prior = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        # Must not raise (round-4 advice: '128m' crashed every spread
+        # load); result must still be a readable plan.
+        assert T(spark, sf_dir, "documents", spread=True).count() > 0
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prior)
+
+
+def test_dedup_plan_build_does_not_mutate_session_conf(spark):
+    """Building dedup plans must not touch session conf (round-4 verdict:
+    _tune_generates leaked spark.sql.optimizer.excludedRules, making plan
+    shapes depend on catalog execution order)."""
+    from migrate_cassandra_to_mysql_spark.operators import dedup
+
+    key = "spark.sql.optimizer.excludedRules"
+    prior = spark.conf.get(key, None)
+    sentinel = "org.apache.spark.sql.catalyst.optimizer.CombineFilters"
+    spark.conf.set(key, sentinel)
+    try:
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e g")], ["doc_id", "text"]
+        )
+        dedup.lsh_candidates(docs, k=3, n_hashes=8, band_size=2)
+        dedup._jaccard_pairs_pruned(docs, "text", 3, 0.5, 1000)
+        dedup.simhash_band_candidates(docs)
+        assert spark.conf.get(key) == sentinel
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
