@@ -94,7 +94,11 @@ PRIORITY: list[str] = [
     "chunk_pack_suite",
     "pyds_pushdown_scan",
     "snapshot_job_e2e",
-    "snapshot_cdc_diff",
+    # r5 rotation: snapshot_cdc_diff out on its green r4 row (lifecycle
+    # family keeps snapshot_job_e2e + snapshot_merge_upsert rows); admits
+    # the stream-stream join, the round-4 flagship that shipped driver-
+    # unverified (VERDICT r4 "What's missing #1").
+    "streaming_click_attribution",
     # training-mix curation (orders_with_items_semi / missing_ids_enriched
     # rotated out on green r2 driver rows)
     "temperature_mix_sample",
@@ -108,18 +112,27 @@ PRIORITY: list[str] = [
     "dedup_clusters",
     "contamination_check",
     "embedding_near_dup",
-    "embedding_lsh_candidates",
-    "ivf_persisted_topk",
+    # r5 rotation: embedding_lsh_candidates and ivf_persisted_topk out on
+    # green r4 rows (embedding_near_dup composes the LSH path end-to-end;
+    # embedding_ivf_topk keeps IVF's driver row, and the persisted index
+    # is covered by tests/test_ivf_index.py). Admits four ops that have
+    # never held a driver row (VERDICT r4 ask #2):
+    "simhash_near_dup",
+    "fuzzy_name_dedup",
+    "random_projection",
+    "dataset_split_assignment",
     "kmeans_clusters",
-    # TPC-H core (scalar suite carries q6/q14/q17/q19)
+    # TPC-H core (scalar suite carries q6/q14/q17/q19).
+    # r5 rotation: q4 / q18 / q22 out on green r4 rows (q21 keeps the
+    # exists/semi flavor, q3 the top-k join-agg, missing_ids_anti_join the
+    # anti-join, tpch_scalar_suite the scalar-subquery flavor); admits
+    # q8_market_share — the most join-heavy never-verified TPC-H query.
     "tpch_scalar_suite",
-    "q4_priority_late_ship",
     "q7_nation_volume",
+    "q8_market_share",
     "q9_product_type_profit",
     "q13_order_count_distribution",
-    "q18_large_volume_orders",
     "q21_waiting_suppliers",
-    "q22_idle_customers",
 ]
 
 
