@@ -92,11 +92,13 @@ def main() -> None:
     warm = run_pass()
 
     # Skew-strategy A/B (aux, outside the 25-query total): the salted and
-    # plain twins run the IDENTICAL deliberately-skewed input (one key =
-    # ~20% of fact rows) and the same oracle — this measures whether
-    # salting pays for itself on actually-skewed data.
+    # plain twins run the IDENTICAL deliberately-skewed input (hot key =
+    # 50% of fact rows x 16 build-side replicas) and the same oracle —
+    # this measures whether salting pays for itself on a hot partition
+    # big enough to actually straggle (the milder headline pair's hot
+    # partition is a few MB at sf0.1, which never shows a gap).
     skew_ab: dict[str, float] = {}
-    for nm in ("salted_skew_join", "plain_skew_join"):
+    for nm in ("skew_ab_salted", "skew_ab_plain"):
         if nm in qs:
             df = qs[nm](spark, sf_dir)
             t0 = time.perf_counter()

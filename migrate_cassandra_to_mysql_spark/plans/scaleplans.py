@@ -100,6 +100,97 @@ def plain_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _skew_agg(li.join(o, li["k"] == o["o_orderkey"]))
 
 
+# ---------------------------------------------------------------------------
+# Heavy skew A/B pair (r4 verdict ask #5): the headline twins above keep a
+# mild ~20%-hot input so the bench total stays honest, but at sf0.1 their
+# hot partition is a few MB — too small to straggle, so the salted-vs-plain
+# gap drowned in noise (1.08-1.14x across r3/r4). This pair makes the
+# straggler REAL while staying oracle-checkable: 50% of fact rows remap to
+# key 1, AND the build side carries 16 replicas of that key, so the plain
+# join's hot shuffle partition must produce |hot_fact| * 16 join rows
+# (~4.8M at sf0.1) in ONE task while every other task emits thousands.
+# That is exactly the "one giant customer x fan-out dimension" shape that
+# motivates salting at 100 TB, scaled down faithfully. bench.py times this
+# pair for its skew_ab section; the oracle proves both twins bit-identical.
+_HOT_REPS = 16
+
+_SKEW_HEAVY_ORACLE = f"""
+WITH li AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_orderkey END AS k,
+                   l_extendedprice, l_discount
+            FROM lineitem),
+ dim AS (SELECT o_orderkey, o_orderstatus FROM orders
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus
+         FROM orders, range({_HOT_REPS - 1}) WHERE o_orderkey = 1)
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum({_REVENUE}) AS DOUBLE) AS revenue
+FROM li JOIN dim ON k = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def _heavy_skewed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_partkey",
+        "l_extendedprice",
+        "l_discount",
+    )
+
+
+def _heavy_skew_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orders plus 15 extra replicas of the hot key's row: mirrors the
+    # oracle's UNION ALL + range() form. shuffle_hash hint for the same
+    # reason as _skew_orders — a broadcast would put the probe on scan
+    # partitions (where hot rows are spread evenly by file) and the A/B
+    # would measure nothing.
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    hot_reps = (
+        o.where(F.col("o_orderkey") == 1)
+        .crossJoin(spark.range(_HOT_REPS - 1).select(F.lit(1).alias("_r")))
+        .select("o_orderkey", "o_orderstatus")
+    )
+    return o.unionAll(hot_reps).hint("shuffle_hash")
+
+
+def _heavy_skew_agg(joined: DataFrame) -> DataFrame:
+    return joined.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr(f"CAST(sum({_REVENUE}) AS DOUBLE)").alias("revenue"),
+    )
+
+
+@register("skew_ab_salted", oracle=_SKEW_HEAVY_ORACLE)
+def skew_ab_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-only salted join over the heavy-skew input (hot key = 50%
+    of fact rows x 16 build replicas): key 1's fact rows spread over 32
+    salts, so the ~|hot|*16 join output is produced by 32 parallel tasks
+    instead of one. Identical results to skew_ab_plain by oracle."""
+    joined = salted_join(
+        _heavy_skewed_lineitem(spark, sf_dir),
+        _heavy_skew_dim(spark, sf_dir),
+        "k",
+        "o_orderkey",
+        n_salts=32,
+        hot_keys=[1],
+        salt_source="l_partkey",
+    )
+    return _heavy_skew_agg(joined)
+
+
+@register("skew_ab_plain", oracle=_SKEW_HEAVY_ORACLE)
+def skew_ab_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsalted twin of skew_ab_salted: the hot key's entire join output
+    lands on one shuffle partition — the measured straggler."""
+    li = _heavy_skewed_lineitem(spark, sf_dir)
+    dim = _heavy_skew_dim(spark, sf_dir)
+    return _heavy_skew_agg(li.join(dim, li["k"] == dim["o_orderkey"]))
+
+
 @register(
     "snapshot_merge_upsert",
     oracle="""
