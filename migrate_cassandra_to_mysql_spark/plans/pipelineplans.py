@@ -336,6 +336,38 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(str(out))
 
 
+def attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """The stream-stream attribution join, factored so the catalog plan
+    and the multi-batch/restart test drive the IDENTICAL plan. `views`
+    carries (view_id, view_ts, user_id), `clicks` (click_id, click_ts,
+    c_user_id); both may be streaming or batch DataFrames — watermarks
+    are applied here only for streaming inputs (no-op on batch)."""
+    if views.isStreaming:
+        views = views.withWatermark("view_ts", watermark)
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+    return views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_delay}")),
+    ).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        "view_ts",
+        "click_ts",
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")).alias(
+            "delay_sec"
+        ),
+    )
+
+
 @register(
     "streaming_click_attribution",
     oracle="""
@@ -392,7 +424,6 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts").alias("view_ts"),
                 "user_id",
             )
-            .withWatermark("view_ts", "1 hour")
         )
         clicks = (
             spark.readStream.schema(schema)
@@ -402,26 +433,8 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts").alias("click_ts"),
                 F.col("user_id").alias("c_user_id"),
             )
-            .withWatermark("click_ts", "1 hour")
         )
-        joined = views.join(
-            clicks,
-            (F.col("user_id") == F.col("c_user_id"))
-            & (F.col("click_ts") >= F.col("view_ts"))
-            & (
-                F.col("click_ts")
-                <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
-            ),
-        ).select(
-            "view_id",
-            "click_id",
-            "user_id",
-            "view_ts",
-            "click_ts",
-            (
-                F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")
-            ).alias("delay_sec"),
-        )
+        joined = attribution_join(views, clicks)
         (
             joined.writeStream.trigger(availableNow=True)
             .outputMode("append")
