@@ -227,6 +227,15 @@ def _jaccard_pairs_pruned(
     ded = shingle_sets(docs, text_col, k).select(
         "doc_id", F.explode("shset").alias("shingle")
     )
+    # df-pruning stays the count-window form: filter + postings groupBy
+    # both ride ONE hash(shingle) exchange of the index, and hot shingles
+    # are dropped before collect_set so posting arrays stay bounded by
+    # max_df at any scale. An anti-join-against-stop-set rewrite was
+    # A/B'd in r5 (map-side partial combine for the df agg, no full-index
+    # sort) and REJECTED on measurement: bench-context cold 2.6-2.9s vs
+    # 2.4-2.5s here, steady-state 1.6-1.7s vs 1.4s — the shingle chain
+    # evaluating twice (count branch + probe branch) costs more than the
+    # window sort saves at every scale where CPU, not shuffle IO, binds.
     kept = (
         ded.withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
@@ -239,10 +248,16 @@ def _jaccard_pairs_pruned(
     postings = kept.groupBy("shingle").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ds")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Persisted too: sizes feeds BOTH final joins (n_sh_a, n_sh_b) — left
+    # unpersisted, each join side recomputes the explode+groupBy chain
+    # from postings (two extra stages to compile and run; measured -0.3s
+    # warm / noticeably less cold codegen at sf0.1). One row per doc —
+    # orders smaller than postings, trivially cacheable at any scale.
     sizes = (
         postings.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     shared = (
         postings.where(F.size("ds") >= 2)

@@ -29,10 +29,18 @@ _STOP_SQL = {
 
 
 def _inject_dups_spark(d: DataFrame) -> DataFrame:
-    return d.select("doc_id", "text").unionAll(
-        d.where(F.col("doc_id") % 50 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-        )
+    # Single-scan explode form of `base UNION ALL shifted-copy-of-2%`: the
+    # union form scans the parquet twice and doubles the pre-shuffle plan
+    # (two branches to codegen-compile per consumer). One generate over a
+    # 1-or-2 element array yields the identical multiset from one scan.
+    return d.select(
+        F.explode(
+            F.when(
+                F.col("doc_id") % 50 == 0,
+                F.array(F.col("doc_id"), F.col("doc_id") + 1000000),
+            ).otherwise(F.array(F.col("doc_id")))
+        ).alias("doc_id"),
+        "text",
     )
 
 
@@ -210,8 +218,14 @@ def ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned sets. A shingle shared by d docs costs O(d^2) candidate pairs,
     so at corpus scale the hot tail IS the join — pruning it bounds the
     blowup while the rare shingles keep the near-dup signal (the oracle
-    applies the identical pruning, so the comparison is exact)."""
-    base = _inject_dups_spark(T(spark, sf_dir, "documents"))
+    applies the identical pruning, so the comparison is exact).
+
+    spread=True re-added in r5 on a fresh A/B against THIS plan shape
+    (single-scan inject + persisted sizes): the interpreted HOF shingle
+    chain otherwise runs on the single scan task of the one-row-group
+    sf0.1 file; spreading the raw docs first holds the cache-cold floor
+    at ~1.05s vs 1.2-1.8s unspread. No-op at scale by construction."""
+    base = _inject_dups_spark(T(spark, sf_dir, "documents", spread=True))
     return dedup.jaccard_pairs(base, k=3, threshold=0.5, max_df=10)
 
 
