@@ -1,0 +1,133 @@
+"""sf1 scale smoke (`pytest -m scale`): the 100 TB story, executed.
+
+Every scale claim so far was design-argued and plan-asserted at <= sf0.1.
+This job synthesizes an sf1-equivalent dataset (10x sf0.1 by key-shifted
+replication — same value distributions, 10x the rows and distinct keys)
+and runs the most expensive headline plans to completion on it, proving
+the plans hold through a 10x scale-up with no broadcast cliff, no
+driver-side materialization, and no aggregation-buffer blowup.
+
+Excluded from the default suite (pytest.ini addopts `-m "not scale"`):
+generation plus the five plans is minutes of wall clock. Run with
+`python -m pytest -m scale` (the command-line -m overrides addopts).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.plans import catalog
+from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+pytestmark = pytest.mark.scale
+
+_SRC_SF = "/root/testdata/sf0.1"
+_COPIES = 10
+
+# The headliners worth smoking at sf1: the five most expensive in
+# BENCH_r04/r05 cold, spanning the distinct heavy shapes — sanitize
+# expression chain + dedup window (orders), shingle window + posting
+# pipeline (documents), minhash band join (documents), tf-idf broadcast +
+# windowed top-k (documents), and exact key-dedup (lineitem).
+_QUERIES = (
+    "snapshot_sanitize",
+    "ngram_jaccard_pruned",
+    "minhash_lsh_candidates",
+    "tfidf_top_terms",
+    "dedup_exact_lineitem",
+)
+
+
+@pytest.fixture(scope="module")
+def sf1_dir(spark) -> str:
+    """Synthesize sf1 from sf0.1: each table 10x via key-shifted copies.
+
+    Keys are shifted far past the source key space so every copy is a
+    distinct entity (cardinalities scale 10x, not just row counts).
+    Document text gets a per-copy suffix token so the near-dup family
+    sees 10x distinct-but-similar docs rather than 10 exact clones of
+    each (exact clones would test the dedup blowup, not the scale-up).
+    """
+    out = tempfile.mkdtemp(prefix="mc2m_sf1_")
+    copies = F.explode(
+        F.array(*[F.lit(i) for i in range(_COPIES)])
+    ).alias("_copy")
+
+    docs = T(spark, _SRC_SF, "documents")
+    (
+        docs.select("*", copies)
+        .select(
+            (F.col("doc_id") + F.col("_copy") * F.lit(10_000_000)).alias(
+                "doc_id"
+            ),
+            F.concat(
+                F.col("text"), F.lit(" copytoken"), F.col("_copy")
+            ).alias("text"),
+            *[
+                c
+                for c in docs.columns
+                if c not in ("doc_id", "text")
+            ],
+        )
+        .repartition(8)
+        .write.parquet(f"{out}/documents.parquet")
+    )
+
+    orders = T(spark, _SRC_SF, "orders")
+    (
+        orders.select("*", copies)
+        .select(
+            (F.col("o_orderkey") + F.col("_copy") * F.lit(100_000_000))
+            .alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        )
+        .repartition(8)
+        .write.parquet(f"{out}/orders.parquet")
+    )
+
+    li = T(spark, _SRC_SF, "lineitem")
+    (
+        li.select("*", copies)
+        .select(
+            (F.col("l_orderkey") + F.col("_copy") * F.lit(100_000_000))
+            .alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .repartition(8)
+        .write.parquet(f"{out}/lineitem.parquet")
+    )
+
+    yield out
+
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_headliner_completes_at_sf1(spark, sf1_dir, name):
+    """Each plan must run to completion at sf1 and produce sane output.
+
+    The noop write executes the full distributed plan without collecting
+    results; the count() aggregates to one driver-side long. Completion
+    under the test session's default driver memory IS the assertion —
+    a broadcast of a scaled fact table or a driver-side materialization
+    would OOM or hit the 8GB broadcast limit and fail loudly."""
+    df = catalog.queries()[name](spark, sf1_dir)
+    df.write.format("noop").mode("overwrite").save()
+    n = df.count()
+    assert n > 0, f"{name} returned no rows at sf1"
+
+
+def test_sf1_scaled_cardinalities(spark, sf1_dir):
+    """The synthesized tables really are 10x in rows AND distinct keys."""
+    src_docs = T(spark, _SRC_SF, "documents").count()
+    sf1_docs = spark.read.parquet(f"{sf1_dir}/documents.parquet")
+    assert sf1_docs.count() == _COPIES * src_docs
+    assert (
+        sf1_docs.select("doc_id").distinct().count() == _COPIES * src_docs
+    )
