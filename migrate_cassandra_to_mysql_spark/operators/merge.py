@@ -47,3 +47,81 @@ def merge_snapshots(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def scd2_merge(
+    existing: DataFrame,
+    incoming: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    t1: str,
+    t2: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge of two snapshot generations.
+
+    `existing` is the snapshot taken at t1, `incoming` at t2 (ISO
+    timestamp literals — deterministic by design, like the engine's other
+    snapshot stamps). Output is the version HISTORY the pair implies, one
+    row per (key, version):
+
+      unchanged key : one open row        (valid_from=t1, valid_to=NULL)
+      changed key   : closed old version  (t1 -> t2) + open new (t2 -> NULL)
+      inserted key  : one open row        (t2 -> NULL)
+      deleted key   : one closed row      (t1 -> t2)
+
+    is_current marks the open rows. "Changed" compares tracked_cols only
+    (null-safe), so audit columns can ride along without forcing versions.
+
+    Scale shape: ONE full-outer shuffle join on the key, then a map-side
+    explode of a 1-or-2 element version array — no window, no second
+    shuffle; at 100 TB this is the cheapest possible history derivation
+    (the same single-shuffle budget as merge_snapshots above). The
+    reference has no history story at all (INSERT IGNORE keeps
+    first-arrived values, `snapshot_use_pyspark.py:455-458`); SCD2 is
+    what its MySQL destination would need for auditable re-syncs.
+    """
+    ex = existing.select(
+        *key_cols, *[F.col(c).alias(f"__ex_{c}") for c in tracked_cols]
+    )
+    inc = incoming.select(
+        *key_cols, *[F.col(c).alias(f"__in_{c}") for c in tracked_cols]
+    )
+    # presence flags must not depend on tracked values being non-null:
+    # derive them from a per-side sentinel instead of the tracked cols.
+    ex = ex.withColumn("__ex_present", F.lit(True))
+    inc = inc.withColumn("__in_present", F.lit(True))
+    joined = ex.join(inc, key_cols, "full_outer")
+    in_ex = F.coalesce(F.col("__ex_present"), F.lit(False))
+    in_inc = F.coalesce(F.col("__in_present"), F.lit(False))
+    changed = in_ex & in_inc & ~F.struct(
+        *[F.col(f"__ex_{c}") for c in tracked_cols]
+    ).eqNullSafe(F.struct(*[F.col(f"__in_{c}") for c in tracked_cols]))
+    ts1, ts2 = F.lit(t1).cast("timestamp"), F.lit(t2).cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
+
+    def version(side: str, vfrom, vto, current) -> F.Column:
+        return F.struct(
+            *[F.col(f"__{side}_{c}").alias(c) for c in tracked_cols],
+            vfrom.alias("valid_from"),
+            vto.alias("valid_to"),
+            current.alias("is_current"),
+        )
+
+    versions = (
+        F.when(
+            changed,
+            F.array(
+                version("ex", ts1, ts2, F.lit(False)),
+                version("in", ts2, null_ts, F.lit(True)),
+            ),
+        )
+        .when(
+            in_ex & in_inc,  # unchanged
+            F.array(version("ex", ts1, null_ts, F.lit(True))),
+        )
+        .when(in_inc, F.array(version("in", ts2, null_ts, F.lit(True))))
+        .otherwise(F.array(version("ex", ts1, ts2, F.lit(False))))
+    )
+    return joined.select(
+        *key_cols, F.explode(versions).alias("__v")
+    ).select(*key_cols, "__v.*")

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from migrate_cassandra_to_mysql_spark.operators.merge import merge_snapshots
+from migrate_cassandra_to_mysql_spark.operators.merge import merge_snapshots, scd2_merge
 from migrate_cassandra_to_mysql_spark.operators.skew import salted_join
 from migrate_cassandra_to_mysql_spark.plans.registry import register
 from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
@@ -241,4 +241,91 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["file_id"],
         order_cols=["total", "status"],
         policy="latest_wins",
+    )
+
+
+_SCD2_ORACLE = """
+WITH ex AS (
+  SELECT o_orderkey AS file_id, o_totalprice AS total, o_orderstatus AS status
+  FROM orders),
+ inc AS (
+  SELECT o_orderkey AS file_id,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+              ELSE o_totalprice END AS total,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS status
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, 'N'
+  FROM orders WHERE o_orderkey % 100 = 0),
+ j AS (
+  SELECT coalesce(ex.file_id, inc.file_id) AS file_id,
+         ex.total AS et, ex.status AS es,
+         inc.total AS it, inc.status AS i_status,
+         ex.file_id IS NOT NULL AS in_ex,
+         inc.file_id IS NOT NULL AS in_inc
+  FROM ex FULL OUTER JOIN inc ON ex.file_id = inc.file_id),
+ t1 AS (SELECT TIMESTAMP '2026-01-01 00:00:00' AS v),
+ t2 AS (SELECT TIMESTAMP '2026-02-01 00:00:00' AS v)
+SELECT file_id, et AS total, es AS status,
+       (SELECT v FROM t1) AS valid_from, (SELECT v FROM t2) AS valid_to,
+       CAST(FALSE AS BOOLEAN) AS is_current
+FROM j WHERE in_ex AND in_inc AND (et <> it OR es <> i_status)
+UNION ALL
+SELECT file_id, it, i_status, (SELECT v FROM t2), NULL, TRUE
+FROM j WHERE in_ex AND in_inc AND (et <> it OR es <> i_status)
+UNION ALL
+SELECT file_id, et, es, (SELECT v FROM t1), NULL, TRUE
+FROM j WHERE in_ex AND in_inc AND NOT (et <> it OR es <> i_status)
+UNION ALL
+SELECT file_id, it, i_status, (SELECT v FROM t2), NULL, TRUE
+FROM j WHERE NOT in_ex
+UNION ALL
+SELECT file_id, et, es, (SELECT v FROM t1), (SELECT v FROM t2), FALSE
+FROM j WHERE NOT in_inc
+"""
+
+
+@register("scd2_order_history", oracle=_SCD2_ORACLE)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history from two snapshot generations (t1/t2 are
+    deterministic stamps): changed keys close their old version and open
+    a new one, deletions close, inserts open — one full-outer shuffle
+    join + a map-side 1-or-2-element explode (operators/merge.scd2_merge).
+    The history story the reference's INSERT IGNORE refresh cannot
+    express; pairs with snapshot_merge_upsert (latest state) and
+    snapshot_cdc_diff (changed-key report)."""
+    o = T(spark, sf_dir, "orders")
+    existing = o.select(
+        F.col("o_orderkey").alias("file_id"),
+        F.col("o_totalprice").alias("total"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    incoming = (
+        o.where(F.col("o_orderkey") % 13 != 0)
+        .select(
+            F.col("o_orderkey").alias("file_id"),
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1000
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("total"),
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("U"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 100 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("file_id"),
+                F.col("o_totalprice").alias("total"),
+                F.lit("N").alias("status"),
+            )
+        )
+    )
+    return scd2_merge(
+        existing,
+        incoming,
+        key_cols=["file_id"],
+        tracked_cols=["total", "status"],
+        t1="2026-01-01 00:00:00",
+        t2="2026-02-01 00:00:00",
     )
