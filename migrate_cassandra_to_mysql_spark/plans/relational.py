@@ -604,6 +604,52 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_windows",
+    oracle="""
+WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+                  event_type, value
+           FROM events),
+ w AS (SELECT unnest([b, b - INTERVAL 1 HOUR]) AS window_start,
+              event_type, value
+       FROM e)
+SELECT window_start,
+       window_start + INTERVAL 2 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM w GROUP BY window_start, event_type
+""",
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) event-time windows: 2-hour windows sliding
+    hourly, so every event lands in exactly two windows. Native
+    F.window(ts, '2 hours', '1 hour') — Spark expands the per-row window
+    membership map-side, then one hash aggregation; the identical
+    groupBy runs unchanged under readStream + watermark (the streaming
+    twin of this shape is streaming_hourly_rollup). The oracle expands
+    membership explicitly (each event into buckets b and b-1h)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "orders_per_customer_listagg",
     oracle="""
 SELECT o_custkey AS client_id,
