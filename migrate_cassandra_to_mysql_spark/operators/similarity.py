@@ -237,3 +237,119 @@ def ivf_topk(
         cand.withColumn("rnk", F.row_number().over(w2).cast("long"))
         .where(F.col("rnk") <= k)
     )
+
+
+def _lit_vec(values) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+def _sqdist_to_lit(col: F.Column, center: list) -> F.Column:
+    """Squared L2 distance between an array column slice and a literal
+    center, rounded to 6 dp (cross-engine reproducibility rule)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(col, _lit_vec(center), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_centers: int = 4,
+    query_mod: int = 100,
+    k: int = 3,
+) -> DataFrame:
+    """Product-quantization approximate top-k (asymmetric distance).
+
+    The 100 TB ANN *storage* path, complementing ivf_topk's pruning path:
+    each corpus vector is encoded as `m` sub-space code bytes (argmin
+    squared-L2 against a per-subspace codebook), compressing a
+    d-dimensional float vector to m small ints — 64x here — so the
+    candidate side of the scoring join carries codes, not vectors.
+    Distances are asymmetric (ADC): the query keeps its full vector and
+    measures against the candidate's reconstructed centers, summed across
+    subspaces.
+
+    Codebook: per subspace, the sub-vectors of the first n_centers rows
+    (deterministic stand-in, same convention as ivf_topk's first-k
+    codebook; swap in a k-means fit per subspace for real recall).
+    Collected driver-side (control-plane-sized by the PQ contract: m *
+    n_centers * (d/m) floats) and inlined as literals, so BOTH encoding
+    and ADC scoring are pure map-side expression trees — the only
+    shuffle is the final per-query top-k window, and the corpus is
+    never reshuffled. Encoding ties break toward the lowest center id;
+    distances round to 6 dp before ranking (cross-engine rule).
+    """
+    e = _base(embeddings)
+    head = e.where(F.col("vec_id") < n_centers).select("vec_id", "v").collect()
+    head.sort(key=lambda r: r["vec_id"])
+    dim = len(head[0]["v"])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    # centers[mi][j] = j-th center's sub-vector for subspace mi
+    centers = [
+        [list(r["v"][mi * sub : (mi + 1) * sub]) for r in head]
+        for mi in range(m)
+    ]
+
+    def subvec(col_name: str, mi: int) -> F.Column:
+        return F.slice(F.col(col_name), mi * sub + 1, sub)
+
+    code_cols = [
+        (-F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sqdist_to_lit(subvec("v", mi), centers[mi][j]).alias(
+                            "d"
+                        ),
+                        F.lit(-j).alias("negj"),
+                    )
+                    for j in range(n_centers)
+                ]
+            )
+        )["negj"]).cast("int")
+        for mi in range(m)
+    ]
+    encoded = e.select(
+        "vec_id", F.array(*code_cols).alias("codes")
+    )
+    q = e.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    # ADC: per subspace, pick the distance to the candidate's chosen
+    # center via element_at over the literal per-center distance array.
+    adc = F.round(
+        sum(
+            F.element_at(
+                F.array(
+                    *[
+                        _sqdist_to_lit(subvec("qv", mi), centers[mi][j])
+                        for j in range(n_centers)
+                    ]
+                ),
+                F.col("codes")[mi] + 1,
+            )
+            for mi in range(m)
+        ),
+        6,
+    )
+    cand = (
+        F.broadcast(q)
+        .join(encoded, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            adc.alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc("approx_dist"), F.asc("n_id")
+    )
+    return cand.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).where(F.col("rnk") <= k)

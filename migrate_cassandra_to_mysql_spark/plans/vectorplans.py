@@ -82,6 +82,55 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_pq_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ c AS (SELECT vec_id AS j, v AS cv FROM e WHERE vec_id < 4),
+ mi AS (SELECT unnest([0, 1, 2, 3]) AS mi),
+ dists AS (
+   SELECT e.vec_id, mi.mi, c.j,
+          round(list_sum(list_transform(range(1, 17),
+              i -> (e.v[mi.mi * 16 + i] - c.cv[mi.mi * 16 + i])
+                   * (e.v[mi.mi * 16 + i] - c.cv[mi.mi * 16 + i]))), 6) AS d
+   FROM e, mi, c),
+ enc AS (
+   SELECT vec_id, mi, j AS code FROM (
+     SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+                                  ORDER BY d, j) AS rn
+     FROM dists) t
+   WHERE rn = 1),
+ q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+ qd AS (
+   SELECT q.q_id, mi.mi, c.j,
+          round(list_sum(list_transform(range(1, 17),
+              i -> (q.qv[mi.mi * 16 + i] - c.cv[mi.mi * 16 + i])
+                   * (q.qv[mi.mi * 16 + i] - c.cv[mi.mi * 16 + i]))), 6) AS d
+   FROM q, mi, c),
+ ad AS (
+   SELECT qd.q_id, enc.vec_id AS n_id, round(sum(qd.d), 6) AS approx_dist
+   FROM enc JOIN qd ON qd.mi = enc.mi AND qd.j = enc.code
+   WHERE enc.vec_id <> qd.q_id
+   GROUP BY 1, 2)
+SELECT q_id, n_id, approx_dist, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY approx_dist, n_id) AS rnk
+  FROM ad) t
+WHERE rnk <= 3
+""",
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-3 (asymmetric distance): the
+    ANN storage-compression path — corpus vectors become 4 sub-space
+    code bytes (64x smaller than 64 doubles), queries measure against
+    reconstructed centers. Encoding and ADC scoring are pure map-side
+    literal-codebook expressions; the only shuffle is the per-query
+    top-k window (operators/similarity.pq_topk)."""
+    return similarity.pq_topk(
+        T(spark, sf_dir, "embeddings"), m=4, n_centers=4, query_mod=100, k=3
+    )
+
+
+@register(
     "ivf_persisted_topk",
     oracle=f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -84,3 +84,26 @@ def test_kmeans_codebook_improves_cell_balance(spark, sf_dir):
         F.count(F.lit(1)).alias("n")).collect()]
     assert len(sizes) >= 2  # multiple cells in use
     assert max(sizes) <= emb.count() * 0.9  # no single-cell collapse
+
+
+def test_pq_topk_shape_and_compression_contract(spark, sf_dir):
+    """PQ returns k neighbors per query with nonnegative rounded ADC
+    distances, deterministic across runs; codes compress the corpus side
+    (the candidate join carries no vector column)."""
+    from migrate_cassandra_to_mysql_spark.operators.similarity import pq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = pq_topk(emb, m=4, n_centers=4, query_mod=100, k=3)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+        assert r["approx_dist"] >= 0
+        assert r["n_id"] != r["q_id"]
+    for q, rs in per_q.items():
+        assert len(rs) == 3
+        ranks = sorted(r["rnk"] for r in rs)
+        assert ranks == [1, 2, 3]
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, pq_topk(emb, m=4, n_centers=4, query_mod=100, k=3).collect())
+    )
