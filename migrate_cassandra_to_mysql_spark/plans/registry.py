@@ -127,10 +127,14 @@ PRIORITY: list[str] = [
     # exists/semi flavor, q3 the top-k join-agg, missing_ids_anti_join the
     # anti-join, tpch_scalar_suite the scalar-subquery flavor); admits
     # q8_market_share — the most join-heavy never-verified TPC-H query.
+    # Also out on green r4 rows: q7 / q9 (q8 keeps the deep multi-join
+    # agg shape in-window) — admitting the two r5-new operators so they
+    # earn driver rows in their own round instead of shipping unverified
+    # (the r4 verdict's criticism of streaming_click_attribution):
+    "scd2_order_history",
+    "embedding_pq_topk",
     "tpch_scalar_suite",
-    "q7_nation_volume",
     "q8_market_share",
-    "q9_product_type_profit",
     "q13_order_count_distribution",
     "q21_waiting_suppliers",
 ]
