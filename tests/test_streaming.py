@@ -82,3 +82,60 @@ def test_windowed_event_counts_matches_batch(spark, sf_dir):
     assert got_rows, "stream emitted nothing"
     for k, v in got_rows.items():
         assert exp_rows[k] == v
+
+
+def test_sliding_window_stream_matches_batch(spark, sf_dir):
+    """SLIDING (overlapping) windows under watermark + append mode: every
+    emitted (window, type) must match the batch F.window(2h, 1h) twin —
+    the streaming twin of the events_sliding_windows catalog query. Each
+    event lands in two windows, so this also verifies the per-row window
+    expansion survives the streaming state path."""
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp()
+    batch_events = T(spark, sf_dir, "events")
+    src = f"{work}/events_src"
+    batch_events.write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", f"{work}/out")
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(f"{work}/out").collect()
+    }
+    expect = {
+        (r["win"]["start"], r["event_type"]): r["n"]
+        for r in batch_events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert expect[k] == v
+    # closed-window coverage: everything older than the final watermark
+    # horizon must have been emitted, not withheld
+    max_start = max(k[0] for k in expect)
+    for k, v in expect.items():
+        if (max_start - k[0]).total_seconds() > 4 * 3600:
+            assert k in got, f"closed window {k} never emitted"
