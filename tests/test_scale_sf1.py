@@ -14,7 +14,6 @@ generation plus the five plans is minutes of wall clock. Run with
 
 from __future__ import annotations
 
-import os
 import tempfile
 
 import pytest

@@ -14,7 +14,6 @@ from __future__ import annotations
 import tempfile
 from datetime import datetime
 
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     StringType,
     StructField,
