@@ -75,3 +75,73 @@ def test_scd2_merge_version_semantics(spark):
     # NULL tracked values compare null-safely: no spurious version
     (n,) = by_id[5]
     assert n["is_current"] and n["total"] is None
+
+
+def test_scd2_merge_randomized_invariants(spark):
+    """Seeded-random snapshot pairs: structural SCD2 invariants plus
+    cross-operator consistency — the current-version set must equal the
+    incoming snapshot exactly, and current+deleted rows together must
+    match merge_snapshots(latest_wins) values."""
+    import random
+
+    from migrate_cassandra_to_mysql_spark.operators.merge import (
+        merge_snapshots,
+        scd2_merge,
+    )
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        keys = list(range(60))
+        ex_rows = [
+            (k, rng.choice([None, 10.0, 20.0, 30.0]), rng.choice("ABC"))
+            for k in keys
+            if rng.random() < 0.8
+        ]
+        ex_keys = {r[0] for r in ex_rows}
+        inc_rows = []
+        for k in keys:
+            if rng.random() < 0.8:
+                if k in ex_keys and rng.random() < 0.5:
+                    inc_rows.append(next(r for r in ex_rows if r[0] == k))
+                else:
+                    inc_rows.append(
+                        (k, rng.choice([None, 15.0, 25.0]), rng.choice("CDE"))
+                    )
+        ex = spark.createDataFrame(ex_rows, ["id", "total", "status"])
+        inc = spark.createDataFrame(inc_rows, ["id", "total", "status"])
+        out = scd2_merge(
+            ex, inc, ["id"], ["total", "status"],
+            t1="2026-01-01 00:00:00", t2="2026-02-01 00:00:00",
+        ).collect()
+
+        cur = {(r["id"], r["total"], r["status"]) for r in out if r["is_current"]}
+        assert cur == set(inc_rows), f"seed {seed}: current != incoming"
+        per_key = {}
+        for r in out:
+            per_key.setdefault(r["id"], []).append(r)
+        inc_keys = {r[0] for r in inc_rows}
+        inc_by_key = {r[0]: r for r in inc_rows}
+        ex_by_key = {r[0]: r for r in ex_rows}
+        for k, rs in per_key.items():
+            assert sum(r["is_current"] for r in rs) <= 1
+            changed = (
+                k in ex_keys
+                and k in inc_keys
+                and ex_by_key[k] != inc_by_key[k]
+            )
+            assert len(rs) == (2 if changed else 1), f"seed {seed} key {k}"
+            for r in rs:
+                assert r["is_current"] == (r["valid_to"] is None)
+        # latest state implied by the history == merge_snapshots latest_wins
+        latest = cur | {
+            (r["id"], r["total"], r["status"])
+            for r in out
+            if r["id"] not in inc_keys
+        }
+        merged = {
+            (r["id"], r["total"], r["status"])
+            for r in merge_snapshots(
+                ex, inc, ["id"], ["total", "status"], policy="latest_wins"
+            ).collect()
+        }
+        assert latest == merged, f"seed {seed}: history != latest_wins merge"
