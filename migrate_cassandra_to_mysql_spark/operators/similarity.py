@@ -256,12 +256,87 @@ def _sqdist_to_lit(col: F.Column, center: list) -> F.Column:
     )
 
 
+def _first_k_pq_centers(e: DataFrame, m: int, n_centers: int) -> list:
+    """First-K PQ codebook: centers[mi][j] = subspace-mi sub-vector of the
+    j-th lowest-vec_id row. Deterministic and SQL-oracle-able; the trained
+    alternative is pq_train_centers()."""
+    head = e.where(F.col("vec_id") < n_centers).select("vec_id", "v").collect()
+    head.sort(key=lambda r: r["vec_id"])
+    # The oracle keys centers on vec_id = j, while the code below indexes
+    # list positions — a sparse/partial id space would silently misalign
+    # them. Fail loudly instead.
+    assert [r["vec_id"] for r in head] == list(range(n_centers)), (
+        f"PQ codebook requires vec_ids 0..{n_centers - 1}, got "
+        f"{[r['vec_id'] for r in head]}"
+    )
+    dim = len(head[0]["v"])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    return [
+        [list(r["v"][mi * sub : (mi + 1) * sub]) for r in head]
+        for mi in range(m)
+    ]
+
+
+def _subvec(col_name: str, mi: int, sub: int) -> F.Column:
+    """Sub-vector mi of an array column (1-based slice of width `sub`)."""
+    return F.slice(F.col(col_name), mi * sub + 1, sub)
+
+
+def _pq_code_cols(centers: list, n_centers: int, sub: int) -> list:
+    """Per-subspace PQ code expressions (argmin squared-L2 against the
+    literal codebook). array_min over (d, j) structs compares d first,
+    then j ascending — so a distance tie picks the LOWEST center id,
+    matching the oracle's ORDER BY d, j. (Pairing negation with
+    array_min, as an earlier draft did, double-inverts the tie-break.)"""
+    return [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sqdist_to_lit(
+                            _subvec("v", mi, sub), centers[mi][j]
+                        ).alias("d"),
+                        F.lit(j).alias("j"),
+                    )
+                    for j in range(n_centers)
+                ]
+            )
+        )["j"].cast("int")
+        for mi in range(len(centers))
+    ]
+
+
+def _adc_expr(centers: list, n_centers: int, sub: int) -> F.Column:
+    """Asymmetric-distance expression: per subspace, distance from the
+    query's sub-vector (column `qv`) to the candidate's chosen center via
+    element_at over the literal per-center distance array, summed across
+    subspaces and rounded to 6 dp (cross-engine rule)."""
+    m = len(centers)
+    return F.round(
+        sum(
+            F.element_at(
+                F.array(
+                    *[
+                        _sqdist_to_lit(_subvec("qv", mi, sub), centers[mi][j])
+                        for j in range(n_centers)
+                    ]
+                ),
+                F.col("codes")[mi] + 1,
+            )
+            for mi in range(m)
+        ),
+        6,
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     m: int = 4,
     n_centers: int = 4,
     query_mod: int = 100,
     k: int = 3,
+    centers: list | None = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k (asymmetric distance).
 
@@ -276,67 +351,24 @@ def pq_topk(
 
     Codebook: per subspace, the sub-vectors of the first n_centers rows
     (deterministic stand-in, same convention as ivf_topk's first-k
-    codebook; swap in a k-means fit per subspace for real recall).
-    Collected driver-side (control-plane-sized by the PQ contract: m *
-    n_centers * (d/m) floats) and inlined as literals, so BOTH encoding
-    and ADC scoring are pure map-side expression trees — the only
-    shuffle is the final per-query top-k window, and the corpus is
-    never reshuffled. Encoding ties break toward the lowest center id;
-    distances round to 6 dp before ranking (cross-engine rule).
+    codebook), or pass `centers` — e.g. a pq_train_centers() k-means fit
+    — as centers[mi][j] sub-vector lists for real recall. Collected
+    driver-side (control-plane-sized by the PQ contract: m * n_centers *
+    (d/m) floats) and inlined as literals, so BOTH encoding and ADC
+    scoring are pure map-side expression trees — the only shuffle is the
+    final per-query top-k window, and the corpus is never reshuffled.
+    Encoding ties break toward the lowest center id; distances round to
+    6 dp before ranking (cross-engine rule).
     """
     e = _base(embeddings)
-    head = e.where(F.col("vec_id") < n_centers).select("vec_id", "v").collect()
-    head.sort(key=lambda r: r["vec_id"])
-    dim = len(head[0]["v"])
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
-    sub = dim // m
-    # centers[mi][j] = j-th center's sub-vector for subspace mi
-    centers = [
-        [list(r["v"][mi * sub : (mi + 1) * sub]) for r in head]
-        for mi in range(m)
-    ]
-
-    def subvec(col_name: str, mi: int) -> F.Column:
-        return F.slice(F.col(col_name), mi * sub + 1, sub)
-
-    code_cols = [
-        (-F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sqdist_to_lit(subvec("v", mi), centers[mi][j]).alias(
-                            "d"
-                        ),
-                        F.lit(-j).alias("negj"),
-                    )
-                    for j in range(n_centers)
-                ]
-            )
-        )["negj"]).cast("int")
-        for mi in range(m)
-    ]
+    if centers is None:
+        centers = _first_k_pq_centers(e, m, n_centers)
+    sub = len(centers[0][0])
     encoded = e.select(
-        "vec_id", F.array(*code_cols).alias("codes")
+        "vec_id", F.array(*_pq_code_cols(centers, n_centers, sub)).alias("codes")
     )
     q = e.where(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    # ADC: per subspace, pick the distance to the candidate's chosen
-    # center via element_at over the literal per-center distance array.
-    adc = F.round(
-        sum(
-            F.element_at(
-                F.array(
-                    *[
-                        _sqdist_to_lit(subvec("qv", mi), centers[mi][j])
-                        for j in range(n_centers)
-                    ]
-                ),
-                F.col("codes")[mi] + 1,
-            )
-            for mi in range(m)
-        ),
-        6,
     )
     cand = (
         F.broadcast(q)
@@ -344,7 +376,7 @@ def pq_topk(
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            adc.alias("approx_dist"),
+            _adc_expr(centers, n_centers, sub).alias("approx_dist"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -353,3 +385,183 @@ def pq_topk(
     return cand.withColumn(
         "rnk", F.row_number().over(w).cast("long")
     ).where(F.col("rnk") <= k)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    n_cells: int = 4,
+    m: int = 4,
+    n_centers: int = 4,
+    query_mod: int = 100,
+    k: int = 3,
+    n_probe: int = 2,
+    cell_centroids: list | None = None,
+    centers: list | None = None,
+) -> DataFrame:
+    """IVFADC: IVF cell pruning composed with PQ/ADC scoring — the actual
+    100 TB ANN search path (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011, §IV). Flat PQ scans every code;
+    IVF-alone carries full vectors into the scoring join. Composed, a
+    query touches only its n_probe nearest cells AND each candidate costs
+    m code lookups instead of a d-dim vector read — at 1000 executors the
+    corpus is partitioned by cell on disk, so the probe set prunes whole
+    partitions and the per-partition payload is 64× smaller.
+
+    Composition contract (mirrors the standalone halves exactly):
+      - cell assignment: argmax cosine over the IVF codebook, ties to the
+        lowest c_id (ivf_topk's rule);
+      - queries probe their n_probe nearest cells (sim desc, c_id asc);
+      - candidate scoring: ADC against the PQ codebook (pq_topk's rule —
+        per-subspace 6-dp-rounded squared-L2, summed, re-rounded);
+      - per-query top-k on (approx_dist asc, n_id asc).
+
+    Both codebooks default to the deterministic first-K convention (and
+    are then SQL-oracle-able); pass `cell_centroids` ([[float]*dim]*n_cells)
+    and/or `centers` (centers[mi][j] sub-vectors, e.g. pq_train_centers)
+    for trained recall. Everything before the final top-k window is
+    map-side literal-expression work: encode, assign, and probe all ride
+    the corpus/query scans, the scoring join is a broadcast equi-join on
+    cell, and the only shuffle is the top-k window (WindowGroupLimit caps
+    it map-side).
+    """
+    e = _base(embeddings)
+    if centers is None:
+        centers = _first_k_pq_centers(e, m, n_centers)
+    sub = len(centers[0][0])
+    if cell_centroids is None:
+        cc_head = (
+            e.where(F.col("vec_id") < n_cells).select("vec_id", "v").collect()
+        )
+        cc_head.sort(key=lambda r: r["vec_id"])
+        assert [r["vec_id"] for r in cc_head] == list(range(n_cells)), (
+            f"IVF codebook requires vec_ids 0..{n_cells - 1}"
+        )
+        cell_centroids = [list(r["v"]) for r in cc_head]
+
+    # Ranked cell list per row: array_sort over (-sim, c_id) structs =
+    # sim desc then c_id asc — element 0 is the assignment cell, the
+    # first n_probe are a query's probe set. One expression, map-side.
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        -F.round(cosine(F.col("v"), _lit_vec(cv)), 6)
+                    ).alias("negs"),
+                    F.lit(c).alias("c"),
+                )
+                for c, cv in enumerate(cell_centroids)
+            ]
+        )
+    )
+    encoded = e.select(
+        "vec_id",
+        ranked[0]["c"].cast("long").alias("cell"),
+        F.array(*_pq_code_cols(centers, n_centers, sub)).alias("codes"),
+    )
+    q = e.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.slice(
+                F.transform(ranked, lambda x: x["c"].cast("long")), 1, n_probe
+            )
+        ).alias("q_cell"),
+    )
+    cand = (
+        F.broadcast(q)
+        .join(encoded, F.col("cell") == F.col("q_cell"))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            "cell",
+            _adc_expr(centers, n_centers, sub).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("approx_dist"), F.asc("n_id"))
+    return cand.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).where(F.col("rnk") <= k)
+
+
+def pq_distortion(embeddings: DataFrame, centers: list) -> float:
+    """Mean total quantization error of a PQ codebook over the corpus —
+    sum over subspaces of the squared-L2 distance to the chosen (nearest)
+    center, averaged over rows. This is the objective k-means training
+    minimizes, and the right codebook-quality measure on corpora where
+    top-k recall is tie-break-dominated (e.g. iid-random embeddings,
+    where every same-cell candidate encodes identically). One map-side
+    pass + a scalar agg; only the average reaches the driver."""
+    e = _base(embeddings)
+    n_centers = len(centers[0])
+    sub = len(centers[0][0])
+    tot = None
+    for mi in range(len(centers)):
+        dmin = F.array_min(
+            F.array(
+                *[
+                    _sqdist_to_lit(_subvec("v", mi, sub), centers[mi][j])
+                    for j in range(n_centers)
+                ]
+            )
+        )
+        tot = dmin if tot is None else tot + dmin
+    return float(e.select(F.avg(tot).alias("d")).collect()[0]["d"])
+
+
+def pq_train_centers(
+    embeddings: DataFrame, m: int = 4, n_centers: int = 4, n_iter: int = 2
+) -> list:
+    """Per-subspace k-means PQ codebook (the trained, non-default path;
+    first-K remains the SQL-oracle-able default).
+
+    All m subspaces train TOGETHER in one Spark job per Lloyd iteration:
+    encode with the current codebook (map-side literal expressions), then
+    posexplode (code, sub-vector) pairs and take quantized element means
+    per (subspace, code, pos) — the same FLOOR(val*1e9) exact-integer-sum
+    arithmetic as operators/kmeans.py, so training is deterministic.
+    Only the m * n_centers * (d/m) codebook ever reaches the driver.
+    Empty codes keep their previous center (standard Lloyd practice).
+    """
+    e = _base(embeddings)
+    centers = _first_k_pq_centers(e, m, n_centers)
+    sub = len(centers[0][0])
+    quant = 1_000_000_000
+    for _ in range(n_iter):
+        pairs = F.arrays_zip(
+            F.array(*_pq_code_cols(centers, n_centers, sub)).alias("code"),
+            F.array(
+                *[_subvec("v", mi, sub) for mi in range(m)]
+            ).alias("sv"),
+        )
+        agg = (
+            e.select(F.posexplode(pairs).alias("mi", "p"))
+            .select(
+                "mi",
+                F.col("p")["code"].alias("code"),
+                F.posexplode(F.col("p")["sv"]).alias("pos", "val"),
+            )
+            .groupBy("mi", "code", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.floor(F.col("val") * quant)).cast("double")
+                    / (F.lit(float(quant)) * F.count(F.lit(1))),
+                    4,
+                ).alias("mean_val")
+            )
+            .collect()
+        )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in agg:
+            new.setdefault((r["mi"], r["code"]), {})[r["pos"]] = r["mean_val"]
+        centers = [
+            [
+                [new[(mi, j)][p] for p in sorted(new[(mi, j)])]
+                if (mi, j) in new
+                else centers[mi][j]
+                for j in range(n_centers)
+            ]
+            for mi in range(m)
+        ]
+    return centers

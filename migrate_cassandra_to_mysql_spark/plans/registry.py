@@ -99,9 +99,9 @@ PRIORITY: list[str] = [
     # the stream-stream join, the round-4 flagship that shipped driver-
     # unverified (VERDICT r4 "What's missing #1").
     "streaming_click_attribution",
-    # training-mix curation (orders_with_items_semi / missing_ids_enriched
-    # rotated out on green r2 driver rows)
-    "temperature_mix_sample",
+    # training-mix curation family: orders_with_items_semi /
+    # missing_ids_enriched out r2, temperature_mix_sample out r6 — all on
+    # green driver rows; corpus_curation keeps the family's slot.
     # LLM-pipeline operators (suites carry six + two components each;
     # bpe_token_count / winnowing_fingerprints / ngram_jaccard_dedup
     # rotated out in r3 — all hold green r2 driver rows — to admit the
@@ -112,29 +112,29 @@ PRIORITY: list[str] = [
     "dedup_clusters",
     "contamination_check",
     "embedding_near_dup",
-    # r5 rotation: embedding_lsh_candidates and ivf_persisted_topk out on
-    # green r4 rows (embedding_near_dup composes the LSH path end-to-end;
-    # embedding_ivf_topk keeps IVF's driver row, and the persisted index
-    # is covered by tests/test_ivf_index.py). Admits four ops that have
-    # never held a driver row (VERDICT r4 ask #2):
-    "simhash_near_dup",
-    "fuzzy_name_dedup",
-    "random_projection",
-    "dataset_split_assignment",
-    "kmeans_clusters",
-    # TPC-H core (scalar suite carries q6/q14/q17/q19).
-    # r5 rotation: q4 / q18 / q22 out on green r4 rows (q21 keeps the
-    # exists/semi flavor, q3 the top-k join-agg, missing_ids_anti_join the
-    # anti-join, tpch_scalar_suite the scalar-subquery flavor); admits
-    # q8_market_share — the most join-heavy never-verified TPC-H query.
-    # Also out on green r4 rows: q7 / q9 (q8 keeps the deep multi-join
-    # agg shape in-window) — admitting the two r5-new operators so they
-    # earn driver rows in their own round instead of shipping unverified
-    # (the r4 verdict's criticism of streaming_click_attribution):
+    # r6 rotation (VERDICT r5 ask #2 — the ROADMAP backlog executed).
+    # Out on green r5 rows: simhash_near_dup, fuzzy_name_dedup,
+    # random_projection, dataset_split_assignment, kmeans_clusters
+    # (k-means keeps coverage via the label_centroids row + the unrolled-
+    # SQL parity suite and tests/test_kmeans.py), temperature_mix_sample,
+    # q8_market_share (q2/q10 bring fresh join-heavy shapes in),
+    # embedding_pq_topk (flat PQ is subsumed by the IVFADC composition
+    # below — tests/test_ann_recall.py pins all-cells IVFADC == flat PQ).
+    # In: the r5-new IVFADC composition plus seven never-driver-verified
+    # rows from the rotation backlog:
+    "embedding_ivfpq_topk",
+    "events_sliding_windows",
+    "moving_order_spend",
+    "corr_covar_stats",
+    "funnel_conversion",
+    # TPC-H core (scalar suite carries q6/q14/q17/q19; q4/q18/q22 out r5
+    # on green r4 rows, q7/q9/q8 out r5/r6 on green rows — q2/q10/q12
+    # bring the remaining unverified join-distribution shapes):
     "scd2_order_history",
-    "embedding_pq_topk",
     "tpch_scalar_suite",
-    "q8_market_share",
+    "q2_min_cost_supplier",
+    "q10_returned_items",
+    "q12_priority_case_sum",
     "q13_order_count_distribution",
     "q21_waiting_suppliers",
 ]

@@ -131,6 +131,79 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_ivfpq_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ cc AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 4),
+ pc AS (SELECT vec_id AS j, v AS cv FROM e WHERE vec_id < 4),
+ mi AS (SELECT unnest([0, 1, 2, 3]) AS mi),
+ csim AS (SELECT e.vec_id, cc.c_id,
+                 {_COS.format(a='e.v', b='cc.cv')} AS sim
+          FROM e CROSS JOIN cc),
+ asn AS (SELECT vec_id, c_id AS cell FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, c_id) AS rn
+           FROM csim) t
+         WHERE rn = 1),
+ dists AS (
+   SELECT e.vec_id, mi.mi, pc.j,
+          round(list_sum(list_transform(range(1, 17),
+              i -> (e.v[mi.mi * 16 + i] - pc.cv[mi.mi * 16 + i])
+                   * (e.v[mi.mi * 16 + i] - pc.cv[mi.mi * 16 + i]))), 6) AS d
+   FROM e, mi, pc),
+ enc AS (
+   SELECT vec_id, mi, j AS code FROM (
+     SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+                                  ORDER BY d, j) AS rn
+     FROM dists) t
+   WHERE rn = 1),
+ q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+ qprobe AS (
+   SELECT q_id, c_id AS q_cell FROM (
+     SELECT q.q_id, cc.c_id,
+            row_number() OVER (PARTITION BY q.q_id
+                               ORDER BY {_COS.format(a='q.qv', b='cc.cv')}
+                                        DESC, cc.c_id) AS rn
+     FROM q CROSS JOIN cc) t
+   WHERE rn <= 2),
+ qd AS (
+   SELECT q.q_id, mi.mi, pc.j,
+          round(list_sum(list_transform(range(1, 17),
+              i -> (q.qv[mi.mi * 16 + i] - pc.cv[mi.mi * 16 + i])
+                   * (q.qv[mi.mi * 16 + i] - pc.cv[mi.mi * 16 + i]))), 6) AS d
+   FROM q, mi, pc),
+ ad AS (
+   SELECT qd.q_id, enc.vec_id AS n_id, CAST(asn.cell AS BIGINT) AS cell,
+          round(sum(qd.d), 6) AS approx_dist
+   FROM enc
+   JOIN asn ON asn.vec_id = enc.vec_id
+   JOIN qprobe ON qprobe.q_cell = asn.cell
+   JOIN qd ON qd.q_id = qprobe.q_id AND qd.mi = enc.mi AND qd.j = enc.code
+   WHERE enc.vec_id <> qd.q_id
+   GROUP BY 1, 2, 3)
+SELECT q_id, n_id, cell, approx_dist, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY approx_dist, n_id) AS rnk
+  FROM ad) t
+WHERE rnk <= 3
+""",
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the composed 100 TB ANN search path (VERDICT r5 ask #1):
+    queries probe their 2 nearest IVF cells and score ONLY those cells'
+    PQ codes via asymmetric distance. Flat PQ (embedding_pq_topk) scans
+    every code; IVF alone (embedding_ivf_topk) joins full vectors; this
+    composition prunes candidates by cell AND compresses them 64×.
+    Cell assignment, probe selection, and PQ encoding are all map-side
+    literal-codebook expressions (operators/similarity.ivfpq_topk); the
+    only shuffle is the final per-query top-k window."""
+    return similarity.ivfpq_topk(
+        T(spark, sf_dir, "embeddings"),
+        n_cells=4, m=4, n_centers=4, query_mod=100, k=3, n_probe=2,
+    )
+
+
+@register(
     "ivf_persisted_topk",
     oracle=f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

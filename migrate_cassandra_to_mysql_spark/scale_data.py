@@ -1,0 +1,75 @@
+"""sf1 synthesis: scale the sf0.1 testdata 10× by key-shifted replication.
+
+Shared by the `pytest -m scale` smoke suite and bench.py's measured sf1
+block (VERDICT r5 ask #3 — scale regressions should be caught numerically
+per-round, not just pass/fail).
+
+Keys are shifted far past the source key space so every copy is a
+distinct entity (cardinalities scale 10×, not just row counts). Document
+text gets a per-copy suffix token so the near-dup family sees 10×
+distinct-but-similar docs rather than 10 exact clones of each (exact
+clones would test the dedup blowup, not the scale-up).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+DOC_ID_SHIFT = 10_000_000
+ORDERKEY_SHIFT = 100_000_000
+
+
+def synthesize_sf1(
+    spark: SparkSession, src_sf_dir: str, out_dir: str, copies: int = 10
+) -> None:
+    """Write documents/orders/lineitem scaled `copies`× under out_dir.
+
+    Only the three tables the heavy headline plans scan; each write is a
+    flat map over the source (explode of a literal copy array — no
+    shuffle) followed by the parquet write."""
+    copy_col = F.explode(
+        F.array(*[F.lit(i) for i in range(copies)])
+    ).alias("_copy")
+
+    docs = T(spark, src_sf_dir, "documents")
+    (
+        docs.select("*", copy_col)
+        .select(
+            (F.col("doc_id") + F.col("_copy") * F.lit(DOC_ID_SHIFT)).alias(
+                "doc_id"
+            ),
+            F.concat(
+                F.col("text"), F.lit(" copytoken"), F.col("_copy")
+            ).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        .repartition(8)
+        .write.parquet(f"{out_dir}/documents.parquet")
+    )
+
+    orders = T(spark, src_sf_dir, "orders")
+    (
+        orders.select("*", copy_col)
+        .select(
+            (F.col("o_orderkey") + F.col("_copy") * F.lit(ORDERKEY_SHIFT))
+            .alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        )
+        .repartition(8)
+        .write.parquet(f"{out_dir}/orders.parquet")
+    )
+
+    li = T(spark, src_sf_dir, "lineitem")
+    (
+        li.select("*", copy_col)
+        .select(
+            (F.col("l_orderkey") + F.col("_copy") * F.lit(ORDERKEY_SHIFT))
+            .alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .repartition(8)
+        .write.parquet(f"{out_dir}/lineitem.parquet")
+    )

@@ -107,3 +107,75 @@ def test_pq_topk_shape_and_compression_contract(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(
         map(tuple, pq_topk(emb, m=4, n_centers=4, query_mod=100, k=3).collect())
     )
+
+
+def test_ivfpq_recall_and_probe_consistency(spark, sf_dir):
+    """IVFADC (VERDICT r5 ask #1): composed IVF-prune + PQ-score search.
+
+    Two invariants: (a) probing ALL cells must reproduce flat PQ exactly
+    (modulo the extra cell column) — cell pruning changes WHICH candidates
+    are scored, never their ADC distance or ordering; (b) with n_probe=2
+    of 4 cells the pruned search still recovers a meaningful share of the
+    flat-PQ result while scoring fewer candidates."""
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    flat = pq_topk(emb, m=4, n_centers=4, query_mod=100, k=3).collect()
+    all_cells = ivfpq_topk(
+        emb, n_cells=4, m=4, n_centers=4, query_mod=100, k=3, n_probe=4
+    ).collect()
+    assert {(r["q_id"], r["n_id"], r["rnk"]) for r in all_cells} == {
+        (r["q_id"], r["n_id"], r["rnk"]) for r in flat
+    }
+
+    pruned = ivfpq_topk(
+        emb, n_cells=4, m=4, n_centers=4, query_mod=100, k=3, n_probe=2
+    ).collect()
+    # Per-query result counts and rank contiguity survive pruning.
+    by_q = {}
+    for r in pruned:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(r["rnk"] for r in rs) == list(range(1, len(rs) + 1))
+    # Pruned-vs-flat overlap: cells partition candidates, so the pruned
+    # top-k can only lose neighbors that live outside the probed cells.
+    r_pruned = _recall(pruned, flat, 3)
+    assert 0.3 <= r_pruned <= 1.0, r_pruned
+
+
+def test_pq_trained_codebook_reduces_distortion(spark, sf_dir):
+    """Trained (per-subspace k-means) PQ codebook vs the first-K stand-in
+    (VERDICT r5 ask #4). On this corpus top-k recall is tie-break-
+    dominated (iid-random embeddings: measured recall 0.13 first-K vs
+    0.0 trained at sf0.001, both noise — same-cell candidates encode
+    identically, so ranking inside a cell is arbitrary), so the honest
+    codebook-quality metric is the k-means objective itself: mean
+    quantization distortion. Training must reduce it materially and
+    monotonically."""
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        _base,
+        _first_k_pq_centers,
+        pq_distortion,
+        pq_train_centers,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    fk = _first_k_pq_centers(_base(emb), 4, 4)
+    tr1 = pq_train_centers(emb, m=4, n_centers=4, n_iter=1)
+    tr2 = pq_train_centers(emb, m=4, n_centers=4, n_iter=2)
+    d_fk = pq_distortion(emb, fk)
+    d_tr1 = pq_distortion(emb, tr1)
+    d_tr2 = pq_distortion(emb, tr2)
+    # Measured at sf0.001: 1.413 (first-K) -> 0.906 (1 iter) -> 0.895.
+    assert d_tr1 < 0.8 * d_fk, (d_fk, d_tr1)
+    assert d_tr2 <= d_tr1, (d_tr1, d_tr2)
+    # Trained codebook plugs into the search paths end-to-end.
+    from migrate_cassandra_to_mysql_spark.operators.similarity import ivfpq_topk
+
+    rows = ivfpq_topk(emb, query_mod=100, k=3, n_probe=2, centers=tr2).collect()
+    assert rows
+    for r in rows:
+        assert r["approx_dist"] >= 0 and r["n_id"] != r["q_id"]

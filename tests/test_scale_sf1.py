@@ -14,6 +14,7 @@ generation plus the five plans is minutes of wall clock. Run with
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -24,7 +25,7 @@ from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
 
 pytestmark = pytest.mark.scale
 
-_SRC_SF = "/root/testdata/sf0.1"
+_SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _COPIES = 10
 
 # The headliners worth smoking at sf1: the five most expensive in
@@ -43,62 +44,12 @@ _QUERIES = (
 
 @pytest.fixture(scope="module")
 def sf1_dir(spark) -> str:
-    """Synthesize sf1 from sf0.1: each table 10x via key-shifted copies.
+    """Synthesize sf1 from sf0.1 (migrate_cassandra_to_mysql_spark.
+    scale_data — shared with bench.py's measured sf1 block)."""
+    from migrate_cassandra_to_mysql_spark.scale_data import synthesize_sf1
 
-    Keys are shifted far past the source key space so every copy is a
-    distinct entity (cardinalities scale 10x, not just row counts).
-    Document text gets a per-copy suffix token so the near-dup family
-    sees 10x distinct-but-similar docs rather than 10 exact clones of
-    each (exact clones would test the dedup blowup, not the scale-up).
-    """
     out = tempfile.mkdtemp(prefix="mc2m_sf1_")
-    copies = F.explode(
-        F.array(*[F.lit(i) for i in range(_COPIES)])
-    ).alias("_copy")
-
-    docs = T(spark, _SRC_SF, "documents")
-    (
-        docs.select("*", copies)
-        .select(
-            (F.col("doc_id") + F.col("_copy") * F.lit(10_000_000)).alias(
-                "doc_id"
-            ),
-            F.concat(
-                F.col("text"), F.lit(" copytoken"), F.col("_copy")
-            ).alias("text"),
-            *[
-                c
-                for c in docs.columns
-                if c not in ("doc_id", "text")
-            ],
-        )
-        .repartition(8)
-        .write.parquet(f"{out}/documents.parquet")
-    )
-
-    orders = T(spark, _SRC_SF, "orders")
-    (
-        orders.select("*", copies)
-        .select(
-            (F.col("o_orderkey") + F.col("_copy") * F.lit(100_000_000))
-            .alias("o_orderkey"),
-            *[c for c in orders.columns if c != "o_orderkey"],
-        )
-        .repartition(8)
-        .write.parquet(f"{out}/orders.parquet")
-    )
-
-    li = T(spark, _SRC_SF, "lineitem")
-    (
-        li.select("*", copies)
-        .select(
-            (F.col("l_orderkey") + F.col("_copy") * F.lit(100_000_000))
-            .alias("l_orderkey"),
-            *[c for c in li.columns if c != "l_orderkey"],
-        )
-        .repartition(8)
-        .write.parquet(f"{out}/lineitem.parquet")
-    )
+    synthesize_sf1(spark, _SRC_SF, out, copies=_COPIES)
 
     yield out
 
