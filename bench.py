@@ -77,8 +77,13 @@ def main() -> None:
         for name in HEADLINE:
             if name not in qs:
                 continue
-            df = qs[name](spark, sf_dir)
+            # Timer starts BEFORE plan construction: some builders (ivf,
+            # pq) run a control-plane Spark job (codebook collect) at
+            # plan-build time, and excluding it would move real work
+            # outside the measurement (ADVICE r5). Methodology change in
+            # r6 — totals include plan-build for every query.
             t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         return timings
@@ -100,10 +105,45 @@ def main() -> None:
     skew_ab: dict[str, float] = {}
     for nm in ("skew_ab_salted", "skew_ab_plain"):
         if nm in qs:
-            df = qs[nm](spark, sf_dir)
             t0 = time.perf_counter()
+            df = qs[nm](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             skew_ab[nm] = round(time.perf_counter() - t0, 3)
+
+    # Measured sf1 block (VERDICT r5 ask #3): synthesize a 10×-sf0.1
+    # dataset (shared generator with the `pytest -m scale` smoke) and TIME
+    # the five heaviest headline plans on it, so a scale regression shows
+    # up numerically in BENCH_r{N}.json instead of only as a pass/fail
+    # smoke. Disable with SPARK_GRAFT_BENCH_SF1=0 for quick local loops.
+    sf1_block: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        import shutil
+        import tempfile
+
+        from migrate_cassandra_to_mysql_spark.scale_data import synthesize_sf1
+
+        sf1_dir = tempfile.mkdtemp(prefix="mc2m_bench_sf1_")
+        try:
+            t0 = time.perf_counter()
+            synthesize_sf1(spark, sf_dir, sf1_dir, copies=10)
+            sf1_block["synthesize_sec"] = round(time.perf_counter() - t0, 3)
+            sf1_block["copies"] = 10
+            sf1_timings: dict[str, float] = {}
+            for name in (
+                "snapshot_sanitize",
+                "ngram_jaccard_pruned",
+                "minhash_lsh_candidates",
+                "tfidf_top_terms",
+                "dedup_exact_lineitem",
+            ):
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf1_dir)
+                df.write.format("noop").mode("overwrite").save()
+                sf1_timings[name] = round(time.perf_counter() - t0, 3)
+            sf1_block["queries"] = sf1_timings
+            sf1_block["total_sec"] = round(sum(sf1_timings.values()), 3)
+        finally:
+            shutil.rmtree(sf1_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -116,6 +156,7 @@ def main() -> None:
                 "warm_total_sec": round(sum(warm.values()), 3),
                 "warm_queries": warm,
                 "skew_ab": skew_ab,
+                "sf1": sf1_block,
                 "sf": sf,
             }
         )
