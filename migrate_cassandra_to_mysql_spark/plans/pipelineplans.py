@@ -341,12 +341,22 @@ def attribution_join(
     clicks: DataFrame,
     watermark: str = "1 hour",
     max_delay: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """The stream-stream attribution join, factored so the catalog plan
     and the multi-batch/restart test drive the IDENTICAL plan. `views`
     carries (view_id, view_ts, user_id), `clicks` (click_id, click_ts,
     c_user_id); both may be streaming or batch DataFrames — watermarks
-    are applied here only for streaming inputs (no-op on batch)."""
+    are applied here only for streaming inputs (no-op on batch).
+
+    how='left_outer' is real attribution: never-clicked views must be
+    emitted too (with null click columns). In streaming mode Spark emits
+    a matched pair as soon as both sides arrive, but an unmatched view
+    only once the watermark proves no future click can match it —
+    click_ts <= view_ts + max_delay means the view's join window closes
+    when the global watermark passes view_ts + max_delay. State stays
+    bounded exactly as in the inner form; the outer rows ride the same
+    eviction that purges view state."""
     if views.isStreaming:
         views = views.withWatermark("view_ts", watermark)
     if clicks.isStreaming:
@@ -356,6 +366,7 @@ def attribution_join(
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("click_ts") >= F.col("view_ts"))
         & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_delay}")),
+        how,
     ).select(
         "view_id",
         "click_id",
@@ -448,4 +459,100 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     out = memo(("ssjoin_attribution", sf_dir), build)
+    return spark.read.parquet(str(out))
+
+
+@register(
+    "streaming_click_attribution_outer",
+    oracle="""
+WITH v AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+           FROM events WHERE event_type = 'view'),
+ c AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+       FROM events WHERE event_type = 'click'),
+ wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+               - INTERVAL 1 HOUR AS w),
+ pairs AS (
+   SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+          v.ts AS view_ts, c.ts AS click_ts,
+          CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS delay_sec
+   FROM v JOIN c ON v.user_id = c.user_id
+    AND c.ts >= v.ts
+    AND c.ts <= v.ts + INTERVAL 30 MINUTE),
+ expired AS (
+   SELECT v.event_id AS view_id, CAST(NULL AS BIGINT) AS click_id,
+          v.user_id, v.ts AS view_ts, CAST(NULL AS TIMESTAMP) AS click_ts,
+          CAST(NULL AS BIGINT) AS delay_sec
+   FROM v, wm
+   WHERE v.ts + INTERVAL 30 MINUTE < wm.w
+     AND NOT EXISTS (SELECT 1 FROM c
+                     WHERE c.user_id = v.user_id AND c.ts >= v.ts
+                       AND c.ts <= v.ts + INTERVAL 30 MINUTE))
+SELECT * FROM pairs
+UNION ALL
+SELECT * FROM expired
+""",
+)
+def streaming_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream attribution (VERDICT r5 ask #6): real
+    attribution must emit never-clicked views too, not just pairs. In
+    append mode Spark emits a matched pair when both sides have arrived,
+    but an unmatched view only when the global watermark PROVES no future
+    click can match — probed on this engine (strict inequality): a null-
+    click row emits iff view_ts + 30min < min(max view_ts, max click_ts)
+    - 1h, where the min is Spark's default multipleWatermarkPolicy across
+    the two inputs. The DuckDB oracle reproduces BOTH halves — the time-
+    bounded equi-join pairs AND the watermark-expiry cutoff for unmatched
+    views — so the subtle part (which unmatched rows a bounded-state
+    engine may emit by end-of-stream) is value-verified, not assumed.
+    Views younger than the final watermark horizon stay in state,
+    correctly unemitted: on an unbounded stream they could still match.
+    State bound is identical to the inner form (~1.5h sliding horizon);
+    the outer rows ride the same eviction that purges view state."""
+
+    def build() -> str:
+        work = workdir("mc2m_ssjoin_outer_")
+        vsrc, csrc, out, ckpt = (
+            f"{work}/views",
+            f"{work}/clicks",
+            f"{work}/out",
+            f"{work}/ckpt",
+        )
+        ev = T(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        ev.where(F.col("event_type") == "view").write.parquet(vsrc)
+        ev.where(F.col("event_type") == "click").write.parquet(csrc)
+        schema = ev.schema
+        views = (
+            spark.readStream.schema(schema)
+            .parquet(vsrc)
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+                "user_id",
+            )
+        )
+        clicks = (
+            spark.readStream.schema(schema)
+            .parquet(csrc)
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+                F.col("user_id").alias("c_user_id"),
+            )
+        )
+        joined = attribution_join(views, clicks, how="left_outer")
+        (
+            joined.writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .start()
+            .awaitTermination()
+        )
+        return out
+
+    out = memo(("ssjoin_attribution_outer", sf_dir), build)
     return spark.read.parquet(str(out))

@@ -96,9 +96,12 @@ PRIORITY: list[str] = [
     "snapshot_job_e2e",
     # r5 rotation: snapshot_cdc_diff out on its green r4 row (lifecycle
     # family keeps snapshot_job_e2e + snapshot_merge_upsert rows); admits
-    # the stream-stream join, the round-4 flagship that shipped driver-
-    # unverified (VERDICT r4 "What's missing #1").
-    "streaming_click_attribution",
+    # the stream-stream join. r6: the inner form rotates out on its green
+    # r5 row in favor of the LEFT-OUTER form (VERDICT r5 ask #6) — the
+    # harder semantics (watermark-expiry emission of unmatched views)
+    # whose oracle embeds the inner join as its `pairs` CTE, so pair
+    # coverage is kept.
+    "streaming_click_attribution_outer",
     # training-mix curation family: orders_with_items_semi /
     # missing_ids_enriched out r2, temperature_mix_sample out r6 — all on
     # green driver rows; corpus_curation keeps the family's slot.

@@ -70,12 +70,14 @@ _CLICKS_B2 = [
 _EXPECTED = {("v1", "c1"), ("v2", "c2"), ("v4", "c4")}
 
 
-def _drain_once(spark, vsrc: str, csrc: str, out: str, ckpt: str) -> None:
+def _drain_once(
+    spark, vsrc: str, csrc: str, out: str, ckpt: str, how: str = "inner"
+) -> None:
     """One AvailableNow run over whatever files currently exist."""
     views = spark.readStream.schema(_VIEW_SCHEMA).parquet(vsrc)
     clicks = spark.readStream.schema(_CLICK_SCHEMA).parquet(csrc)
     (
-        attribution_join(views, clicks)
+        attribution_join(views, clicks, how=how)
         .writeStream.trigger(availableNow=True)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -159,3 +161,67 @@ def test_attribution_join_batch_twin_matches_streamed(spark):
         for r in attribution_join(v, c).collect()
     }
     assert got == _EXPECTED
+
+
+def test_outer_attribution_unmatched_rows_across_restart(spark):
+    """Left-outer twin of the restart test (VERDICT r5 ask #6). The
+    never-clicked view v0 (09:00) expires BETWEEN the two runs: its
+    30-min join window closes at 09:30, past run 1's watermark
+    (min(10:50, 10:10) - 1h = 09:10) but under the final one
+    (min(11:10, 11:20) - 1h = 10:10) — it must emit EXACTLY ONCE, with
+    null click columns, and only in run 2. v3/v5 are also never-clicked but their
+    windows (10:30 / 11:10) are NOT closed under the final watermark:
+    a bounded-state engine must withhold them — on an unbounded stream
+    they could still match. Matched pairs (incl. the cross-restart v2/
+    c2) behave exactly as in the inner form."""
+    import tempfile as _tf
+
+    work = _tf.mkdtemp(prefix="mc2m_ssjoin_outer_restart_")
+    vsrc, csrc = f"{work}/views", f"{work}/clicks"
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+
+    views_b1 = _VIEWS_B1 + [("v0", _ts("9:00"), "u9")]
+    spark.createDataFrame(views_b1, _VIEW_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(vsrc)
+    spark.createDataFrame(_CLICKS_B1, _CLICK_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(csrc)
+    _drain_once(spark, vsrc, csrc, out, ckpt, how="left_outer")
+
+    run1 = {
+        (r["view_id"], r["click_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert run1 == {("v1", "c1")}, run1  # v0 not yet expired in run 1
+
+    spark.createDataFrame(_VIEWS_B2, _VIEW_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(vsrc)
+    spark.createDataFrame(_CLICKS_B2, _CLICK_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(csrc)
+    _drain_once(spark, vsrc, csrc, out, ckpt, how="left_outer")
+
+    rows = spark.read.parquet(out).collect()
+    pairs = [(r["view_id"], r["click_id"]) for r in rows]
+    expected = _EXPECTED | {("v0", None)}
+    assert set(pairs) == expected, pairs
+    assert len(pairs) == len(expected), pairs  # no duplicate emissions
+    null_row = next(r for r in rows if r["view_id"] == "v0")
+    assert null_row["click_ts"] is None and null_row["delay_sec"] is None
+    assert null_row["user_id"] == "u9" and null_row["view_ts"] == _ts("9:00")
+
+
+def test_outer_attribution_batch_twin_includes_unmatched(spark):
+    """On batch inputs the left-outer helper is a plain left join: ALL
+    never-clicked views appear with nulls (no watermark cutoff — batch
+    has complete knowledge). This is the semantic the streaming form
+    converges to as the watermark passes every view's window."""
+    v = spark.createDataFrame(
+        _VIEWS_B1 + _VIEWS_B2 + [("v0", _ts("9:00"), "u9")], _VIEW_SCHEMA
+    )
+    c = spark.createDataFrame(_CLICKS_B1 + _CLICKS_B2, _CLICK_SCHEMA)
+    rows = attribution_join(v, c, how="left_outer").collect()
+    got = {(r["view_id"], r["click_id"]) for r in rows}
+    assert got == _EXPECTED | {("v0", None), ("v3", None), ("v5", None)}
