@@ -125,3 +125,94 @@ def scd2_merge(
     return joined.select(
         *key_cols, F.explode(versions).alias("__v")
     ).select(*key_cols, "__v.*")
+
+
+def scd2_init(
+    snapshot: DataFrame, key_cols: list[str], tracked_cols: list[str], t0: str
+) -> DataFrame:
+    """Generation-1 SCD2 history: every snapshot row becomes one open
+    version (valid_from=t0, valid_to=NULL, is_current). The base case of
+    the incremental fold — scd2_apply_increment(scd2_init(s1, t1), s2,
+    ..., t2) is definitionally equal to scd2_merge(s1, s2, t1, t2), an
+    invariant the tests pin."""
+    return snapshot.select(
+        *key_cols,
+        *tracked_cols,
+        F.lit(t0).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_apply_increment(
+    history: DataFrame,
+    snapshot: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    t_new: str,
+) -> DataFrame:
+    """Fold ONE new snapshot generation into an existing SCD2 history
+    (VERDICT r5 ask #8 — real history accretes N generations; scd2_merge
+    handles only the first pair).
+
+    Per key against the history's CURRENT row:
+      changed value : close current (valid_to=t_new) + open new version
+      unchanged     : current row passes through open
+      new key       : open row (t_new -> NULL) — including keys deleted in
+                      an EARLIER generation (re-insert: their closed rows
+                      remain, a fresh open version starts)
+      deleted key   : current row closes (t_new), no successor
+
+    Closed rows pass through UNTOUCHED AND UNSHUFFLED — the filter on
+    is_current needs no exchange, so each re-sync costs one key-shuffle
+    of (current ∪ snapshot), NOT of the ever-growing history. At 100 TB
+    with years of versions that difference is the whole game: history
+    size is unbounded, the current slice is bounded by the entity count.
+    Same single-join + 1-or-2-element-explode shape as scd2_merge."""
+    hist_cols = [*key_cols, *tracked_cols, "valid_from", "valid_to", "is_current"]
+    closed = history.where(~F.col("is_current")).select(*hist_cols)
+    cur = history.where(F.col("is_current")).select(
+        *key_cols,
+        *[F.col(c).alias(f"__ex_{c}") for c in tracked_cols],
+        F.col("valid_from").alias("__ex_from"),
+        F.lit(True).alias("__ex_present"),
+    )
+    inc = snapshot.select(
+        *key_cols, *[F.col(c).alias(f"__in_{c}") for c in tracked_cols]
+    ).withColumn("__in_present", F.lit(True))
+    joined = cur.join(inc, key_cols, "full_outer")
+    in_ex = F.coalesce(F.col("__ex_present"), F.lit(False))
+    in_inc = F.coalesce(F.col("__in_present"), F.lit(False))
+    changed = in_ex & in_inc & ~F.struct(
+        *[F.col(f"__ex_{c}") for c in tracked_cols]
+    ).eqNullSafe(F.struct(*[F.col(f"__in_{c}") for c in tracked_cols]))
+    tsn = F.lit(t_new).cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
+
+    def version(side: str, vfrom, vto, current) -> F.Column:
+        return F.struct(
+            *[F.col(f"__{side}_{c}").alias(c) for c in tracked_cols],
+            vfrom.alias("valid_from"),
+            vto.alias("valid_to"),
+            current.alias("is_current"),
+        )
+
+    versions = (
+        F.when(
+            changed,
+            F.array(
+                version("ex", F.col("__ex_from"), tsn, F.lit(False)),
+                version("in", tsn, null_ts, F.lit(True)),
+            ),
+        )
+        .when(
+            in_ex & in_inc,  # unchanged: the open row rides through
+            F.array(version("ex", F.col("__ex_from"), null_ts, F.lit(True))),
+        )
+        .when(in_inc, F.array(version("in", tsn, null_ts, F.lit(True))))
+        .otherwise(F.array(version("ex", F.col("__ex_from"), tsn, F.lit(False))))
+    )
+    out = joined.select(
+        *key_cols, F.explode(versions).alias("__v")
+    ).select(*key_cols, "__v.*")
+    return closed.unionByName(out)

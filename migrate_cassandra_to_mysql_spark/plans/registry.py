@@ -133,7 +133,11 @@ PRIORITY: list[str] = [
     # TPC-H core (scalar suite carries q6/q14/q17/q19; q4/q18/q22 out r5
     # on green r4 rows, q7/q9/q8 out r5/r6 on green rows — q2/q10/q12
     # bring the remaining unverified join-distribution shapes):
-    "scd2_order_history",
+    # r6: scd2_order_history out on its green r5 row — the incremental
+    # 3-generation fold below strictly generalizes it (its oracle applies
+    # the same increment rule per generation; the init+1-increment ==
+    # scd2_merge identity is pinned in tests/test_snapshot_diff.py):
+    "scd2_incremental_history",
     "tpch_scalar_suite",
     "q2_min_cost_supplier",
     "q10_returned_items",

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from migrate_cassandra_to_mysql_spark.operators.merge import merge_snapshots, scd2_merge
+from migrate_cassandra_to_mysql_spark.operators.merge import (
+    merge_snapshots,
+    scd2_apply_increment,
+    scd2_init,
+    scd2_merge,
+)
 from migrate_cassandra_to_mysql_spark.operators.skew import salted_join
 from migrate_cassandra_to_mysql_spark.plans.registry import register
 from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
@@ -329,3 +334,143 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         t1="2026-01-01 00:00:00",
         t2="2026-02-01 00:00:00",
     )
+
+
+_T1, _T2, _T3 = (
+    "TIMESTAMP '2026-01-01 00:00:00'",
+    "TIMESTAMP '2026-02-01 00:00:00'",
+    "TIMESTAMP '2026-03-01 00:00:00'",
+)
+
+
+def _scd2_inc_step(prev: str, snap: str, t_new: str, idx: int) -> str:
+    """One scd2_apply_increment fold as SQL CTEs (cur{i}/j{i}/h{i}) —
+    generated so the oracle applies the IDENTICAL increment rule at every
+    generation instead of hand-duplicating six UNION branches per step."""
+    chg = "(et <> it OR es <> i_status)"
+    return f"""cur{idx} AS (SELECT * FROM {prev} WHERE is_current),
+ j{idx} AS (
+   SELECT coalesce(c.file_id, s.file_id) AS file_id,
+          c.total AS et, c.status AS es, c.valid_from AS ef,
+          s.total AS it, s.status AS i_status,
+          c.file_id IS NOT NULL AS in_ex, s.file_id IS NOT NULL AS in_inc
+   FROM cur{idx} c FULL OUTER JOIN {snap} s ON c.file_id = s.file_id),
+ h{idx} AS (
+   SELECT file_id, total, status, valid_from, valid_to, is_current
+   FROM {prev} WHERE NOT is_current
+   UNION ALL
+   SELECT file_id, et, es, ef, {t_new}, CAST(FALSE AS BOOLEAN)
+   FROM j{idx} WHERE in_ex AND in_inc AND {chg}
+   UNION ALL
+   SELECT file_id, it, i_status, {t_new}, CAST(NULL AS TIMESTAMP), TRUE
+   FROM j{idx} WHERE in_ex AND in_inc AND {chg}
+   UNION ALL
+   SELECT file_id, et, es, ef, CAST(NULL AS TIMESTAMP), TRUE
+   FROM j{idx} WHERE in_ex AND in_inc AND NOT {chg}
+   UNION ALL
+   SELECT file_id, it, i_status, {t_new}, CAST(NULL AS TIMESTAMP), TRUE
+   FROM j{idx} WHERE NOT in_ex
+   UNION ALL
+   SELECT file_id, et, es, ef, {t_new}, CAST(FALSE AS BOOLEAN)
+   FROM j{idx} WHERE NOT in_inc)"""
+
+
+def _scd2_incremental_oracle() -> str:
+    s1 = """s1 AS (
+  SELECT o_orderkey AS file_id, o_totalprice AS total,
+         o_orderstatus AS status
+  FROM orders)"""
+    s2 = """s2 AS (
+  SELECT o_orderkey AS file_id,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+              ELSE o_totalprice END AS total,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS status
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, 'N'
+  FROM orders WHERE o_orderkey % 100 = 0)"""
+    s3 = """s3 AS (
+  SELECT o_orderkey AS file_id,
+         (CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+               ELSE o_totalprice END)
+         + (CASE WHEN o_orderkey % 7 = 0 THEN 500 ELSE 0 END) AS total,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'V'
+              WHEN o_orderkey % 10 = 0 THEN 'U'
+              ELSE o_orderstatus END AS status
+  FROM orders WHERE o_orderkey % 13 <> 0 AND o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'R'
+  FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, 'N'
+  FROM orders WHERE o_orderkey % 100 = 0 AND o_orderkey % 11 <> 0)"""
+    h1 = f"""h1 AS (
+  SELECT file_id, total, status, {_T1} AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM s1)"""
+    return (
+        "WITH "
+        + ",\n ".join(
+            [
+                s1,
+                s2,
+                s3,
+                h1,
+                _scd2_inc_step("h1", "s2", _T2, 2),
+                _scd2_inc_step("h2", "s3", _T3, 3),
+            ]
+        )
+        + "\nSELECT file_id, total, status, valid_from, valid_to, is_current"
+        + "\nFROM h3"
+    )
+
+
+@register("scd2_incremental_history", oracle=_scd2_incremental_oracle())
+def scd2_incremental_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-generation SCD2 fold (VERDICT r5 ask #8): three snapshot
+    generations accrete into one history via scd2_init + two
+    scd2_apply_increment folds. Exercises every transition the
+    incremental operator supports: value updates (%10 then %7 keys),
+    deletes (%13 at g2, %11 at g3), inserts (+10M keys at g2), and —
+    the path scd2_merge alone cannot express — RE-INSERTS (%13-even
+    keys return at g3 with status 'R' after being deleted at g2: their
+    g1 row stays closed, a fresh open version starts at t3). The oracle
+    GENERATES the same increment rule as SQL CTEs per generation, so
+    the fold itself — not just one step — is differentially verified.
+    Closed rows never re-shuffle: each increment joins only the current
+    slice against the new snapshot (operators/merge.scd2_apply_increment
+    scale note)."""
+    o = T(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    tp, st = F.col("o_totalprice"), F.col("o_orderstatus")
+    s1 = o.select(
+        key.alias("file_id"), tp.alias("total"), st.alias("status")
+    )
+    total2 = F.when(key % 10 == 0, tp + 1000).otherwise(tp)
+    status2 = F.when(key % 10 == 0, F.lit("U")).otherwise(st)
+    inserts = o.where(key % 100 == 0).select(
+        (key + 10000000).alias("file_id"),
+        tp.alias("total"),
+        F.lit("N").alias("status"),
+    )
+    s2 = (
+        o.where(key % 13 != 0)
+        .select(key.alias("file_id"), total2.alias("total"), status2.alias("status"))
+        .unionByName(inserts)
+    )
+    total3 = total2 + F.when(key % 7 == 0, F.lit(500)).otherwise(F.lit(0))
+    status3 = F.when(key % 7 == 0, F.lit("V")).otherwise(status2)
+    s3 = (
+        o.where((key % 13 != 0) & (key % 11 != 0))
+        .select(key.alias("file_id"), total3.alias("total"), status3.alias("status"))
+        .unionByName(
+            o.where((key % 13 == 0) & (key % 2 == 0)).select(
+                key.alias("file_id"), tp.alias("total"), F.lit("R").alias("status")
+            )
+        )
+        .unionByName(inserts.where(key % 11 != 0))
+    )
+    keys, tracked = ["file_id"], ["total", "status"]
+    h1 = scd2_init(s1, keys, tracked, "2026-01-01 00:00:00")
+    h2 = scd2_apply_increment(h1, s2, keys, tracked, "2026-02-01 00:00:00")
+    return scd2_apply_increment(h2, s3, keys, tracked, "2026-03-01 00:00:00")

@@ -145,3 +145,115 @@ def test_scd2_merge_randomized_invariants(spark):
             ).collect()
         }
         assert latest == merged, f"seed {seed}: history != latest_wins merge"
+
+
+def _py_scd2_fold(generations):
+    """Pure-Python reference fold: generations is [(t, {key: values})].
+    Returns the expected history as a set of
+    (key, values, valid_from, valid_to, is_current) tuples."""
+    closed = []
+    open_rows = {}  # key -> (values, t_from)
+    for t, snap in generations:
+        for k, vals in snap.items():
+            if k not in open_rows:
+                open_rows[k] = (vals, t)
+            elif open_rows[k][0] != vals:
+                old_vals, t_from = open_rows.pop(k)
+                closed.append((k, old_vals, t_from, t))
+                open_rows[k] = (vals, t)
+        for k in list(open_rows):
+            if k not in snap:
+                old_vals, t_from = open_rows.pop(k)
+                closed.append((k, old_vals, t_from, t))
+    return {(k, v, f, to, False) for k, v, f, to in closed} | {
+        (k, v, f, None, True) for k, (v, f) in open_rows.items()
+    }
+
+
+def test_scd2_increment_equals_pairwise_merge(spark):
+    """Base-case identity: init + one increment must reproduce scd2_merge
+    row-for-row — the incremental fold is a strict generalization."""
+    from migrate_cassandra_to_mysql_spark.operators.merge import (
+        scd2_apply_increment,
+        scd2_init,
+        scd2_merge,
+    )
+
+    ex = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (5, None, "E")],
+        ["id", "total", "status"],
+    )
+    inc = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 25.0, "B"), (4, 40.0, "D"), (5, None, "E")],
+        ["id", "total", "status"],
+    )
+    t1, t2 = "2026-01-01 00:00:00", "2026-02-01 00:00:00"
+    pair = scd2_merge(ex, inc, ["id"], ["total", "status"], t1=t1, t2=t2)
+    fold = scd2_apply_increment(
+        scd2_init(ex, ["id"], ["total", "status"], t1),
+        inc, ["id"], ["total", "status"], t2,
+    )
+    assert sorted(map(tuple, pair.collect())) == sorted(
+        map(tuple, fold.collect())
+    )
+
+
+def test_scd2_multi_generation_fold_randomized(spark):
+    """Seeded-random FOUR-generation folds, checked against a pure-Python
+    reference fold — covers every transition chain the incremental
+    operator must get right, including delete-then-re-insert (closed row
+    survives untouched, fresh open version starts) and repeated updates
+    of one key (N closed versions, contiguous valid_to/valid_from)."""
+    from migrate_cassandra_to_mysql_spark.operators.merge import (
+        scd2_apply_increment,
+        scd2_init,
+    )
+    import random
+
+    stamps = [f"2026-0{i}-01 00:00:00" for i in (1, 2, 3, 4)]
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        keys = list(range(40))
+        gens = []
+        for t in stamps:
+            snap = {}
+            for k in keys:
+                if rng.random() < 0.7:
+                    snap[k] = (rng.choice([10.0, 20.0, None]), rng.choice("AB"))
+            gens.append((t, snap))
+
+        dfs = [
+            spark.createDataFrame(
+                [(k, v[0], v[1]) for k, v in snap.items()],
+                "id bigint, total double, status string",
+            )
+            for _, snap in gens
+        ]
+        hist = scd2_init(dfs[0], ["id"], ["total", "status"], gens[0][0])
+        for (t, _), df in zip(gens[1:], dfs[1:]):
+            hist = scd2_apply_increment(hist, df, ["id"], ["total", "status"], t)
+
+        got = {
+            (
+                r["id"],
+                (r["total"], r["status"]),
+                str(r["valid_from"]),
+                str(r["valid_to"]) if r["valid_to"] is not None else None,
+                r["is_current"],
+            )
+            for r in hist.collect()
+        }
+        want = {
+            (k, v, f"{f}", to if to is None else f"{to}", cur)
+            for k, v, f, to, cur in _py_scd2_fold(gens)
+        }
+        assert got == want, f"seed {seed}"
+        # structural: at most one open version per key, time-ordered
+        per_key = {}
+        for r in hist.collect():
+            per_key.setdefault(r["id"], []).append(r)
+        for k, rs in per_key.items():
+            assert sum(r["is_current"] for r in rs) <= 1, k
+            rs = sorted(rs, key=lambda r: r["valid_from"])
+            for a, b in zip(rs, rs[1:]):
+                assert a["valid_to"] is not None and a["valid_to"] <= b["valid_from"]
