@@ -72,29 +72,35 @@ def main() -> None:
               "embeddings", "nation", "region"):
         _T(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
-    def run_pass() -> dict[str, float]:
+    def run_pass() -> tuple[dict[str, float], dict[str, float]]:
+        """Returns (total, build) per query. The timer starts BEFORE plan
+        construction: some builders (ivf, pq) run a control-plane Spark
+        job (codebook collect) at plan-build time, and excluding it would
+        move real work outside the measurement (ADVICE r5). Methodology
+        change in r6 — `queries` totals include plan-build; the separate
+        `build_queries` split keeps exec-only numbers comparable to the
+        r1-r5 series (which timed from after plan construction)."""
         timings: dict[str, float] = {}
+        builds: dict[str, float] = {}
         for name in HEADLINE:
             if name not in qs:
                 continue
-            # Timer starts BEFORE plan construction: some builders (ivf,
-            # pq) run a control-plane Spark job (codebook collect) at
-            # plan-build time, and excluding it would move real work
-            # outside the measurement (ADVICE r5). Methodology change in
-            # r6 — totals include plan-build for every query.
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
+            t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        return timings
+            t2 = time.perf_counter()
+            timings[name] = round(t2 - t0, 3)
+            builds[name] = round(t1 - t0, 3)
+        return timings, builds
 
     # Pass 1 (cold): includes per-query whole-stage-codegen compilation —
     # a fixed driver-side cost that is noise at production scale but up to
     # half the per-query time at sf0.1. Pass 2 (warm): compile caches hot,
     # measures the actual distributed execution. `value` stays the cold
     # total for cross-round comparability; warm numbers ride along.
-    timings = run_pass()
-    warm = run_pass()
+    timings, builds = run_pass()
+    warm, warm_builds = run_pass()
 
     # Skew-strategy A/B (aux, outside the 25-query total): the salted and
     # plain twins run the IDENTICAL deliberately-skewed input (hot key =
@@ -153,8 +159,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "build_queries": builds,
+                "exec_total_sec": round(
+                    sum(timings.values()) - sum(builds.values()), 3
+                ),
                 "warm_total_sec": round(sum(warm.values()), 3),
                 "warm_queries": warm,
+                "warm_build_queries": warm_builds,
+                "warm_exec_total_sec": round(
+                    sum(warm.values()) - sum(warm_builds.values()), 3
+                ),
                 "skew_ab": skew_ab,
                 "sf1": sf1_block,
                 "sf": sf,

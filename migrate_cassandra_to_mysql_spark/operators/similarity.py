@@ -164,12 +164,27 @@ def lsh_candidate_pairs(
     )
 
 
+def first_k_centroid_rows(embeddings: DataFrame, k: int) -> list:
+    """First-K IVF codebook, collected: [{'c_id', 'cv'}] for the k
+    lowest-vec_id vectors. Control-plane sized; callers that serve many
+    queries should collect once and pass the rows to ivf_topk (the
+    catalog memoizes per sf_dir — train-once, query-many)."""
+    e = _base(embeddings)
+    return [
+        {"c_id": int(r["vec_id"]), "cv": list(r["v"])}
+        for r in sorted(
+            e.where(F.col("vec_id") < k).select("vec_id", "v").collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_centroids: int = 4,
     query_mod: int = 100,
     k: int = 3,
-    centroids: DataFrame | None = None,
+    centroids: DataFrame | list | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
@@ -190,30 +205,18 @@ def ivf_topk(
     bit-identical. Query scoring still joins on cell id only.
     """
     e = _base(embeddings)
-    cents = (
-        centroids
-        if centroids is not None
-        else e.where(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
-        )
-    ).collect()
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    F.round(
-                        cosine(
-                            F.col("v"),
-                            F.array(*[F.lit(float(x)) for x in row["cv"]]),
-                        ),
-                        6,
-                    ).alias("s"),
-                    F.lit(-int(row["c_id"])).alias("negid"),
-                )
-                for row in cents
-            ]
-        )
+    if centroids is None:
+        cents = first_k_centroid_rows(embeddings, n_centroids)
+    elif isinstance(centroids, DataFrame):
+        cents = centroids.collect()
+    else:  # pre-collected rows/dicts — lets callers memoize train-once
+        cents = centroids
+    structs = ", ".join(
+        f"named_struct('s', round({_sql_cos_lit('v', list(row['cv']))}, 6),"
+        f" 'negid', {-int(row['c_id'])})"
+        for row in cents
     )
+    best = F.expr(f"array_max(array({structs}))")
     assigned = e.withColumn("_b", best).select(
         "vec_id", "v", (-F.col("_b")["negid"]).cast("long").alias("cell")
     )
@@ -239,20 +242,46 @@ def ivf_topk(
     )
 
 
-def _lit_vec(values) -> F.Column:
-    return F.array(*[F.lit(float(x)) for x in values])
+# Literal-codebook expressions are generated as SQL STRINGS (one
+# spark.sql parse) rather than nested Column constructors: a 4x4x16
+# codebook otherwise costs ~2000 py4j round-trips PER PLAN BUILD —
+# measured 0.6-1.3s of pure driver-side construction time per ANN query
+# (the execution plan is identical either way; same trick as
+# hyperplane_buckets above).
 
 
-def _sqdist_to_lit(col: F.Column, center: list) -> F.Column:
-    """Squared L2 distance between an array column slice and a literal
-    center, rounded to 6 dp (cross-engine reproducibility rule)."""
-    return F.round(
-        F.aggregate(
-            F.zip_with(col, _lit_vec(center), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+def _sql_vec(values) -> str:
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in values) + ")"
+
+
+def _sql_sqdist(col_expr: str, center: list) -> str:
+    """Squared L2 distance between an array expression and a literal
+    center, rounded to 6 dp (cross-engine reproducibility rule). Same
+    fold shape as the Column form it replaced: zip_with squared diffs,
+    sequential double accumulation."""
+    arr = _sql_vec(center)
+    return (
+        f"round(aggregate(zip_with({col_expr}, {arr},"
+        f" (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 6)"
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+def _sql_cos_lit(col_expr: str, vec: list) -> str:
+    """cosine(col, literal) with the exact operation sequence of
+    functions/vectors.cosine: dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))).
+    The literal-side norm stays in SQL so constant folding computes it
+    with the same JVM arithmetic the Column form used."""
+    arr = _sql_vec(vec)
+    return (
+        f"({_sql_dot(col_expr, arr)} / (sqrt({_sql_dot(col_expr, col_expr)})"
+        f" * sqrt({_sql_dot(arr, arr)})))"
     )
 
 
@@ -278,6 +307,28 @@ def _first_k_pq_centers(e: DataFrame, m: int, n_centers: int) -> list:
     ]
 
 
+def first_k_pq_centers(embeddings: DataFrame, m: int, n_centers: int) -> list:
+    """Public collected form of the first-K PQ codebook (see
+    _first_k_pq_centers) — callers memoize it for train-once serving."""
+    return _first_k_pq_centers(_base(embeddings), m, n_centers)
+
+
+def first_k_cell_centroids(embeddings: DataFrame, n_cells: int) -> list:
+    """First-K IVF cell centroids as plain vectors [[float]*dim]*n_cells
+    (index == cell id), asserted dense on vec_id 0..n_cells-1."""
+    head = (
+        _base(embeddings)
+        .where(F.col("vec_id") < n_cells)
+        .select("vec_id", "v")
+        .collect()
+    )
+    head.sort(key=lambda r: r["vec_id"])
+    assert [r["vec_id"] for r in head] == list(range(n_cells)), (
+        f"IVF codebook requires vec_ids 0..{n_cells - 1}"
+    )
+    return [list(r["v"]) for r in head]
+
+
 def _subvec(col_name: str, mi: int, sub: int) -> F.Column:
     """Sub-vector mi of an array column (1-based slice of width `sub`)."""
     return F.slice(F.col(col_name), mi * sub + 1, sub)
@@ -289,22 +340,17 @@ def _pq_code_cols(centers: list, n_centers: int, sub: int) -> list:
     then j ascending — so a distance tie picks the LOWEST center id,
     matching the oracle's ORDER BY d, j. (Pairing negation with
     array_min, as an earlier draft did, double-inverts the tie-break.)"""
-    return [
-        F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _sqdist_to_lit(
-                            _subvec("v", mi, sub), centers[mi][j]
-                        ).alias("d"),
-                        F.lit(j).alias("j"),
-                    )
-                    for j in range(n_centers)
-                ]
-            )
-        )["j"].cast("int")
-        for mi in range(len(centers))
-    ]
+    cols = []
+    for mi in range(len(centers)):
+        sv = f"slice(v, {mi * sub + 1}, {sub})"
+        structs = ", ".join(
+            f"named_struct('d', {_sql_sqdist(sv, centers[mi][j])}, 'j', {j})"
+            for j in range(n_centers)
+        )
+        cols.append(
+            F.expr(f"cast(array_min(array({structs})).j AS int)")
+        )
+    return cols
 
 
 def _adc_expr(centers: list, n_centers: int, sub: int) -> F.Column:
@@ -312,22 +358,14 @@ def _adc_expr(centers: list, n_centers: int, sub: int) -> F.Column:
     query's sub-vector (column `qv`) to the candidate's chosen center via
     element_at over the literal per-center distance array, summed across
     subspaces and rounded to 6 dp (cross-engine rule)."""
-    m = len(centers)
-    return F.round(
-        sum(
-            F.element_at(
-                F.array(
-                    *[
-                        _sqdist_to_lit(_subvec("qv", mi, sub), centers[mi][j])
-                        for j in range(n_centers)
-                    ]
-                ),
-                F.col("codes")[mi] + 1,
-            )
-            for mi in range(m)
-        ),
-        6,
-    )
+    terms = []
+    for mi in range(len(centers)):
+        qsv = f"slice(qv, {mi * sub + 1}, {sub})"
+        dists = ", ".join(
+            _sql_sqdist(qsv, centers[mi][j]) for j in range(n_centers)
+        )
+        terms.append(f"element_at(array({dists}), codes[{mi}] + 1)")
+    return F.expr(f"round({' + '.join(terms)}, 6)")
 
 
 def pq_topk(
@@ -429,31 +467,17 @@ def ivfpq_topk(
         centers = _first_k_pq_centers(e, m, n_centers)
     sub = len(centers[0][0])
     if cell_centroids is None:
-        cc_head = (
-            e.where(F.col("vec_id") < n_cells).select("vec_id", "v").collect()
-        )
-        cc_head.sort(key=lambda r: r["vec_id"])
-        assert [r["vec_id"] for r in cc_head] == list(range(n_cells)), (
-            f"IVF codebook requires vec_ids 0..{n_cells - 1}"
-        )
-        cell_centroids = [list(r["v"]) for r in cc_head]
+        cell_centroids = first_k_cell_centroids(embeddings, n_cells)
 
     # Ranked cell list per row: array_sort over (-sim, c_id) structs =
     # sim desc then c_id asc — element 0 is the assignment cell, the
     # first n_probe are a query's probe set. One expression, map-side.
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (
-                        -F.round(cosine(F.col("v"), _lit_vec(cv)), 6)
-                    ).alias("negs"),
-                    F.lit(c).alias("c"),
-                )
-                for c, cv in enumerate(cell_centroids)
-            ]
-        )
+    cell_structs = ", ".join(
+        f"named_struct('negs', -round({_sql_cos_lit('v', list(cv))}, 6),"
+        f" 'c', {c})"
+        for c, cv in enumerate(cell_centroids)
     )
+    ranked = F.expr(f"array_sort(array({cell_structs}))")
     encoded = e.select(
         "vec_id",
         ranked[0]["c"].cast("long").alias("cell"),
@@ -496,17 +520,14 @@ def pq_distortion(embeddings: DataFrame, centers: list) -> float:
     e = _base(embeddings)
     n_centers = len(centers[0])
     sub = len(centers[0][0])
-    tot = None
+    mins = []
     for mi in range(len(centers)):
-        dmin = F.array_min(
-            F.array(
-                *[
-                    _sqdist_to_lit(_subvec("v", mi, sub), centers[mi][j])
-                    for j in range(n_centers)
-                ]
-            )
+        sv = f"slice(v, {mi * sub + 1}, {sub})"
+        dists = ", ".join(
+            _sql_sqdist(sv, centers[mi][j]) for j in range(n_centers)
         )
-        tot = dmin if tot is None else tot + dmin
+        mins.append(f"array_min(array({dists}))")
+    tot = F.expr(" + ".join(mins))
     return float(e.select(F.avg(tot).alias("d")).collect()[0]["d"])
 
 
