@@ -32,13 +32,16 @@ _COPIES = 10
 # BENCH_r04/r05 cold, spanning the distinct heavy shapes — sanitize
 # expression chain + dedup window (orders), shingle window + posting
 # pipeline (documents), minhash band join (documents), tf-idf broadcast +
-# windowed top-k (documents), and exact key-dedup (lineitem).
+# windowed top-k (documents), and exact key-dedup (lineitem) — plus the
+# r6 incremental SCD2 fold (orders): three full-outer generations whose
+# closed-row passthrough must not buffer or shuffle the growing history.
 _QUERIES = (
     "snapshot_sanitize",
     "ngram_jaccard_pruned",
     "minhash_lsh_candidates",
     "tfidf_top_terms",
     "dedup_exact_lineitem",
+    "scd2_incremental_history",
 )
 
 
