@@ -104,6 +104,117 @@ def load_codebook(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(f"{index_dir}/codebook")
 
 
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    cell_centroids: list,
+    centers: list,
+) -> None:
+    """Persist the IVFADC layout — the production 100 TB vector-serving
+    shape (Jégou et al. 2011 §IV composed with the token-range layout
+    discipline above): PQ CODES hive-partitioned by IVF cell, plus both
+    codebooks. Unlike build_ivf_index's corpus/ (full vectors), codes/
+    carries m small ints per vector — 64× less IO per probed cell — and
+    the cell partitioning still collapses probe filters to parquet
+    PartitionFilters. The encode (operators/similarity.ivfpq_encode) is
+    the same map-side expression chain the inline oracle-checked search
+    uses, so on-disk codes are bit-identical to the inline path's.
+
+    Layout under index_dir:
+      cells/           n_cells rows (c_id, cv) — IVF coarse centroids
+      pq/              m*n_centers rows (mi, j, cv) — PQ sub-codebooks
+      codes/cell=N/... (vec_id, codes array<int>)
+    """
+    from migrate_cassandra_to_mysql_spark.operators import similarity as sim
+
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, list(cv)) for i, cv in enumerate(cell_centroids)],
+        "c_id long, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/cells")
+    spark.createDataFrame(
+        [
+            (mi, j, list(centers[mi][j]))
+            for mi in range(len(centers))
+            for j in range(len(centers[0]))
+        ],
+        "mi int, j int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq")
+    sim.ivfpq_encode(embeddings, cell_centroids, centers).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{index_dir}/codes")
+
+
+def load_ivfpq_codebooks(
+    spark: SparkSession, index_dir: str
+) -> tuple[list, list]:
+    """(cell_centroids, centers) from a persisted IVFADC index —
+    control-plane sized by the codebook contract."""
+    cell_rows = spark.read.parquet(f"{index_dir}/cells").collect()
+    cell_rows.sort(key=lambda r: r["c_id"])
+    cell_centroids = [list(r["cv"]) for r in cell_rows]
+    pq_rows = spark.read.parquet(f"{index_dir}/pq").collect()
+    m = 1 + max(r["mi"] for r in pq_rows)
+    n = 1 + max(r["j"] for r in pq_rows)
+    by_mj = {(r["mi"], r["j"]): list(r["cv"]) for r in pq_rows}
+    centers = [[by_mj[(mi, j)] for j in range(n)] for mi in range(m)]
+    return cell_centroids, centers
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+) -> DataFrame:
+    """ADC top-k per query row (q_id, qv) over the persisted IVFADC
+    index. Probe cells come from a map-side literal-codebook expression
+    on the query side; the probed set (control-plane sized) becomes a
+    literal IN filter that reaches the codes scan as a parquet
+    PartitionFilter — unprobed cells' files are never opened, and the
+    rows that ARE read carry m code bytes, not d-dim vectors. Scoring is
+    a broadcast equi-join on cell + the ADC expression; the only shuffle
+    is the per-query top-k window. Same conventions as the inline
+    operators, so results equal similarity.ivfpq_topk row-for-row."""
+    from migrate_cassandra_to_mysql_spark.operators import similarity as sim
+
+    cell_centroids, centers = load_ivfpq_codebooks(spark, index_dir)
+    n_centers = len(centers[0])
+    sub = len(centers[0][0])
+    ranked = sim.ranked_cells_expr("qv", cell_centroids)
+    q = queries.select(
+        "q_id",
+        "qv",
+        F.explode(
+            F.slice(
+                F.transform(ranked, lambda x: x["c"].cast("long")), 1, n_probe
+            )
+        ).alias("q_cell"),
+    )
+    probed = [r["q_cell"] for r in q.select("q_cell").distinct().collect()]
+    codes = (
+        spark.read.parquet(f"{index_dir}/codes")
+        .where(F.col("cell").isin(probed))
+        .select("vec_id", "codes", F.col("cell").cast("long").alias("cell"))
+    )
+    cand = (
+        F.broadcast(q)
+        .join(codes, F.col("cell") == F.col("q_cell"))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            "cell",
+            sim._adc_expr(centers, n_centers, sub).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("approx_dist"), F.asc("n_id"))
+    return cand.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).where(F.col("rnk") <= k)
+
+
 def ivf_search(
     spark: SparkSession,
     index_dir: str,

@@ -425,6 +425,38 @@ def pq_topk(
     ).where(F.col("rnk") <= k)
 
 
+def ranked_cells_expr(col: str, cell_centroids: list) -> F.Column:
+    """Ranked cell list per row: array_sort over (-sim, c_id) structs =
+    sim desc then c_id asc — element 0 is the assignment cell, the first
+    n_probe are a query's probe set. One map-side SQL expression over
+    the array column named `col`."""
+    cell_structs = ", ".join(
+        f"named_struct('negs', -round({_sql_cos_lit(col, list(cv))}, 6),"
+        f" 'c', {c})"
+        for c, cv in enumerate(cell_centroids)
+    )
+    return F.expr(f"array_sort(array({cell_structs}))")
+
+
+def ivfpq_encode(
+    embeddings: DataFrame, cell_centroids: list, centers: list
+) -> DataFrame:
+    """(vec_id, cell, codes): the IVFADC encoding — nearest IVF cell plus
+    per-subspace PQ codes, all map-side literal-codebook expressions.
+    Shared by the inline search (ivfpq_topk) and the persisted index
+    build (operators/ivf_index.build_ivfpq_index), so the on-disk codes
+    are bit-identical to what the inline oracle-checked path computes."""
+    e = _base(embeddings)
+    n_centers = len(centers[0])
+    sub = len(centers[0][0])
+    ranked = ranked_cells_expr("v", cell_centroids)
+    return e.select(
+        "vec_id",
+        ranked[0]["c"].cast("long").alias("cell"),
+        F.array(*_pq_code_cols(centers, n_centers, sub)).alias("codes"),
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     n_cells: int = 4,
@@ -469,20 +501,8 @@ def ivfpq_topk(
     if cell_centroids is None:
         cell_centroids = first_k_cell_centroids(embeddings, n_cells)
 
-    # Ranked cell list per row: array_sort over (-sim, c_id) structs =
-    # sim desc then c_id asc — element 0 is the assignment cell, the
-    # first n_probe are a query's probe set. One expression, map-side.
-    cell_structs = ", ".join(
-        f"named_struct('negs', -round({_sql_cos_lit('v', list(cv))}, 6),"
-        f" 'c', {c})"
-        for c, cv in enumerate(cell_centroids)
-    )
-    ranked = F.expr(f"array_sort(array({cell_structs}))")
-    encoded = e.select(
-        "vec_id",
-        ranked[0]["c"].cast("long").alias("cell"),
-        F.array(*_pq_code_cols(centers, n_centers, sub)).alias("codes"),
-    )
+    ranked = ranked_cells_expr("v", cell_centroids)
+    encoded = ivfpq_encode(embeddings, cell_centroids, centers)
     q = e.where(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),

@@ -234,6 +234,49 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle() -> str:
+    from migrate_cassandra_to_mysql_spark.plans.registry import CATALOG
+
+    return CATALOG["embedding_ivfpq_topk"].oracle
+
+
+@register("ivfpq_persisted_topk", oracle=_ivfpq_oracle())
+def ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index form of embedding_ivfpq_topk (same oracle: the
+    served path must be semantics-preserving): build the on-disk IVFADC
+    layout ONCE — both codebooks + PQ codes hive-partitioned by IVF cell
+    (operators/ivf_index.build_ivfpq_index) — then answer the same top-3
+    queries reading ONLY the probed cells' code partitions (literal IN
+    filter -> parquet PartitionFilters), scoring m-byte codes instead of
+    full vectors. This is the production 100 TB vector-serving layout:
+    probe pruning from IVF, 64× storage/IO compression from PQ, and the
+    sole shuffle is the per-query top-k window."""
+    from migrate_cassandra_to_mysql_spark.operators import ivf_index
+    from migrate_cassandra_to_mysql_spark.plans._work import memo, workdir
+
+    emb = T(spark, sf_dir, "embeddings")
+    cells = memo(
+        ("ivfpq_cells", sf_dir),
+        lambda: similarity.first_k_cell_centroids(emb, 4),
+    )
+    centers = memo(
+        ("pq_centers", sf_dir),
+        lambda: similarity.first_k_pq_centers(emb, 4, 4),
+    )
+
+    def _build() -> str:
+        d = workdir("mc2m_ivfpq_")
+        ivf_index.build_ivfpq_index(emb, d, cells, centers)
+        return d
+
+    index_dir = memo(("ivfpq_index", sf_dir), _build)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return ivf_index.ivfpq_search(spark, index_dir, queries, k=3, n_probe=2)
+
+
 @register(
     "ivf_persisted_topk",
     oracle=f"""

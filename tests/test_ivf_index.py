@@ -104,3 +104,61 @@ def test_trained_codebook_and_nprobe_recall(spark, sf_dir):
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1
     assert r2 >= 0.3, (r1, r2)
+
+
+@pytest.fixture(scope="module")
+def ivfpq_dir(spark, sf_dir):
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        first_k_cell_centroids,
+        first_k_pq_centers,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    ivf_index.build_ivfpq_index(
+        emb, d, first_k_cell_centroids(emb, 4), first_k_pq_centers(emb, 4, 4)
+    )
+    return d
+
+
+def test_ivfpq_persisted_equals_inline(spark, sf_dir, ivfpq_dir):
+    """Served IVFADC path == inline operator, row for row (same
+    codebooks, same queries) — persistence must be semantics-free."""
+    from migrate_cassandra_to_mysql_spark.operators.similarity import ivfpq_topk
+
+    got = sorted(
+        (r["q_id"], r["n_id"], r["cell"], r["approx_dist"], r["rnk"])
+        for r in ivf_index.ivfpq_search(
+            spark, ivfpq_dir, _queries(spark, sf_dir), k=3, n_probe=2
+        ).collect()
+    )
+    want = sorted(
+        (r["q_id"], r["n_id"], r["cell"], r["approx_dist"], r["rnk"])
+        for r in ivfpq_topk(
+            T(spark, sf_dir, "embeddings"), query_mod=100, k=3, n_probe=2
+        ).collect()
+    )
+    assert got == want
+
+
+def test_ivfpq_codes_scan_pruned_and_compressed(spark, sf_dir, ivfpq_dir):
+    """The probe filter must reach the codes scan as a parquet
+    PartitionFilter, and the scanned rows must carry PQ codes only —
+    no vector column anywhere in the served read path (the 64x point
+    of the layout)."""
+    df = ivf_index.ivfpq_search(
+        spark, ivfpq_dir, _queries(spark, sf_dir), k=3, n_probe=2
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    code_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "codes" in l
+    ]
+    assert code_scans
+    assert all("PartitionFilters: [cell" in l for l in code_scans)
+    schema = spark.read.parquet(f"{ivfpq_dir}/codes").schema
+    assert [f.name for f in schema if f.name != "cell"] == ["vec_id", "codes"]
+    # codebooks round-trip exactly
+    cells, centers = ivf_index.load_ivfpq_codebooks(spark, ivfpq_dir)
+    assert len(cells) == 4 and len(centers) == 4 and len(centers[0]) == 4
+    assert len(centers[0][0]) == 16
