@@ -20,16 +20,22 @@ from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
 
 DOC_ID_SHIFT = 10_000_000
 ORDERKEY_SHIFT = 100_000_000
+VEC_ID_SHIFT = 10_000_000
 
 
 def synthesize_sf1(
     spark: SparkSession, src_sf_dir: str, out_dir: str, copies: int = 10
 ) -> None:
-    """Write documents/orders/lineitem scaled `copies`× under out_dir.
+    """Write documents/orders/lineitem/embeddings scaled `copies`× under
+    out_dir.
 
-    Only the three tables the heavy headline plans scan; each write is a
-    flat map over the source (explode of a literal copy array — no
-    shuffle) followed by the parquet write."""
+    Only the tables the heavy headline plans scan; each write is a flat
+    map over the source (explode of a literal copy array — no shuffle)
+    followed by the parquet write. Embedding copies are deterministically
+    perturbed (+copy/1000 per component) so the scaled corpus is 10×
+    distinct-but-similar vectors, not exact clones — copy 0 keeps the
+    original values, so first-K codebook conventions (vec_id 0..k-1)
+    still hold."""
     copy_col = F.explode(
         F.array(*[F.lit(i) for i in range(copies)])
     ).alias("_copy")
@@ -72,4 +78,23 @@ def synthesize_sf1(
         )
         .repartition(8)
         .write.parquet(f"{out_dir}/lineitem.parquet")
+    )
+
+    emb = T(spark, src_sf_dir, "embeddings")
+    (
+        emb.select("*", copy_col)
+        .select(
+            (F.col("vec_id") + F.col("_copy") * F.lit(VEC_ID_SHIFT)).alias(
+                "vec_id"
+            ),
+            F.transform(
+                F.col("embedding"),
+                lambda x: (
+                    x + F.col("_copy").cast("double") / F.lit(1000.0)
+                ).cast("float"),
+            ).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+        .repartition(8)
+        .write.parquet(f"{out_dir}/embeddings.parquet")
     )

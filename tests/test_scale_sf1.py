@@ -84,3 +84,33 @@ def test_sf1_scaled_cardinalities(spark, sf1_dir):
     assert (
         sf1_docs.select("doc_id").distinct().count() == _COPIES * src_docs
     )
+
+
+def test_ivfpq_search_completes_at_sf1(spark, sf1_dir):
+    """IVFADC at 10× corpus: encode + cell-assign 10× the vectors
+    map-side, probe 2 of 4 cells, ADC-score only those cells' codes.
+    query_mod is scaled with the corpus so the probe count stays fixed
+    while the per-query candidate set grows 10× — the axis that
+    actually stresses the scoring join. Completion under default driver
+    memory + sane top-k output IS the assertion (a full-corpus scan or
+    a vector-carrying candidate side would blow the time/memory budget
+    the other five plans establish)."""
+    from migrate_cassandra_to_mysql_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf1_dir}/embeddings.parquet")
+    n = emb.count()
+    src_n = T(spark, _SRC_SF, "embeddings").count()
+    assert n == _COPIES * src_n
+    out = ivfpq_topk(
+        emb, n_cells=4, m=4, n_centers=4,
+        query_mod=src_n,  # ~_COPIES queries across the scaled id space
+        k=3, n_probe=2,
+    )
+    rows = out.collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert len(per_q) >= 2
+    for q, rs in per_q.items():
+        assert sorted(r["rnk"] for r in rs) == list(range(1, len(rs) + 1))
