@@ -145,6 +145,27 @@ def build_ivfpq_index(
     ).partitionBy("cell").parquet(f"{index_dir}/codes")
 
 
+def append_to_ivfpq_index(
+    embeddings_new: DataFrame, index_dir: str
+) -> None:
+    """Incremental IVFADC maintenance: encode NEW vectors with the
+    index's stored codebooks and append their codes to the existing
+    cell partitions — no rebuild, no touch of existing files. Because
+    each vector's (cell, codes) depends only on the frozen codebooks,
+    an index built in N appends is file-for-file equivalent in content
+    to one built in a single pass (pinned by test). At 100 TB this is
+    the daily-ingest path: cost is O(new vectors), not O(corpus); cells
+    whose distribution drifts get re-encoded individually (rewrite one
+    cell=N directory), never the whole index."""
+    from migrate_cassandra_to_mysql_spark.operators import similarity as sim
+
+    spark = embeddings_new.sparkSession
+    cell_centroids, centers = load_ivfpq_codebooks(spark, index_dir)
+    sim.ivfpq_encode(embeddings_new, cell_centroids, centers).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{index_dir}/codes")
+
+
 def load_ivfpq_codebooks(
     spark: SparkSession, index_dir: str
 ) -> tuple[list, list]:

@@ -162,3 +162,42 @@ def test_ivfpq_codes_scan_pruned_and_compressed(spark, sf_dir, ivfpq_dir):
     cells, centers = ivf_index.load_ivfpq_codebooks(spark, ivfpq_dir)
     assert len(cells) == 4 and len(centers) == 4 and len(centers[0]) == 4
     assert len(centers[0][0]) == 16
+
+
+def test_ivfpq_incremental_append_equals_full_build(spark, sf_dir):
+    """Build the index on half the corpus, append the other half: search
+    results must equal a single-pass full build row-for-row (encoding
+    depends only on the frozen codebooks), and the appended files must
+    land inside the existing cell partitions (still pruned)."""
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        first_k_cell_centroids,
+        first_k_pq_centers,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    cells = first_k_cell_centroids(emb, 4)
+    centers = first_k_pq_centers(emb, 4, 4)
+    median = emb.count() // 2
+
+    inc_dir = tempfile.mkdtemp(prefix="ivfpq_inc_")
+    ivf_index.build_ivfpq_index(
+        emb.where(F.col("vec_id") < median), inc_dir, cells, centers
+    )
+    ivf_index.append_to_ivfpq_index(
+        emb.where(F.col("vec_id") >= median), inc_dir
+    )
+
+    full_dir = tempfile.mkdtemp(prefix="ivfpq_full_")
+    ivf_index.build_ivfpq_index(emb, full_dir, cells, centers)
+
+    q = _queries(spark, sf_dir)
+    got = sorted(
+        map(tuple, ivf_index.ivfpq_search(spark, inc_dir, q, k=3, n_probe=2).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_index.ivfpq_search(spark, full_dir, q, k=3, n_probe=2).collect())
+    )
+    assert got == want
+    # row count conservation across the append
+    n_inc = spark.read.parquet(f"{inc_dir}/codes").count()
+    assert n_inc == emb.count()
