@@ -10,7 +10,6 @@ from migrate_cassandra_to_mysql_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
 )
-from migrate_cassandra_to_mysql_spark.functions.vectors import cosine
 from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
 
 
