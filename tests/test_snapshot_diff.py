@@ -257,3 +257,39 @@ def test_scd2_multi_generation_fold_randomized(spark):
             rs = sorted(rs, key=lambda r: r["valid_from"])
             for a, b in zip(rs, rs[1:]):
                 assert a["valid_to"] is not None and a["valid_to"] <= b["valid_from"]
+
+
+def test_scd2_increment_empty_frames(spark):
+    """Degenerate generations: an EMPTY snapshot closes every current row
+    (mass delete); an increment onto an all-closed history only inserts.
+    Both arise in real re-sync schedules (source outage -> empty pull,
+    then a recovery snapshot) and must not error or drop history."""
+    from migrate_cassandra_to_mysql_spark.operators.merge import (
+        scd2_apply_increment,
+        scd2_init,
+    )
+
+    schema = "id bigint, total double, status string"
+    s1 = spark.createDataFrame([(1, 10.0, "A"), (2, 20.0, "B")], schema)
+    empty = spark.createDataFrame([], schema)
+    keys, tracked = ["id"], ["total", "status"]
+
+    h1 = scd2_init(s1, keys, tracked, "2026-01-01 00:00:00")
+    h2 = scd2_apply_increment(h1, empty, keys, tracked, "2026-02-01 00:00:00")
+    rows = h2.collect()
+    assert len(rows) == 2
+    assert all(not r["is_current"] and r["valid_to"] is not None for r in rows)
+
+    # recovery snapshot re-inserts one key: closed rows untouched, one
+    # fresh open version
+    s3 = spark.createDataFrame([(2, 25.0, "B")], schema)
+    h3 = scd2_apply_increment(h2, s3, keys, tracked, "2026-03-01 00:00:00")
+    per_key = {}
+    for r in h3.collect():
+        per_key.setdefault(r["id"], []).append(r)
+    assert len(per_key[1]) == 1 and not per_key[1][0]["is_current"]
+    vs = sorted(per_key[2], key=lambda r: r["valid_from"])
+    assert len(vs) == 2
+    assert not vs[0]["is_current"] and vs[0]["total"] == 20.0
+    assert vs[1]["is_current"] and vs[1]["total"] == 25.0
+    assert vs[1]["valid_from"].month == 3
