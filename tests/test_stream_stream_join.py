@@ -225,3 +225,34 @@ def test_outer_attribution_batch_twin_includes_unmatched(spark):
     rows = attribution_join(v, c, how="left_outer").collect()
     got = {(r["view_id"], r["click_id"]) for r in rows}
     assert got == _EXPECTED | {("v0", None), ("v3", None), ("v5", None)}
+
+
+def test_outer_attribution_expiry_boundary_is_strict(spark):
+    """Pins the exact expiry inequality the catalog oracle encodes: with
+    max view 11:10 / max click 11:20, the min-policy watermark is 10:10,
+    and an unmatched view emits iff view_ts + 30min < 10:10 STRICTLY —
+    window closing at 10:09 emits, at exactly 10:10 (== watermark) and
+    10:11 it is withheld. If a Spark upgrade ever flips this to <=, this
+    test fails before the driver's oracle hash does."""
+    import tempfile as _tf
+
+    work = _tf.mkdtemp(prefix="mc2m_ssjoin_boundary_")
+    vsrc, csrc = f"{work}/views", f"{work}/clicks"
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+
+    views = [
+        ("vA", _ts("9:39"), "ua"),   # closes 10:09 < 10:10 -> emits
+        ("vB", _ts("9:40"), "ub"),   # closes 10:10 == wm   -> withheld
+        ("vC", _ts("9:41"), "uc"),   # closes 10:11 > wm    -> withheld
+        ("vMax", _ts("11:10"), "um"),
+    ]
+    clicks = [("cMax", _ts("11:20"), "uz")]
+    spark.createDataFrame(views, _VIEW_SCHEMA).coalesce(1).write.parquet(vsrc)
+    spark.createDataFrame(clicks, _CLICK_SCHEMA).coalesce(1).write.parquet(csrc)
+    _drain_once(spark, vsrc, csrc, out, ckpt, how="left_outer")
+
+    got = {
+        (r["view_id"], r["click_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("vA", None)}, got
