@@ -41,6 +41,15 @@ CATALOG: dict[str, CatalogEntry] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # A duplicate name would silently overwrite the catalog entry
+        # while suite queries that captured the OLD component oracle at
+        # import keep calling the NEW shadowing function — a desync that
+        # only surfaces as a parity failure. Fail at import instead.
+        if name in CATALOG:
+            raise ValueError(
+                f"duplicate catalog registration: {name!r} "
+                f"(existing: {CATALOG[name].fn.__module__})"
+            )
         CATALOG[name] = CatalogEntry(name, fn, oracle, (fn.__doc__ or "").strip())
         return fn
 

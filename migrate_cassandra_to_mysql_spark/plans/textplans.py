@@ -1270,137 +1270,3 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
     )
 
-
-@register(
-    "repetition_signals",
-    oracle=f"""
-WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
- s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
-              round(1 - CAST(len(list_distinct(toks)) AS DOUBLE)
-                        / len(toks), 6) AS dup_word_frac,
-              list_transform(range(2, len(toks) + 1),
-                             i -> toks[i-1] || ' ' || toks[i]) AS bis
-       FROM t),
- ex AS (SELECT doc_id, len(bis) AS n_bigrams, unnest(bis) AS bigram FROM s),
- c AS (SELECT doc_id, n_bigrams, bigram, count(*) AS c
-       FROM ex GROUP BY 1, 2, 3),
- top AS (SELECT doc_id, bigram AS top_bigram,
-                round(CAST(c AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
-         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                                            ORDER BY c DESC, bigram) AS rn
-               FROM c) q
-         WHERE rn = 1)
-SELECT s.doc_id, s.n_words, s.dup_word_frac, top.top_bigram,
-       top.top_bigram_frac
-FROM s JOIN top ON s.doc_id = top.doc_id
-""",
-)
-def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality signals (Rae et al. 2021, C4/Gopher
-    repetition filters): per document, the duplicate-word fraction and
-    the most-frequent-2-gram fraction — high values mark boilerplate /
-    degenerate generations that pretraining pipelines drop. dup_word_frac
-    is pure map-side (array_distinct over the token array); the top-bigram
-    mode needs one (doc_id, bigram) partial-agg shuffle plus a per-doc
-    window — the same top-k-per-group shape as tfidf_top_terms, bounded
-    by vocabulary not corpus size. (Line/paragraph-duplication twins are
-    omitted: the synthetic corpus has no newlines; on real data they are
-    this same plan over split(text, '\\n').)"""
-    d = T(spark, sf_dir, "documents")
-    base = d.select("doc_id", textfns.tokens(F.col("text")).alias("toks"))
-    stats = base.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_words"),
-        F.round(
-            1 - F.size(F.array_distinct("toks")) / F.size("toks"), 6
-        ).alias("dup_word_frac"),
-    )
-    bi = base.select(
-        "doc_id",
-        F.expr(
-            "CASE WHEN size(toks) >= 2 THEN"
-            " transform(sequence(2, size(toks)),"
-            " i -> concat(element_at(toks, i - 1), ' ', element_at(toks, i)))"
-            " ELSE array() END"
-        ).alias("bis"),
-    ).select(
-        "doc_id", F.size("bis").alias("n_bigrams"), F.explode("bis").alias("bigram")
-    )
-    counts = bi.groupBy("doc_id", "n_bigrams", "bigram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("bigram"))
-    top = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("bigram").alias("top_bigram"),
-            F.round(F.col("c") / F.col("n_bigrams"), 6).alias(
-                "top_bigram_frac"
-            ),
-        )
-    )
-    return stats.join(top, "doc_id")
-
-
-_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
-
-
-@register(
-    "pii_scrub",
-    oracle=f"""
-WITH w AS (
-  SELECT doc_id,
-         text || ' contact user' || doc_id || '@example.com tel +1-555-'
-              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
-  FROM documents),
- s AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
-           AS n_emails,
-         CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
-           AS n_phones,
-         regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                        '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text
-  FROM w)
-SELECT doc_id, n_emails, n_phones, clean_text FROM s
-""",
-)
-def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style PII redaction for training corpora: emails and phone
-    numbers are counted then replaced with typed placeholder tokens —
-    pure map-side regexp work (JVM codegen, zero shuffle, zero Python).
-    The synthetic corpus contains no PII, so each doc gets ONE
-    deterministic email + phone injected first (doc_id-derived — the
-    same injection discipline the dedup family uses), and the oracle
-    applies the identical injection + scrub, so both the match counts
-    and the redacted text are value-verified. At 100 TB this op rides
-    the corpus scan; patterns extend per deployment (SSNs, IPs, IBANs
-    are more alternations in the same plan)."""
-    d = T(spark, sf_dir, "documents")
-    injected = d.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com tel +1-555-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-        ).alias("text"),
-    )
-    return injected.select(
-        "doc_id",
-        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("long").alias(
-            "n_emails"
-        ),
-        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("long").alias(
-            "n_phones"
-        ),
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
-            _PHONE_RE,
-            "<PHONE>",
-        ).alias("clean_text"),
-    )
