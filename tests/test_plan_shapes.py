@@ -91,3 +91,28 @@ def test_function_showcases_are_python_free(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert plan.count("FileScan parquet") == 1, name
+
+
+def test_ivfpq_single_shuffle_and_broadcast(spark, sf_dir):
+    """IVFADC scale contract: encode/assign/probe all ride the scans
+    (no exchange below the scoring join), the query side broadcasts,
+    and the ONLY hash exchange is the per-query top-k window — capped
+    map-side by a partial WindowGroupLimit."""
+    plan = _plan(spark, sf_dir, "embedding_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_registry_rejects_duplicate_registration():
+    """A duplicate catalog name must fail at import time, not desync a
+    composition suite at parity time (the r6 near-miss)."""
+    import pytest as _pytest
+
+    from migrate_cassandra_to_mysql_spark.plans.registry import register
+
+    with _pytest.raises(ValueError, match="duplicate catalog registration"):
+        @register("snapshot_sanitize")
+        def _dup(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
