@@ -473,4 +473,14 @@ def scd2_incremental_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, tracked = ["file_id"], ["total", "status"]
     h1 = scd2_init(s1, keys, tracked, "2026-01-01 00:00:00")
     h2 = scd2_apply_increment(h1, s2, keys, tracked, "2026-02-01 00:00:00")
+    # In production each generation is MATERIALIZED (read table -> merge
+    # -> write table), so an increment always starts from storage. When
+    # chaining generations inside one plan, persist the intermediate:
+    # h2 feeds BOTH branches of the next increment (closed passthrough +
+    # current slice), and unpersisted lineage would recompute its
+    # full-outer join once per branch — O(N^2) joins over N chained
+    # generations (observed: 3 SMJs for 2 increments; 2 after persist).
+    from pyspark.storagelevel import StorageLevel
+
+    h2 = h2.persist(StorageLevel.MEMORY_AND_DISK)
     return scd2_apply_increment(h2, s3, keys, tracked, "2026-03-01 00:00:00")
