@@ -650,6 +650,97 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_gap_fill",
+    oracle="""
+WITH e AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                  ts, event_id, value
+           FROM events),
+ hourly AS (SELECT user_id, h, CAST(count(*) AS BIGINT) AS n_ev,
+                   max({'ts': ts, 'event_id': event_id, 'value': value}).value
+                     AS v
+            FROM e GROUP BY 1, 2),
+ spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+ grid AS (SELECT user_id,
+                 unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+          FROM spans)
+SELECT g.user_id, g.bucket,
+       CASE WHEN h.h = g.bucket THEN h.n_ev ELSE CAST(0 AS BIGINT) END
+         AS n_events,
+       h.v AS filled_value,
+       h.h < g.bucket AS is_gap
+FROM grid g ASOF JOIN hourly h
+  ON g.user_id = h.user_id AND g.bucket >= h.h
+""",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with forward fill (LOCF): per user, emit one row
+    for EVERY hourly bucket between that user's first and last observed
+    hour; buckets with no events carry the value of the latest prior event
+    (latest-within-hour tie-broken by (ts, event_id) via struct max).
+
+    Scale shape: two shuffles total. (1) partial-agg-friendly groupBy
+    (user_id, hour) collapses raw events to at most one row per observed
+    hour; (2) groupBy(user_id) collects the per-user observation list —
+    bounded by the series span in hours (720 for a month of hourly data),
+    NOT by the raw event count, so per-user state stays small no matter how
+    hot the user. The grid expansion is then pure map-side: each
+    observation becomes a fill range [its hour, next observed hour), and
+    one sequence() explode emits the filled buckets — no grid×events join,
+    no per-bucket window scan. The oracle materializes the same grid via
+    generate_series + ASOF join.
+    """
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.struct("ts", "event_id", "value").alias("obs"),
+    )
+    hourly = e.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.max("obs").getField("value").alias("v"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("h", "v", "n_ev"))).alias("obs")
+    )
+    # Each observation i covers [h_i, h_{i+1}) (the last covers just its own
+    # hour: the grid ends at the user's final observed hour). get() is the
+    # 0-based accessor that yields NULL past the end (bracket indexing
+    # throws under ANSI), so get(obs, i + 1) is the successor and coalesce
+    # catches the final element.
+    ranges = spans.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "transform(obs, (o, i) -> struct("
+                "o.h AS start_h, "
+                "coalesce(get(obs, i + 1).h, o.h + interval 1 hour)"
+                "  AS next_h, "
+                "o.v AS v, o.n_ev AS n_ev))"
+            )
+        ).alias("r"),
+    )
+    return ranges.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "sequence(r.start_h, r.next_h - interval 1 hour,"
+                "         interval 1 hour)"
+            )
+        ).alias("bucket"),
+        F.col("r.start_h").alias("start_h"),
+        F.col("r.v").alias("v"),
+        F.col("r.n_ev").alias("n_ev"),
+    ).select(
+        "user_id",
+        "bucket",
+        F.when(F.col("bucket") == F.col("start_h"), F.col("n_ev"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("n_events"),
+        F.col("v").alias("filled_value"),
+        (F.col("bucket") > F.col("start_h")).alias("is_gap"),
+    )
+
+
+@register(
     "orders_per_customer_listagg",
     oracle="""
 SELECT o_custkey AS client_id,

@@ -357,6 +357,202 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Jensen-Shannon divergence between the unigram distributions of the two
+# doc_id-parity halves of each language's corpus — the data-mix diagnostic
+# a training pipeline runs to detect distribution drift between shards /
+# snapshots. The per-term contribution expression is shared verbatim by
+# Spark and DuckDB (columns c0/c1/t0/t1); each contribution is rounded to
+# 12 dp and summed as DECIMAL so the reduction is exact and order-
+# independent (a plain double sum would differ between engines by
+# accumulation order alone).
+_JS_CONTRIB_SQL = (
+    "CAST(round("
+    "0.5 * (CASE WHEN c0 > 0 THEN (c0 / t0)"
+    " * ln((c0 / t0) / (((c0 / t0) + (c1 / t1)) / 2))"
+    " ELSE CAST(0.0 AS DOUBLE) END)"
+    " + 0.5 * (CASE WHEN c1 > 0 THEN (c1 / t1)"
+    " * ln((c1 / t1) / (((c0 / t0) + (c1 / t1)) / 2))"
+    " ELSE CAST(0.0 AS DOUBLE) END)"
+    ", 12) AS DECIMAL(28,12))"
+)
+
+
+@register(
+    "corpus_divergence",
+    oracle=f"""
+WITH t AS (SELECT lang, doc_id % 2 AS split, unnest({_TOKS_SQL}) AS tok
+           FROM documents),
+ c AS (SELECT lang, tok,
+              CAST(sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS c0,
+              CAST(sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS c1
+       FROM t GROUP BY 1, 2),
+ tot AS (SELECT lang, CAST(sum(c0) AS BIGINT) AS t0,
+                CAST(sum(c1) AS BIGINT) AS t1
+         FROM c GROUP BY 1),
+ contrib AS (SELECT c.lang, {_JS_CONTRIB_SQL} AS contrib
+             FROM c JOIN tot ON c.lang = tot.lang)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+       round(CAST(sum(contrib) AS DOUBLE), 8) AS js_divergence
+FROM contrib GROUP BY lang
+""",
+)
+def corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Jensen-Shannon divergence between the unigram term
+    distributions of two corpus halves (doc_id parity stands in for
+    shard/snapshot identity). JS = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2 —
+    symmetric, bounded by ln 2, zero iff the halves share a distribution.
+
+    Scale shape: ONE token-level shuffle — the conditional-sum groupBy
+    (lang, tok) computes both halves' counts in a single pass (no pivot,
+    no second scan), partial-agg-friendly so the explode volume reduces
+    map-side. Per-language totals are a languages-sized aggregate
+    broadcast back onto the vocabulary. The divergence reduction sums
+    DECIMAL-rounded contributions, so it is exact regardless of partition
+    order — the property that keeps a 1000-executor run bit-reproducible.
+    """
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        (F.col("doc_id") % 2).alias("split"),
+        F.explode(textfns.tokens(F.col("text"))).alias("tok"),
+    )
+    c = toks.groupBy("lang", "tok").agg(
+        F.sum(F.when(F.col("split") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("split") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    tot = c.groupBy("lang").agg(
+        F.sum("c0").cast("long").alias("t0"),
+        F.sum("c1").cast("long").alias("t1"),
+    )
+    contrib = c.join(F.broadcast(tot), "lang").select(
+        "lang", F.expr(_JS_CONTRIB_SQL).alias("contrib")
+    )
+    return contrib.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.sum("contrib").cast("double"), 8).alias("js_divergence"),
+    )
+
+
+# BM25 retrieval: a fixed keyword query scored against the whole corpus.
+# Terms/k1/b are module constants so the Spark plan and the DuckDB oracle
+# are generated from the SAME spec (identical expression shapes keep the
+# double arithmetic bit-equal; only ln() can differ, handled by round 8).
+_BM25_TERMS = ("spark", "join", "window", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_score_sql() -> str:
+    """The per-document BM25 score as a SQL expression over columns
+    tf{i}/df{i}/dl/n_docs/sum_dl — shared verbatim by the Spark plan and
+    the DuckDB oracle so both engines evaluate the identical IEEE
+    expression tree (ln ulp differences absorbed by the final round)."""
+    terms = []
+    for i in range(len(_BM25_TERMS)):
+        idf = f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        denom = (
+            f"(tf{i} + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B}"
+            f" * ((dl * n_docs) / sum_dl)))"
+        )
+        terms.append(f"{idf} * tf{i} * {_BM25_K1 + 1.0} / {denom}")
+    return "round(" + " + ".join(terms) + ", 8)"
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n              ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n              ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    hits = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+ d AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS dl,
+              {tf_cols}
+       FROM t),
+ s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(dl) AS BIGINT) AS sum_dl,
+              {df_cols}
+       FROM d)
+SELECT doc_id,
+       CAST({hits} AS BIGINT) AS n_hits,
+       {_bm25_score_sql()} AS bm25
+FROM d, s
+WHERE {hits} > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("bm25_topk_search", oracle=_bm25_oracle())
+def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: score every document against a fixed
+    keyword query (Robertson/Sparck-Jones idf, k1=1.2, b=0.75) and return
+    the top-20 by score. Complements tfidf_top_terms (which ranks terms
+    per doc); this is the doc-per-query retrieval direction a training
+    pipeline uses for targeted corpus slicing.
+
+    Scale shape: per-term tf and doc length are pure map-side
+    higher-order functions over the token array (no explode, no
+    per-term shuffle — the query is a literal, so each term compiles to
+    one size(filter(...)) expression). Corpus-level stats (N, Σdl, per-
+    term df) reduce to ONE row via a partial-aggregated agg and ride back
+    as a broadcast nested-loop join, so the corpus itself never shuffles;
+    the only ordered exchange is the TakeOrdered top-k. At 100 TB this is
+    two corpus scans (stats + scoring) with nothing wide in between —
+    persist the tokenized projection to make it one.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", textfns.tokens(F.col("text")).alias("toks")
+    )
+    def _eq(term: str):
+        # single-arg closure: a two-arg lambda (x, t=term) would be bound
+        # by F.filter as the (element, index) form, making t the index
+        return lambda x: x == F.lit(term)
+
+    d = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), _eq(t)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    hits = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    return (
+        d.join(F.broadcast(stats))
+        .where(F.expr(f"{hits} > 0"))
+        .select(
+            "doc_id",
+            F.expr(f"CAST({hits} AS BIGINT)").alias("n_hits"),
+            F.expr(_bm25_score_sql()).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def _simhash_oracle(n_bits: int = 32) -> str:
     """SQL twin of dedup.simhash32_md5, generated from the same bit loop."""
     votes = ",\n        ".join(

@@ -1,0 +1,200 @@
+"""Invariant tests for the r6 additions: events_gap_fill (LOCF),
+bm25_topk_search (keyword retrieval), corpus_divergence (JS drift).
+
+The oracle parity suite already pins each against its DuckDB twin; these
+tests pin the *semantics* against independent pure-pandas references and
+structural invariants (grid completeness, score ordering, JS bounds), so
+a same-bug-both-sides oracle slip can't hide.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.plans.relational import events_gap_fill
+from migrate_cassandra_to_mysql_spark.plans.textplans import (
+    _BM25_B,
+    _BM25_K1,
+    _BM25_TERMS,
+    bm25_topk_search,
+    corpus_divergence,
+)
+
+
+def _events_pdf(sf_dir: str) -> pd.DataFrame:
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return pdf
+
+
+class TestEventsGapFill:
+    def test_grid_is_complete_and_hourly(self, spark, sf_dir):
+        out = events_gap_fill(spark, sf_dir).toPandas()
+        for uid, g in out.groupby("user_id"):
+            hours = g["bucket"].sort_values().reset_index(drop=True)
+            span = int((hours.iloc[-1] - hours.iloc[0]).total_seconds())
+            assert len(hours) == span // 3600 + 1, uid
+            assert hours.is_unique
+
+    def test_locf_matches_pandas_reference(self, spark, sf_dir):
+        out = (
+            events_gap_fill(spark, sf_dir)
+            .toPandas()
+            .sort_values(["user_id", "bucket"])
+            .reset_index(drop=True)
+        )
+        ev = _events_pdf(sf_dir)
+        ev["h"] = ev["ts"].dt.floor("h")
+        # latest event per (user, hour): max by (ts, event_id)
+        latest = (
+            ev.sort_values(["user_id", "h", "ts", "event_id"])
+            .groupby(["user_id", "h"])
+            .agg(v=("value", "last"), n=("value", "size"))
+            .reset_index()
+        )
+        ref_rows = []
+        for uid, g in latest.groupby("user_id"):
+            grid = pd.date_range(g["h"].min(), g["h"].max(), freq="h")
+            gg = g.set_index("h").reindex(grid)
+            gg["v"] = gg["v"].ffill()
+            gg["n"] = gg["n"].fillna(0).astype("int64")
+            for b, row in gg.iterrows():
+                ref_rows.append((uid, b, row["n"], row["v"], row["n"] == 0))
+        ref = pd.DataFrame(
+            ref_rows,
+            columns=["user_id", "bucket", "n_events", "filled_value", "is_gap"],
+        ).sort_values(["user_id", "bucket"]).reset_index(drop=True)
+        assert len(out) == len(ref)
+        assert (out["n_events"].to_numpy() == ref["n_events"].to_numpy()).all()
+        assert (out["is_gap"].to_numpy() == ref["is_gap"].to_numpy()).all()
+        assert (
+            out["filled_value"].to_numpy() == ref["filled_value"].to_numpy()
+        ).all()
+
+    def test_gap_iff_no_events(self, spark, sf_dir):
+        out = events_gap_fill(spark, sf_dir).toPandas()
+        assert ((out["n_events"] == 0) == out["is_gap"]).all()
+        # observed hours carry at least one event
+        assert (out.loc[~out["is_gap"], "n_events"] >= 1).all()
+
+
+class TestBm25TopkSearch:
+    def test_matches_pure_python_reference(self, spark, sf_dir):
+        out = bm25_topk_search(spark, sf_dir).toPandas()
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        toks = docs["text"].str.strip().str.split()
+        dl = toks.map(len)
+        n, sum_dl = len(docs), int(dl.sum())
+        tfs = {t: toks.map(lambda xs, t=t: xs.count(t)) for t in _BM25_TERMS}
+        scores = pd.Series(0.0, index=docs.index)
+        for t in _BM25_TERMS:
+            tf = tfs[t]
+            df = int((tf > 0).sum())
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            denom = tf + _BM25_K1 * (
+                (1 - _BM25_B) + _BM25_B * (dl * n / sum_dl)
+            )
+            scores = scores + idf * tf * (_BM25_K1 + 1.0) / denom
+        ref = pd.DataFrame(
+            {
+                "doc_id": docs["doc_id"],
+                "bm25": scores.round(8),
+                "n_hits": sum(tfs.values()),
+            }
+        )
+        ref = (
+            ref[ref["n_hits"] > 0]
+            .sort_values(["bm25", "doc_id"], ascending=[False, True])
+            .head(20)
+            .reset_index(drop=True)
+        )
+        assert list(out["doc_id"]) == list(ref["doc_id"])
+        assert (
+            abs(out["bm25"].to_numpy() - ref["bm25"].to_numpy()) < 1e-6
+        ).all()
+
+    def test_ordering_and_shape(self, spark, sf_dir):
+        out = bm25_topk_search(spark, sf_dir).toPandas()
+        assert len(out) == 20
+        assert (out["bm25"] > 0).all()
+        assert (out["n_hits"] > 0).all()
+        key = list(zip(-out["bm25"], out["doc_id"]))
+        assert key == sorted(key)
+
+
+class TestCorpusDivergence:
+    def test_bounds_and_symmetry(self, spark, sf_dir):
+        out = corpus_divergence(spark, sf_dir).toPandas()
+        assert len(out) > 0
+        # JS divergence (natural log) is bounded by ln 2
+        assert (out["js_divergence"] >= 0).all()
+        assert (out["js_divergence"] <= math.log(2.0) + 1e-9).all()
+
+    def test_matches_pure_python_reference(self, spark, sf_dir):
+        out = (
+            corpus_divergence(spark, sf_dir)
+            .toPandas()
+            .set_index("lang")["js_divergence"]
+        )
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        for lang, g in docs.groupby("lang"):
+            from collections import Counter
+
+            c0: Counter = Counter()
+            c1: Counter = Counter()
+            for _, row in g.iterrows():
+                (c0 if row["doc_id"] % 2 == 0 else c1).update(
+                    row["text"].strip().split()
+                )
+            t0, t1 = sum(c0.values()), sum(c1.values())
+            js = 0.0
+            for tok in set(c0) | set(c1):
+                p = c0.get(tok, 0) / t0
+                q = c1.get(tok, 0) / t1
+                m = (p + q) / 2
+                if p > 0:
+                    js += 0.5 * p * math.log(p / m)
+                if q > 0:
+                    js += 0.5 * q * math.log(q / m)
+            assert abs(out[lang] - js) < 1e-6, lang
+
+    def test_identical_halves_give_zero(self, spark, sf_dir):
+        # Feed a corpus whose two parity halves are exact clones: JS must
+        # be 0 for every language.
+        docs = spark.createDataFrame(
+            [(i * 2 + par, "en", "a b c d a") for i in range(8) for par in (0, 1)],
+            "doc_id long, lang string, text string",
+        )
+        toks = docs.select(
+            "lang",
+            (F.col("doc_id") % 2).alias("split"),
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        c = toks.groupBy("lang", "tok").agg(
+            F.sum(F.when(F.col("split") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c0"),
+            F.sum(F.when(F.col("split") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+        )
+        tot = c.groupBy("lang").agg(
+            F.sum("c0").cast("long").alias("t0"),
+            F.sum("c1").cast("long").alias("t1"),
+        )
+        from migrate_cassandra_to_mysql_spark.plans.textplans import (
+            _JS_CONTRIB_SQL,
+        )
+
+        contrib = c.join(F.broadcast(tot), "lang").select(
+            "lang", F.expr(_JS_CONTRIB_SQL).alias("contrib")
+        )
+        row = (
+            contrib.groupBy("lang")
+            .agg(F.round(F.sum("contrib").cast("double"), 8).alias("js"))
+            .collect()[0]
+        )
+        assert row["js"] == 0.0
