@@ -1,0 +1,179 @@
+"""Persisted inverted index + BM25 search over it — the production
+retrieval serving layout for a 100 TB corpus.
+
+The inline `bm25_topk_search` (plans/textplans.py) scans the whole corpus
+per query; that is the right shape for a handful of ad-hoc slicing queries
+but not for a query-serving workload. The index inverts the corpus ONCE
+into token-bucketed posting lists, after which a keyword query touches
+only the few bucket partitions its terms hash to:
+
+  postings/bucket=N/   (tok, doc_id, tf, dl)  — doc length denormalized
+                       into every posting so scoring needs NO doclens join
+  lexicon/bucket=N/    (tok, df)              — per-term document frequency
+  stats/               1 row (n_docs, sum_dl) — corpus-level BM25 constants
+
+Buckets use the oracle-portable md5 bucket (functions/hashing.
+md5_token_bucket) so a Python-side literal term maps to its partition
+without touching the JVM; at 100 TB you would raise n_buckets to a few
+thousand so each partition stays file-sized, and the same pruning math
+holds. Query-time plan: the bucket set becomes parquet PartitionFilters
+(unprobed buckets' files never open), the term set is a pushed data
+filter inside each bucket, the query-term lexicon slice broadcast-joins
+onto the postings, and the only data shuffle is the per-doc conditional
+pivot — bounded by documents that contain at least one query term, not by
+corpus size.
+
+The reference (quyetmv/migrate-cassandra-to-mysql) has no retrieval
+surface; this extends the engine's LLM-data-pipeline family (targeted
+corpus slicing / eval-set retrieval) alongside the persisted IVFADC
+vector index (operators/ivf_index.py), with the same contract: the served
+path must equal the inline oracle-checked path row for row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.functions import text as textfns
+from migrate_cassandra_to_mysql_spark.functions.hashing import md5_token_bucket
+
+DEFAULT_BUCKETS = 32
+
+
+def term_bucket(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
+    """Python twin of md5_token_bucket for literal query terms: first 4
+    hex chars of md5, mod n_buckets. Must stay bit-identical to the Spark
+    expression or query-time pruning would skip the term's partition."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % n_buckets
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    index_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+) -> None:
+    """Invert the corpus into the on-disk layout above. One corpus-scan
+    job (tokenize → explode → partial-agg tf), then lexicon and stats are
+    cheap aggregations over the already-inverted postings (read back from
+    disk, so the corpus is scanned exactly once)."""
+    toks = docs.select(
+        "doc_id", textfns.tokens(F.col(text_col)).alias("toks")
+    ).select(
+        "doc_id", F.size("toks").cast("long").alias("dl"), F.col("toks")
+    )
+    postings = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "bucket", md5_token_bucket(F.col("tok"), n_buckets).cast("int")
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/postings"
+    )
+    written = docs.sparkSession.read.parquet(f"{index_dir}/postings")
+    (
+        written.groupBy("bucket", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/lexicon")
+    )
+    # n_docs / sum_dl from the postings' per-doc (doc_id, dl) pairs — every
+    # non-empty doc has >= 1 posting; dl is constant per doc_id.
+    (
+        written.select("doc_id", "dl")
+        .groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/stats")
+    )
+
+
+def bm25_search(
+    spark: SparkSession,
+    index_dir: str,
+    terms: Sequence[str],
+    k: int = 20,
+    score_sql: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Top-k BM25 over the persisted index. `score_sql` is the scoring
+    expression over columns tf{i}/df{i}/dl/n_docs/sum_dl (defaults to the
+    catalog's shared BM25 spec so served results are bit-identical to the
+    inline oracle-checked path).
+
+    Plan: probe-bucket PartitionFilters + term-IN pushed filter on the
+    postings scan; vocabulary never loads beyond the probed buckets'
+    query-term rows; lexicon slice broadcasts; the per-doc pivot groupBy
+    (the sole data shuffle) is sized by matching docs; TakeOrdered ends
+    the plan."""
+    terms = list(terms)
+    if score_sql is None:
+        from migrate_cassandra_to_mysql_spark.plans.textplans import (
+            _bm25_score_sql,
+        )
+
+        score_sql = _bm25_score_sql(len(terms))
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("tok").isin(terms))
+        .select("doc_id", "dl", "tok", "tf")
+    )
+    lexicon = (
+        spark.read.parquet(f"{index_dir}/lexicon")
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("tok").isin(terms))
+        .select("tok", "df")
+    )
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    pivoted = (
+        postings.join(F.broadcast(lexicon), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.max("dl").alias("dl"),
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("tok") == t, F.col("tf"))), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"tf{i}")
+                for i, t in enumerate(terms)
+            ],
+            # df placeholder 1 for terms absent from this doc: their
+            # contribution is multiplied by tf=0, so the idf value is
+            # irrelevant — it only needs to be non-null and finite.
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("tok") == t, F.col("df"))), F.lit(1)
+                )
+                .cast("long")
+                .alias(f"df{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+    )
+    hits = " + ".join(f"tf{i}" for i in range(len(terms)))
+    return (
+        pivoted.join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(f"CAST({hits} AS BIGINT)").alias("n_hits"),
+            F.expr(score_sql).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -448,13 +448,13 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def _bm25_score_sql() -> str:
+def _bm25_score_sql(n_terms: int | None = None) -> str:
     """The per-document BM25 score as a SQL expression over columns
     tf{i}/df{i}/dl/n_docs/sum_dl — shared verbatim by the Spark plan and
     the DuckDB oracle so both engines evaluate the identical IEEE
     expression tree (ln ulp differences absorbed by the final round)."""
     terms = []
-    for i in range(len(_BM25_TERMS)):
+    for i in range(len(_BM25_TERMS) if n_terms is None else n_terms):
         idf = f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
         denom = (
             f"(tf{i} + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B}"
@@ -550,6 +550,33 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
+    )
+
+
+@register("bm25_persisted_topk", oracle=_bm25_oracle())
+def bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index form of bm25_topk_search (same oracle: the
+    served path must be semantics-preserving): invert the corpus ONCE into
+    md5-bucketed posting lists with denormalized doc lengths + a lexicon +
+    a 1-row stats table (operators/inverted_index.build_inverted_index),
+    then answer the same keyword query touching ONLY the buckets its terms
+    hash to (parquet PartitionFilters) with the term set pushed into each
+    bucket's scan. This is the production 100 TB retrieval layout: query
+    cost scales with posting-list sizes, not corpus size — the inline form
+    re-scans every document per query."""
+    from migrate_cassandra_to_mysql_spark.operators import inverted_index
+    from migrate_cassandra_to_mysql_spark.plans._work import memo, workdir
+
+    docs = T(spark, sf_dir, "documents")
+
+    def _build() -> str:
+        d = workdir("mc2m_invidx_")
+        inverted_index.build_inverted_index(docs, d)
+        return d
+
+    index_dir = memo(("inverted_index", sf_dir), _build)
+    return inverted_index.bm25_search(
+        spark, index_dir, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
     )
 
 

@@ -1,0 +1,102 @@
+"""Persisted inverted-index BM25 (operators/inverted_index.py): the served
+path must equal the inline oracle-checked path row for row, the postings
+scan must prune to the query terms' buckets, and the Python/Spark bucket
+twins must agree (a divergence would silently skip a term's partition).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.functions.hashing import md5_token_bucket
+from migrate_cassandra_to_mysql_spark.operators import inverted_index
+from migrate_cassandra_to_mysql_spark.plans.textplans import (
+    _BM25_TERMS,
+    _bm25_score_sql,
+    bm25_topk_search,
+)
+from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("invidx"))
+    inverted_index.build_inverted_index(T(spark, sf_dir, "documents"), d)
+    return d
+
+
+def test_term_bucket_matches_spark_expression(spark):
+    words = ["spark", "join", "window", "stream", "the", "a", "merge"]
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    got = {
+        r["tok"]: r["b"]
+        for r in df.select(
+            "tok", md5_token_bucket(F.col("tok"), 32).cast("int").alias("b")
+        ).collect()
+    }
+    for w in words:
+        assert inverted_index.term_bucket(w, 32) == got[w], w
+
+
+def test_served_equals_inline(spark, sf_dir, index_dir):
+    inline = bm25_topk_search(spark, sf_dir).toPandas()
+    served = inverted_index.bm25_search(
+        spark, index_dir, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
+    ).toPandas()
+    assert list(served["doc_id"]) == list(inline["doc_id"])
+    assert list(served["n_hits"]) == list(inline["n_hits"])
+    assert (served["bm25"].to_numpy() == inline["bm25"].to_numpy()).all()
+
+
+def test_postings_scan_prunes_to_term_buckets(spark, index_dir):
+    plan = inverted_index.bm25_search(
+        spark, index_dir, _BM25_TERMS
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "bucket" in seg
+    # the term set must reach the postings scan as a pushed data filter
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "tok" in pushed
+
+
+def test_bucket_partitions_cover_expected_set(spark, index_dir):
+    import os
+
+    on_disk = {
+        int(p.split("=")[1])
+        for p in os.listdir(f"{index_dir}/postings")
+        if p.startswith("bucket=")
+    }
+    assert on_disk  # non-empty corpus inverts to at least one bucket
+    assert on_disk <= set(range(inverted_index.DEFAULT_BUCKETS))
+    for t in _BM25_TERMS:
+        assert inverted_index.term_bucket(t) in on_disk, t
+
+
+def test_unknown_term_contributes_nothing(spark, sf_dir, index_dir):
+    # A query term absent from the corpus must not change the result set
+    # relative to the same query without it (its tf is 0 everywhere).
+    base = inverted_index.bm25_search(
+        spark, index_dir, ["spark", "join"], k=10
+    ).toPandas()
+    with_ghost = inverted_index.bm25_search(
+        spark, index_dir, ["spark", "join", "zzz_not_a_token"], k=10
+    ).toPandas()
+    assert list(base["doc_id"]) == list(with_ghost["doc_id"])
+    assert (base["bm25"].to_numpy() == with_ghost["bm25"].to_numpy()).all()
+
+
+def test_stats_match_corpus(spark, sf_dir, index_dir):
+    stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    docs = T(spark, sf_dir, "documents")
+    expect = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")).cast("long")).alias(
+            "s"
+        ),
+    ).collect()[0]
+    assert stats["n_docs"] == expect["n"]
+    assert stats["sum_dl"] == expect["s"]
