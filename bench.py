@@ -49,7 +49,26 @@ HEADLINE = [
 ]
 
 
+def cpu_calibration() -> float:
+    """Fixed single-thread workload (~1s nominal) timed before Spark
+    starts: an environment-speed anchor recorded into the bench JSON.
+    Cross-round totals on this sandbox have shown uniform 1.3-1.5x drifts
+    (same commit, same data — host CPU contention); dividing totals by
+    calib_sec separates engine regressions from environment drift."""
+    def _work(n: int) -> int:
+        h = 0
+        for i in range(n):
+            h = (h * 1315423911 + i) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    _work(200_000)  # interpreter warmup — time only the steady pass
+    t0 = time.perf_counter()
+    _work(4_000_000)
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
+    calib = cpu_calibration()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -171,6 +190,7 @@ def main() -> None:
                 ),
                 "skew_ab": skew_ab,
                 "sf1": sf1_block,
+                "calib_sec": calib,
                 "sf": sf,
             }
         )

@@ -77,16 +77,64 @@ def build_inverted_index(
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/postings"
     )
-    written = docs.sparkSession.read.parquet(f"{index_dir}/postings")
+    # lexicon (per-term df) and stats (n_docs/sum_dl) derive from the
+    # postings layer — every non-empty doc has >= 1 posting and dl is
+    # constant per doc_id — so build and incremental append share one
+    # refresh path.
+    _refresh_derived(docs.sparkSession, index_dir)
+
+
+def append_to_inverted_index(
+    docs_new: DataFrame,
+    index_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+) -> None:
+    """Incremental index maintenance — the daily-ingest path: invert ONLY
+    the new documents and append their postings to the existing bucket
+    partitions (no touch of existing posting files), then rebuild lexicon
+    and stats from the postings layer. A posting row is a pure function of
+    its document, so an index built in N appends holds the same posting
+    multiset as a single-pass build (pinned by test); lexicon/stats are
+    aggregations over the already-inverted postings — their refresh cost
+    is O(index), not O(corpus), and at 100 TB both are a tiny fraction of
+    the posting volume (vocabulary-sized and 1 row). Callers must ensure
+    doc_ids in docs_new are not already indexed (same contract as any
+    append-only ingest)."""
+    spark = docs_new.sparkSession
+    toks = docs_new.select(
+        "doc_id", textfns.tokens(F.col(text_col)).alias("toks")
+    ).select(
+        "doc_id", F.size("toks").cast("long").alias("dl"), F.col("toks")
+    )
+    (
+        toks.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "bucket", md5_token_bucket(F.col("tok"), n_buckets).cast("int")
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/postings")
+    )
+    _refresh_derived(spark, index_dir)
+
+
+def _refresh_derived(spark: SparkSession, index_dir: str) -> None:
+    """Rebuild lexicon/ and stats/ from postings/ (the source of truth).
+    Written to temp names then swapped, so a concurrent reader never sees
+    a half-written lexicon."""
+    import shutil
+
+    written = spark.read.parquet(f"{index_dir}/postings")
     (
         written.groupBy("bucket", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(f"{index_dir}/lexicon")
+        .parquet(f"{index_dir}/lexicon.new")
     )
-    # n_docs / sum_dl from the postings' per-doc (doc_id, dl) pairs — every
-    # non-empty doc has >= 1 posting; dl is constant per doc_id.
     (
         written.select("doc_id", "dl")
         .groupBy("doc_id")
@@ -97,8 +145,11 @@ def build_inverted_index(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{index_dir}/stats")
+        .parquet(f"{index_dir}/stats.new")
     )
+    for part in ("lexicon", "stats"):
+        shutil.rmtree(f"{index_dir}/{part}", ignore_errors=True)
+        shutil.move(f"{index_dir}/{part}.new", f"{index_dir}/{part}")
 
 
 def bm25_search(

@@ -100,3 +100,36 @@ def test_stats_match_corpus(spark, sf_dir, index_dir):
     ).collect()[0]
     assert stats["n_docs"] == expect["n"]
     assert stats["sum_dl"] == expect["s"]
+
+
+def test_incremental_append_equals_full_build(spark, sf_dir, tmp_path):
+    # Build an index over the first half, append the second half: the
+    # result must answer queries identically to a single-pass build over
+    # the full corpus.
+    docs = T(spark, sf_dir, "documents")
+    full_dir = str(tmp_path / "full")
+    inc_dir = str(tmp_path / "inc")
+    inverted_index.build_inverted_index(docs, full_dir)
+    inverted_index.build_inverted_index(
+        docs.where(F.col("doc_id") % 2 == 0), inc_dir
+    )
+    inverted_index.append_to_inverted_index(
+        docs.where(F.col("doc_id") % 2 == 1), inc_dir
+    )
+    a = inverted_index.bm25_search(spark, full_dir, _BM25_TERMS, k=20).toPandas()
+    b = inverted_index.bm25_search(spark, inc_dir, _BM25_TERMS, k=20).toPandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert (a["bm25"].to_numpy() == b["bm25"].to_numpy()).all()
+    # derived layers agree exactly too
+    sa = spark.read.parquet(f"{full_dir}/stats").collect()[0]
+    sb = spark.read.parquet(f"{inc_dir}/stats").collect()[0]
+    assert (sa["n_docs"], sa["sum_dl"]) == (sb["n_docs"], sb["sum_dl"])
+    la = {
+        (r["tok"], r["df"])
+        for r in spark.read.parquet(f"{full_dir}/lexicon").collect()
+    }
+    lb = {
+        (r["tok"], r["df"])
+        for r in spark.read.parquet(f"{inc_dir}/lexicon").collect()
+    }
+    assert la == lb
