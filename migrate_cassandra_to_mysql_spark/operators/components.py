@@ -130,3 +130,83 @@ def dedup_clusters(
             ),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> DataFrame:
+    """(node, rank) after `n_iter` synchronous power iterations of
+    PageRank over a directed edge list:
+
+        rank'(v) = (1-d)/N + d * sum_{u->v} rank(u) / outdeg(u)
+
+    Dangling nodes (no out-edges) contribute no mass (documented simple
+    variant — on the symmetric co-purchase graphs this engine feeds it,
+    every node has out-edges, so no mass is lost).
+
+    Determinism contract (shared with the DuckDB oracle): each
+    contribution rank/outdeg is rounded to 12 dp and summed as
+    DECIMAL(28,12) — exact and order-independent, so a 1000-executor run
+    is bit-identical to a single-threaded one. The damping constants are
+    combined with the same IEEE ops on both engines ((1.0 - d)/N, no
+    transcendental functions), so ranks need no per-iteration tolerance.
+
+    Scale shape: the loop shuffles only (node, rank) pairs — 16 bytes per
+    node per iteration — against a persisted (src, dst, outdeg) edge
+    frame; each iteration's ranks are persisted and the previous round
+    unpersisted so lineage stays O(1) deep (same discipline as
+    connected_components above); N rides as a broadcast 1-row aggregate,
+    never a driver-side count action.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_out"))
+    ed = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    teleport = F.lit(1.0) - F.lit(damping)
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        for _ in range(n_iter):
+            contrib = ed.join(
+                ranks, ed["src"] == ranks["node"]
+            ).select(
+                "dst",
+                F.round(F.col("rank") / F.col("n_out"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            new_ranks = (
+                nodes.join(sums, nodes["node"] == sums["dst"], "left")
+                .crossJoin(F.broadcast(n_df))
+                .select(
+                    "node",
+                    (
+                        teleport / F.col("n_nodes")
+                        + F.lit(damping)
+                        * F.coalesce(
+                            F.col("s").cast("double"), F.lit(0.0)
+                        )
+                    ).alias("rank"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            ranks.unpersist()
+            ranks = new_ranks
+        return ranks
+    finally:
+        ed.unpersist()
+        nodes.unpersist()

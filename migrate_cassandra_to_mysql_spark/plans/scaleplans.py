@@ -484,3 +484,89 @@ def scd2_incremental_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     h2 = h2.persist(StorageLevel.MEMORY_AND_DISK)
     return scd2_apply_increment(h2, s3, keys, tracked, "2026-03-01 00:00:00")
+
+
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    """DuckDB twin of operators/components.pagerank over the part
+    co-purchase graph: the same power iterations unrolled as generated
+    CTEs (like the SCD2 incremental oracle), with the identical
+    determinism contract — contributions rounded to 12 dp and summed as
+    DECIMAL, damping constants combined with the same IEEE ops."""
+    d = "CAST(0.85 AS DOUBLE)"
+    ctes = [
+        """items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+           FROM lineitem),
+ pairs AS (SELECT DISTINCT i1.p AS src, i2.p AS dst
+           FROM items i1 JOIN items i2 ON i1.ok = i2.ok AND i1.p <> i2.p),
+ outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS n_out
+            FROM pairs GROUP BY src),
+ nodes AS (SELECT src AS node FROM pairs
+           UNION SELECT dst FROM pairs),
+ n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+ r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.n_nodes AS pr FROM nodes, n)"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""c{i} AS (SELECT p.dst,
+            sum(CAST(round(r.pr / o.n_out, 12) AS DECIMAL(28,12))) AS s
+        FROM pairs p
+        JOIN r{i - 1} r ON p.src = r.node
+        JOIN outdeg o ON p.src = o.src
+        GROUP BY p.dst),
+ r{i} AS (SELECT nodes.node,
+            (CAST(1.0 AS DOUBLE) - {d}) / n.n_nodes
+            + {d} * coalesce(CAST(c{i}.s AS DOUBLE), CAST(0.0 AS DOUBLE))
+              AS pr
+          FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.dst, n)"""
+        )
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + f"""
+SELECT r{n_iter}.node AS part_id,
+       coalesce(o.n_out, CAST(0 AS BIGINT)) AS n_out,
+       round(r{n_iter}.pr, 8) AS pagerank
+FROM r{n_iter} LEFT JOIN outdeg o ON r{n_iter}.node = o.src
+"""
+    )
+
+
+@register("part_copurchase_pagerank", oracle=_pagerank_oracle())
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts are linked when
+    some order contains both): 5 synchronous power iterations, damping
+    0.85 — the iterative-graph family member beyond min-label connected
+    components, ranking parts by co-purchase centrality (the
+    recommendation / importance primitive).
+
+    Scale shape: pair expansion is bounded by order width (TPC-H orders
+    hold <= 7 items, so the self-join on l_orderkey fans out O(49) per
+    order — never quadratic in the table); the iteration loop shuffles
+    only (node, rank) pairs against a persisted (src, dst, outdeg) edge
+    frame with O(1)-deep lineage; N rides as a broadcast 1-row aggregate.
+    Determinism: 12-dp DECIMAL contribution sums make every iteration
+    bit-reproducible under any partitioning (oracle-identical with zero
+    float tolerance).
+    """
+    from migrate_cassandra_to_mysql_spark.operators.components import pagerank
+
+    li = T(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    o = items.select("ok", F.col("p").alias("dst"))
+    pairs = (
+        items.join(o, "ok")
+        .where(F.col("p") != F.col("dst"))
+        .select(F.col("p").alias("src"), "dst")
+        .distinct()
+    )
+    ranks = pagerank(pairs, n_iter=5, damping=0.85)
+    outdeg = pairs.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_out")
+    )
+    return ranks.join(outdeg, ranks["node"] == outdeg["src"], "left").select(
+        F.col("node").alias("part_id"),
+        F.coalesce("n_out", F.lit(0).cast("long")).alias("n_out"),
+        F.round("rank", 8).alias("pagerank"),
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
 
 DOC_ID_SHIFT = 10_000_000
+USER_ID_SHIFT = 1_000_000
 ORDERKEY_SHIFT = 100_000_000
 VEC_ID_SHIFT = 10_000_000
 
@@ -26,7 +27,7 @@ VEC_ID_SHIFT = 10_000_000
 def synthesize_sf1(
     spark: SparkSession, src_sf_dir: str, out_dir: str, copies: int = 10
 ) -> None:
-    """Write documents/orders/lineitem/embeddings scaled `copies`× under
+    """Write documents/orders/lineitem/events/embeddings scaled `copies`× under
     out_dir.
 
     Only the tables the heavy headline plans scan; each write is a flat
@@ -78,6 +79,20 @@ def synthesize_sf1(
         )
         .repartition(8)
         .write.parquet(f"{out_dir}/lineitem.parquet")
+    )
+
+    ev = T(spark, src_sf_dir, "events")
+    (
+        ev.select("*", copy_col)
+        .select(
+            (F.col("event_id") + F.col("_copy") * F.lit(ORDERKEY_SHIFT))
+            .alias("event_id"),
+            (F.col("user_id") + F.col("_copy") * F.lit(USER_ID_SHIFT))
+            .alias("user_id"),
+            *[c for c in ev.columns if c not in ("event_id", "user_id")],
+        )
+        .repartition(8)
+        .write.parquet(f"{out_dir}/events.parquet")
     )
 
     emb = T(spark, src_sf_dir, "embeddings")

