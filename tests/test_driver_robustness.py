@@ -63,3 +63,22 @@ def test_events_loads_via_table_helper_not_raw_read(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.where(F.col("ts").isNotNull()).count() > 0
+
+
+def test_gap_fill_timezone_and_slash_robust(spark, sf_dir):
+    """events_gap_fill derives hourly buckets with date_trunc — under a
+    consuming session pinned to another timezone the bucket VALUES must
+    still be the UTC ones (parquet.table re-pins), and a trailing slash
+    must resolve."""
+    q = catalog.queries()["events_gap_fill"]
+    utc = {(r["user_id"], r["bucket"]) for r in q(spark, sf_dir).collect()}
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        shifted = {
+            (r["user_id"], r["bucket"])
+            for r in q(spark, sf_dir + "/").collect()
+        }
+        assert shifted == utc
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
