@@ -97,8 +97,10 @@ PRIORITY: list[str] = [
     # r3b (both hold green r2 driver rows, and snapshot_job_e2e's row
     # exercises the same checkpoint + idempotent-sink lifecycle) to admit
     # the watermark-semantics streaming row and the chunk/pack suite.
-    "snapshot_reconciliation",
-    "checkpoint_progress",
+    # late-r6: snapshot_reconciliation / checkpoint_progress out on green
+    # r2-r5 rows (snapshot_job_e2e's row gates the same reconcile +
+    # checkpoint lifecycle end-to-end) to admit two of the four late-r6
+    # operators below.
     "streaming_hourly_rollup",
     "chunk_pack_suite",
     "pyds_pushdown_scan",
@@ -151,8 +153,14 @@ PRIORITY: list[str] = [
     "q2_min_cost_supplier",
     "q10_returned_items",
     "q12_priority_case_sum",
-    "q13_order_count_distribution",
-    "q21_waiting_suppliers",
+    # late-r6: q13/q21 out on their green r5 rows (the r6 window keeps
+    # q2/q10/q12 + the scalar suite for TPC-H shape diversity) to admit
+    # the remaining late-r6 operators — new ops earn driver rows in
+    # their own round:
+    "events_gap_fill",
+    "bm25_topk_search",
+    "corpus_divergence",
+    "part_copurchase_pagerank",
 ]
 
 
