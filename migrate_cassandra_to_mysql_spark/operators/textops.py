@@ -218,3 +218,74 @@ def winnowing(
         ).alias("fps"),
     )
     return fps.select("doc_id", F.explode("fps").alias("fp"))
+
+
+def bigram_lm_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang, n_bigrams, avg_nll, ppl): per-document perplexity
+    under an add-0.5-smoothed bigram language model trained on the SAME
+    corpus, per language — the CCNet-style LM quality filter (Wenzek et
+    al. 2020): gibberish and boilerplate sit far from the corpus LM, so
+    extreme perplexity in either direction marks documents to drop.
+
+    P(w2 | w1) = (c(w1 w2) + 0.5) / (c(w1 ·) + 0.5 · V),
+    with c(w1 ·) the bigram-prefix count and V the per-language suffix
+    vocabulary — both DERIVED from the bigram count table (the tfidf
+    df-from-tf trick: no second corpus scan, no token-level re-shuffle).
+
+    Scale shape: bigram explode → ONE (lang, w1, w2) partial-agg shuffle
+    builds the LM, which is PERSISTED — prefix counts, vocab sizes, and
+    the scoring join all derive from the persisted frame, so the corpus
+    is scanned exactly twice (probe side + LM build) and the LM is never
+    re-derived per consumer (un-persisted, Catalyst re-runs the explode
+    and aggregation for each of the three forks). Prefix/vocab ride back
+    as broadcast (vocabulary-sized / languages-sized) dims; the per-doc
+    reduction sums 12-dp DECIMAL-rounded nll contributions — exact and
+    order-independent (bit-reproducible on any cluster layout).
+    Documents with fewer than two tokens have no bigrams and are absent
+    from the output.
+    """
+    from pyspark.storagelevel import StorageLevel
+    b = docs.select(
+        "doc_id", "lang", tokens(F.col(text_col)).alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(element_at(toks, i + 1) AS w1,"
+                "             element_at(toks, i + 2) AS w2))"
+                " ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)"
+                " END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", "bg.w1", "bg.w2")
+    lm = (
+        b.groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prefix = lm.groupBy("lang", "w1").agg(F.sum("cb").alias("cw1"))
+    vocab = lm.groupBy("lang").agg(
+        F.countDistinct("w2").cast("long").alias("v")
+    )
+    nll = (
+        "CAST(round(-ln((cb + CAST(0.5 AS DOUBLE))"
+        " / (cw1 + CAST(0.5 AS DOUBLE) * v)), 12) AS DECIMAL(28,12))"
+    )
+    scored = (
+        b.join(lm, ["lang", "w1", "w2"])
+        .join(F.broadcast(prefix), ["lang", "w1"])
+        .join(F.broadcast(vocab), ["lang"])
+        .select("doc_id", "lang", F.expr(nll).alias("nll"))
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr(
+            "round(CAST(sum(nll) AS DOUBLE) / count(*), 8)"
+        ).alias("avg_nll"),
+        F.expr(
+            "round(exp(CAST(sum(nll) AS DOUBLE) / count(*)), 6)"
+        ).alias("ppl"),
+    )

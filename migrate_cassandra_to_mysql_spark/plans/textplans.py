@@ -553,6 +553,49 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NLL_SQL = (
+    "CAST(round(-ln((cb + CAST(0.5 AS DOUBLE))"
+    " / (cw1 + CAST(0.5 AS DOUBLE) * v)), 12) AS DECIMAL(28,12))"
+)
+
+
+@register(
+    "bigram_lm_perplexity",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+ bl AS (SELECT doc_id, lang,
+              unnest(list_transform(range(1, len(toks)),
+                i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS u
+        FROM t WHERE len(toks) >= 2),
+ bg AS (SELECT doc_id, lang, u.w1 AS w1, u.w2 AS w2 FROM bl),
+ lm AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS cb
+        FROM bg GROUP BY 1, 2, 3),
+ prefix AS (SELECT lang, w1, CAST(sum(cb) AS BIGINT) AS cw1
+            FROM lm GROUP BY 1, 2),
+ vocab AS (SELECT lang, CAST(count(DISTINCT w2) AS BIGINT) AS v
+           FROM lm GROUP BY 1),
+ scored AS (SELECT bg.doc_id, bg.lang, {_NLL_SQL} AS nll
+            FROM bg
+            JOIN lm USING (lang, w1, w2)
+            JOIN prefix USING (lang, w1)
+            JOIN vocab USING (lang))
+SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(nll) AS DOUBLE) / count(*), 8) AS avg_nll,
+       round(exp(CAST(sum(nll) AS DOUBLE) / count(*)), 6) AS ppl
+FROM scored GROUP BY doc_id, lang
+""",
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-0.5-smoothed bigram LM trained
+    on the same corpus per language — the CCNet-style LM quality filter
+    (see operators/textops.bigram_lm_perplexity for the full scale
+    rationale: one bigram-level shuffle builds the LM, the scoring join
+    probes the same key, prefix/vocab ride back broadcast, and the per-doc
+    nll reduction is a 12-dp DECIMAL sum, bit-reproducible under any
+    partitioning)."""
+    return textops.bigram_lm_perplexity(T(spark, sf_dir, "documents"))
+
+
 @register("bm25_persisted_topk", oracle=_bm25_oracle())
 def bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index form of bm25_topk_search (same oracle: the
