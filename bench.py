@@ -49,26 +49,44 @@ HEADLINE = [
 ]
 
 
+def _calib_work(n: int) -> int:
+    # module-level so ProcessPoolExecutor can pickle it
+    h = 0
+    for i in range(n):
+        h = (h * 1315423911 + i) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def cpu_calibration() -> float:
-    """Fixed single-thread workload (~1s nominal) timed before Spark
+    """Fixed single-thread workload (~0.4s nominal) timed before Spark
     starts: an environment-speed anchor recorded into the bench JSON.
     Cross-round totals on this sandbox have shown uniform 1.3-1.5x drifts
     (same commit, same data — host CPU contention); dividing totals by
-    calib_sec separates engine regressions from environment drift."""
-    def _work(n: int) -> int:
-        h = 0
-        for i in range(n):
-            h = (h * 1315423911 + i) & 0xFFFFFFFFFFFFFFFF
-        return h
-
-    _work(200_000)  # interpreter warmup — time only the steady pass
+    the calibration separates engine regressions from environment drift."""
+    _calib_work(200_000)  # interpreter warmup — time only the steady pass
     t0 = time.perf_counter()
-    _work(4_000_000)
+    _calib_work(4_000_000)
     return round(time.perf_counter() - t0, 3)
+
+
+def cpu_calibration_parallel(n_procs: int = 16) -> float:
+    """Same fixed workload fanned across `n_procs` processes (the hash
+    loop holds the GIL): wall time for all to finish. Shared-host
+    contention that steals CORES (and so slows a 32-thread Spark local
+    run) shows up here even when the single-thread anchor is unaffected —
+    record both, and normalize Spark totals by this one."""
+    import concurrent.futures as cf
+
+    with cf.ProcessPoolExecutor(max_workers=n_procs) as ex:
+        list(ex.map(_calib_work, [200_000] * n_procs))  # pool warmup
+        t0 = time.perf_counter()
+        list(ex.map(_calib_work, [2_000_000] * n_procs))
+        return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
     calib = cpu_calibration()
+    calib_par = cpu_calibration_parallel()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -191,6 +209,7 @@ def main() -> None:
                 "skew_ab": skew_ab,
                 "sf1": sf1_block,
                 "calib_sec": calib,
+                "calib_parallel_sec": calib_par,
                 "sf": sf,
             }
         )
