@@ -741,6 +741,60 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_hierarchy_recursive",
+    oracle="""
+WITH RECURSIVE h(custkey, depth, path) AS (
+  SELECT c_custkey, 0, CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey = 0
+  UNION ALL
+  SELECT c.c_custkey, h.depth + 1,
+         h.path || '/' || CAST(c.c_custkey AS VARCHAR)
+  FROM customer c JOIN h ON c.c_custkey // 7 = h.custkey
+  WHERE c.c_custkey >= 1
+)
+SELECT custkey, CAST(depth AS BIGINT) AS depth, path FROM h
+""",
+)
+def customer_hierarchy_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over a referral hierarchy via Spark 4's native
+    WITH RECURSIVE (the org-chart / BOM-explosion shape): parent(c) =
+    c DIV 7 over the contiguous customer keys forms a deterministic
+    7-ary tree rooted at custkey 0; the query materializes every node's
+    depth and root-to-node path in one recursive CTE — no driver-side
+    loop, no manual iteration plumbing.
+
+    Scale shape: Catalyst executes the recursion as an iterative
+    union loop — per level, ONE equi-join of the (still-unvisited)
+    customer table against the previous frontier, shuffling only
+    frontier-sized (custkey, depth, path) rows; depth is logarithmic in
+    the customer count (parent < child strictly, so termination is
+    structural). The strictly-decreasing parent key is the loop-safety
+    invariant: a self-parented root would recurse forever (custkey 0 is
+    therefore anchored in the base case and excluded from the step).
+    This subsumes the driver-side wave loop the reference hand-rolls
+    (`snapshot_use_pyspark.py` ThreadPoolExecutor waves) for
+    hierarchical expansion workloads.
+    """
+    T(spark, sf_dir, "customer").createOrReplaceTempView(
+        "mc2m_customer_hier"
+    )
+    return spark.sql(
+        """
+WITH RECURSIVE h(custkey, depth, path) AS (
+  SELECT c_custkey, 0, CAST(c_custkey AS STRING)
+  FROM mc2m_customer_hier WHERE c_custkey = 0
+  UNION ALL
+  SELECT c.c_custkey, h.depth + 1,
+         concat(h.path, '/', CAST(c.c_custkey AS STRING))
+  FROM mc2m_customer_hier c JOIN h ON c.c_custkey DIV 7 = h.custkey
+  WHERE c.c_custkey >= 1
+)
+SELECT custkey, CAST(depth AS BIGINT) AS depth, path FROM h
+"""
+    )
+
+
+@register(
     "orders_per_customer_listagg",
     oracle="""
 SELECT o_custkey AS client_id,

@@ -124,3 +124,93 @@ def sessionize_stream(events_stream: DataFrame, continuous: bool = False) -> Dat
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# --- transformWithState (Spark 4 arbitrary-state API) ---------------------
+#
+# applyInPandasWithState above is the Spark 3.x-era primitive; Spark 4
+# replaces it with transformWithStateInPandas: typed named state slots
+# (value/list/map) with per-state TTL, timers, and an initial-state hook —
+# the operator model a long-lived 100 TB stream actually needs (state
+# schema evolution and TTL without hand-rolled timeout bookkeeping).
+# running_totals_stream is the streaming twin of the reference's running
+# max-token high-water tracking (snapshot_use_pyspark.py:228,258 and the
+# batch catalog row `running_max_token`): per-key event count / total /
+# high-water mark, updated per micro-batch.
+
+RUNNING_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total double, max_value double"
+)
+RUNNING_STATE_SCHEMA = "n bigint, total double, max_v double"
+
+
+def _lazy_processor_cls():
+    # StatefulProcessor imports touch streaming internals; keep them out
+    # of module import so batch-only consumers never pay for them.
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-user running (count, sum, max) with a 1h state TTL: a
+        user idle past the TTL restarts from zero — the bounded-state
+        contract (O(active users), like the sessionizer's timeout but
+        declared ONCE on the state slot instead of managed per batch)."""
+
+        def __init__(self, ttl_ms: int | None = 3_600_000):
+            self._ttl_ms = ttl_ms
+
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState(
+                "totals", RUNNING_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._totals.exists():
+                n, total, max_v = self._totals.get()
+            else:
+                n, total, max_v = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                max_v = max(max_v, float(pdf["value"].max()))
+            self._totals.update((n, total, max_v))
+            yield pd.DataFrame(
+                [(user_id, n, round(total, 6), max_v)],
+                columns=["user_id", "n_events", "total", "max_value"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotalsProcessor
+
+
+def running_totals_stream(
+    events_stream: DataFrame, ttl_ms: int | None = 3_600_000
+) -> DataFrame:
+    """Per-user running (n_events, total, max_value) over an event
+    stream via transformWithStateInPandas — one Update-mode row per user
+    per micro-batch that saw that user.
+
+    Scale design: state is one 3-field record per ACTIVE user (TTL
+    evicts idle users inside the state store — no cleanup batches, no
+    timeout plumbing in the operator body); events shuffle once on
+    user_id; pandas batches arrive Arrow-transferred. Totals are rounded
+    to 6 dp on emit so cross-run comparisons don't chase float dust from
+    batch-boundary summation order.
+
+    Environment gate: EXECUTING a transformWithState query requires the
+    `protobuf` package (Spark's Python state-server protocol speaks
+    protobuf; plan construction does not). This sandbox ships no
+    protobuf and installs are off-limits, so the end-to-end test
+    (tests/test_transform_with_state.py) skips when the import fails —
+    the applyInPandasWithState sessionizer above carries the EXECUTED
+    custom-stateful-operator coverage; this operator is the Spark-4 API
+    form of the same contract.
+    """
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        _lazy_processor_cls()(ttl_ms),
+        outputStructType=RUNNING_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
