@@ -794,6 +794,67 @@ SELECT custkey, CAST(depth AS BIGINT) AS depth, path FROM h
     )
 
 
+def _zorder_oracle() -> str:
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        zvalue_sql_duckdb,
+    )
+
+    z = zvalue_sql_duckdb("l_orderkey", "l_partkey")
+    return f"""
+WITH z AS (SELECT {z} AS z,
+                  CAST(l_orderkey & 65535 AS BIGINT) AS a,
+                  CAST(l_partkey & 65535 AS BIGINT) AS b
+           FROM lineitem),
+ m AS (SELECT (max(z) // 64) + 1 AS w FROM z)
+SELECT CAST(z.z // m.w AS BIGINT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(a) AS min_a, max(a) AS max_a,
+       min(b) AS min_b, max(b) AS max_b
+FROM z, m GROUP BY 1
+"""
+
+
+@register("zorder_curve_rollup", oracle=_zorder_oracle())
+def zorder_curve_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) curve rollup over (l_orderkey, l_partkey): rows
+    bucketed into 64 equal-width segments of the interleaved z-value range, with
+    each bucket's bounding rectangle in key space. This is the curve the
+    layout rewriter (operators/layout.write_zordered) sorts by — the
+    rollup makes its locality property oracle-checkable: each z-bucket
+    covers a bounded rectangle of BOTH keys (what parquet row-group
+    min/max stats need to prune 2-D box predicates), unlike a 1-D sort
+    where the second key's range per bucket is unbounded.
+
+    Scale shape: the z-value is pure integer bit arithmetic inside
+    whole-stage codegen (no UDF, exact on both engines); the rollup is
+    one partial-agg-friendly groupBy on a 64-value key. The write path
+    (write_zordered) is one range-exchange + within-partition sort —
+    global-sort cost class, paid once, recovered on every subsequent
+    selective 2-D scan (row-group pruning measured in
+    tests/test_zorder_layout.py against pyarrow footer stats).
+    """
+    from migrate_cassandra_to_mysql_spark.operators.layout import zvalue
+
+    li = T(spark, sf_dir, "lineitem").select(
+        zvalue("l_orderkey", "l_partkey").alias("z"),
+        F.expr("CAST(l_orderkey & 65535 AS BIGINT)").alias("a"),
+        F.expr("CAST(l_partkey & 65535 AS BIGINT)").alias("b"),
+    )
+    # 64 equal-width curve segments, width from a broadcast 1-row max —
+    # scale-invariant bucketing (a fixed bit shift gives 1 bucket at
+    # sf0.001 and 2^18 at sf0.1)
+    w = li.agg(F.expr("(max(z) DIV 64) + 1").alias("w"))
+    return li.crossJoin(F.broadcast(w)).groupBy(
+        F.expr("CAST(z DIV w AS BIGINT)").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("a").alias("min_a"),
+        F.max("a").alias("max_a"),
+        F.min("b").alias("min_b"),
+        F.max("b").alias("max_b"),
+    )
+
+
 @register(
     "orders_per_customer_listagg",
     oracle="""
