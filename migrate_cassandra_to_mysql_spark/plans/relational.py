@@ -1154,6 +1154,66 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_window_native",
+    oracle="""
+WITH d AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         epoch(CAST(ts AS TIMESTAMP))
+           - lag(epoch(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id ORDER BY ts) AS gap_s
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN gap_s IS NULL OR gap_s >= 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session aggregation via Spark's NATIVE session_window
+    (dynamic-gap session merge inside one hash aggregation) — the
+    Catalyst-built twin of events_sessionize's lag+cumsum construction
+    and of the streaming sessionizer. Semantics pinned by the oracle: a
+    gap of exactly the 30-min threshold STARTS a new session (native
+    merges only while the next event is strictly before session end), so
+    the cumsum twin uses >=, unlike events_sessionize's > contract.
+
+    Scale shape: ONE shuffle on user_id; Spark merges overlapping
+    per-event candidate windows map-side inside the session-window
+    aggregation (no per-user window sort pass, no second shuffle) — and
+    the identical groupBy runs under readStream with a watermark, where
+    the lag+cumsum form is inexpressible."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("win"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "snapshot_cdc_diff",
     oracle="""
 WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),

@@ -139,3 +139,62 @@ def test_sliding_window_stream_matches_batch(spark, sf_dir):
     for k, v in expect.items():
         if (max_start - k[0]).total_seconds() > 4 * 3600:
             assert k in got, f"closed window {k} never emitted"
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir):
+    """Native session_window under watermark + append mode: every emitted
+    (user, session) must equal its batch twin (the
+    events_session_window_native catalog query), and only sessions
+    closed relative to the final watermark may emit — streamed output is
+    a prefix-subset of batch, never a contradiction of it."""
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp()
+    batch_events = T(spark, sf_dir, "events")
+    src = f"{work}/sess_src"
+    batch_events.write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+
+    def sess_agg(df):
+        return (
+            df.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("win")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("win.start").alias("session_start"),
+                "n_events",
+            )
+        )
+
+    q = (
+        sess_agg(stream.withWatermark("ts", "1 hour"))
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/sess_ckpt")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", f"{work}/sess_out")
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.read.parquet(f"{work}/sess_out").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sess_agg(batch_events).collect()
+    }
+    assert got, "no sessions emitted"
+    # every streamed session agrees exactly with the batch twin
+    for k, n in got.items():
+        assert want[k] == n, k
+    # withheld sessions (if any) are only those still open at the final
+    # watermark — i.e. near the max event time
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    for k in set(want) - set(got):
+        uid, start = k
+        assert (max_ts - start).total_seconds() < 2 * 3600, k
