@@ -120,3 +120,47 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+def compact_small_files(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Bin-pack a small-files parquet directory into ~target-size files —
+    the maintenance primitive every streaming/append workload needs (a
+    100 TB table fed by micro-batches accretes thousands of KB-sized
+    files; scan cost then scales with FILE COUNT, not data volume:
+    footer reads, task scheduling, and open/close overhead per file).
+
+    File count = ceil(total_bytes / target): computed from the source
+    listing (driver-side metadata only, no data pass), then ONE coalesce
+    write — coalesce, not repartition, so compaction does NOT shuffle:
+    it only glues input splits together (narrow dependency). Pass
+    sort_within_by to additionally restore a within-file sort order
+    (adds a local sort, still no exchange). Returns {files_in,
+    files_out, bytes} for the caller's audit log.
+
+    Write-then-swap is left to the caller/catalog layer (same contract
+    as inverted_index._refresh_derived) — this writes to out_dir.
+    """
+    import glob as _glob
+    import os as _os
+
+    parts = [
+        p
+        for p in _glob.glob(f"{src_dir}/*.parquet") + _glob.glob(f"{src_dir}/part-*")
+        if _os.path.isfile(p)
+    ]
+    total = sum(_os.path.getsize(p) for p in set(parts))
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src_dir).coalesce(n_out)
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    df.write.mode("overwrite").parquet(out_dir)
+    files_out = len(
+        [p for p in _glob.glob(f"{out_dir}/part-*") if _os.path.isfile(p)]
+    )
+    return {"files_in": len(set(parts)), "files_out": files_out, "bytes": total}

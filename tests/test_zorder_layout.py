@@ -114,3 +114,40 @@ def test_zorder_write_preserves_rows(spark, sf_dir, tmp_path):
     a = li.groupBy().agg(F.sum("l_quantity")).collect()[0][0]
     b = back.groupBy().agg(F.sum("l_quantity")).collect()[0][0]
     assert a == b
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    frag = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    li.repartition(40).write.parquet(frag)  # simulate micro-batch litter
+    stats = compact_small_files(
+        spark, frag, out, target_file_bytes=512 * 1024
+    )
+    assert stats["files_in"] == 40
+    assert 1 <= stats["files_out"] < 40
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    a = li.agg(F.sum("l_quantity")).collect()[0][0]
+    b = back.agg(F.sum("l_quantity")).collect()[0][0]
+    assert a == b
+
+
+def test_compact_no_shuffle_in_plan(spark, sf_dir, tmp_path):
+    # coalesce must not introduce an Exchange: compaction is a narrow glue
+    frag = str(tmp_path / "frag2")
+    T(spark, sf_dir, "region").repartition(5).write.parquet(frag)
+    plan = (
+        spark.read.parquet(frag)
+        .coalesce(1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
