@@ -116,3 +116,56 @@ def test_registry_rejects_duplicate_registration():
         @register("snapshot_sanitize")
         def _dup(spark, sf_dir):  # pragma: no cover
             raise AssertionError
+
+
+def test_gap_fill_two_data_exchanges_no_python(spark, sf_dir):
+    """events_gap_fill's contract: (user, hour) pre-agg + per-user span
+    collect are the ONLY data shuffles; grid expansion is map-side
+    generates. A third hashpartitioning exchange means someone added a
+    join or window to the fill path."""
+    plan = _plan(spark, sf_dir, "events_gap_fill")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Generate") == 2  # range transform + bucket explode
+
+
+def test_bm25_single_row_broadcast_and_take_ordered(spark, sf_dir):
+    """bm25_topk_search: corpus never hash-shuffles — stats reduce to one
+    row (SinglePartition exchange) and ride back broadcast; the ordered
+    exchange is TakeOrdered only."""
+    plan = _plan(spark, sf_dir, "bm25_topk_search")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "Exchange SinglePartition" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_corpus_divergence_token_shuffle_plus_broadcast(spark, sf_dir):
+    """corpus_divergence: token-level (lang, tok) groupBys and the
+    languages-sized final agg — totals must come back as a BROADCAST
+    join, never a shuffled one."""
+    plan = _plan(spark, sf_dir, "corpus_divergence")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_perplexity_lm_broadcasts_and_python_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bigram_lm_perplexity")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # prefix/vocab dims
+
+
+def test_session_window_single_shuffle(spark, sf_dir):
+    """Native session_window: ONE user_id exchange feeds the session
+    merge — no per-user sort-window pass, no second shuffle."""
+    plan = _plan(spark, sf_dir, "events_session_window_native")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan  # no window operator, it's a hash agg path
+
+
+def test_zorder_rollup_integer_codegen(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "zorder_curve_rollup")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # bucket width rides as a broadcast nested-loop of the 1-row max
+    assert "BroadcastNestedLoopJoin" in plan

@@ -163,3 +163,18 @@ def test_pagerank_completes_at_sf1(spark, sf1_dir):
     out = df.collect()
     assert len(out) > 0
     assert all(r["pagerank"] > 0 for r in out)
+
+
+def test_zorder_rewrite_completes_at_sf1(spark, sf1_dir, tmp_path_factory):
+    """The layout rewriter at 10x lineitem: one range-exchange + local
+    sort; completion plus preserved row count under default driver
+    memory is the assertion (the min/max normalization must stay a
+    broadcast 1-row agg, never a per-row window at this size)."""
+    from migrate_cassandra_to_mysql_spark.operators.layout import write_zordered
+
+    li = spark.read.parquet(f"{sf1_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    out = str(tmp_path_factory.mktemp("sf1_zorder"))
+    write_zordered(li, out, "l_orderkey", "l_partkey", n_files=32)
+    assert spark.read.parquet(out).count() == li.count()
