@@ -623,6 +623,36 @@ def bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_merge_training")
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table training (8 merges) over the
+    documents corpus — the tokenizer-TRAINING twin of bpe_token_count
+    (which applies a fixed tokenization). See operators/bpe.py for the
+    algorithm and scale rationale: one corpus pass builds the
+    vocabulary-sized (word, freq) frame, every merge iteration then runs
+    on the vocabulary only, with a single 1-row argmax crossing to the
+    driver per round (the algorithm's irreducible sync point).
+
+    No oracle: the merge sequence is data-dependent ACROSS iterations
+    (step k+1 consumes step k's rewrite), which a single SQL statement
+    cannot express — this is the rows-only class the harness reserves
+    for iterative algorithms; exactness is pinned against a pure-Python
+    reference with the identical tie-break in tests/test_bpe.py. Output
+    is deterministic for a given corpus, so the rows-only check is
+    stable. Training is memoized per sf_dir (train-once/serve-many, the
+    codebook convention)."""
+    from migrate_cassandra_to_mysql_spark.operators import bpe
+    from migrate_cassandra_to_mysql_spark.plans._work import memo
+
+    rows = memo(
+        ("bpe_merges", sf_dir),
+        lambda: bpe.train_bpe(T(spark, sf_dir, "documents"), n_merges=8),
+    )
+    return spark.createDataFrame(
+        rows, "rank long, left string, right string, pair_freq long"
+    )
+
+
 def _simhash_oracle(n_bits: int = 32) -> str:
     """SQL twin of dedup.simhash32_md5, generated from the same bit loop."""
     votes = ",\n        ".join(
