@@ -134,3 +134,19 @@ def bpe_merge_table(
     return spark.createDataFrame(
         rows, "rank long, left string, right string, pair_freq long"
     )
+
+
+def apply_merges_sql(sym_string_sql: str, merges: list[tuple[str, str]]) -> str:
+    """Expression applying a FIXED merge list to a double-SEP symbol
+    string: one chained replace() per merge, in merge order — the
+    deployable-tokenizer form (the merge table is plan-time constant, so
+    the whole tokenization is a single map-side expression chain, zero
+    shuffle, zero Python). Shared verbatim by Spark and the DuckDB
+    oracle: replace() is left-to-right non-overlapping in both, which
+    with the separator guards is exactly greedy BPE application."""
+    expr = sym_string_sql
+    for left, right in merges:
+        pattern = f"{SEP}{left}{SEP}{SEP}{right}{SEP}"
+        replacement = f"{SEP}{left}{right}{SEP}"
+        expr = f"replace({expr}, '{pattern}', '{replacement}')"
+    return expr

@@ -653,6 +653,71 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed merge table for the oracle-checked BPE APPLY path (the trained
+# table is data-dependent and rides the rows-only trainer above; applying
+# a KNOWN table is the deployable-tokenizer behavior and is fully
+# SQL-expressible as a chained replace()).
+_BPE_FIXED_MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("e", "r")]
+
+
+def _bpe_apply_oracle() -> str:
+    from migrate_cassandra_to_mysql_spark.operators.bpe import (
+        SEP,
+        apply_merges_sql,
+    )
+
+    sym = f"'{SEP}{SEP}' || array_to_string(string_split(w, ''), '{SEP}{SEP}') || '{SEP}{SEP}'"
+    applied = apply_merges_sql(sym, _BPE_FIXED_MERGES)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT)
+         AS n_chars,
+       CAST(list_sum(list_transform(toks,
+         w -> len(string_split({applied}, '{SEP}{SEP}')) - 2)) AS BIGINT)
+         AS n_bpe_tokens
+FROM t
+"""
+
+
+@register("bpe_apply_fixed", oracle=_bpe_apply_oracle())
+def bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with a FIXED 4-merge BPE table — the
+    serving twin of bpe_merge_training: once the table is known, the
+    whole tokenization compiles to a chained replace() over each word's
+    separator-guarded symbol string, entirely map-side (zero shuffle,
+    zero Python, whole-stage codegen), and the greedy left-to-right
+    semantics are oracle-checked against DuckDB's identical replace
+    chain. Output: per-doc word / char / BPE-token counts."""
+    from migrate_cassandra_to_mysql_spark.operators.bpe import (
+        SEP,
+        apply_merges_sql,
+    )
+
+    sym = (
+        f"concat('{SEP}{SEP}', concat_ws('{SEP}{SEP}', split(w, '')),"
+        f" '{SEP}{SEP}')"
+    )
+    applied = apply_merges_sql(sym, _BPE_FIXED_MERGES)
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", textfns.tokens(F.col("text")).alias("toks")
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_words"),
+        F.expr(
+            "CAST(aggregate(toks, 0L, (acc, w) -> acc + length(w))"
+            " AS BIGINT)"
+        ).alias("n_chars"),
+        F.expr(
+            f"CAST(aggregate(transform(toks,"
+            f" w -> size(split({applied}, '{SEP}{SEP}')) - 2),"
+            f" 0L, (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("n_bpe_tokens"),
+    )
+
+
 def _simhash_oracle(n_bits: int = 32) -> str:
     """SQL twin of dedup.simhash32_md5, generated from the same bit loop."""
     votes = ",\n        ".join(

@@ -96,3 +96,16 @@ def test_catalog_entry_shape(spark, sf_dir):
     assert (df["pair_freq"] > 0).all()
     # merged symbols grow: later merges may reference earlier outputs
     assert df[["left", "right"]].map(len).to_numpy().min() >= 1
+
+
+def test_fixed_apply_merges_actually_fire(spark, sf_dir):
+    # the oracle-checked apply path must exercise real merges: BPE token
+    # count strictly below char count for docs containing 'the'/'than'
+    from migrate_cassandra_to_mysql_spark.plans.textplans import (
+        bpe_apply_fixed,
+    )
+
+    out = bpe_apply_fixed(spark, sf_dir).toPandas()
+    assert (out["n_bpe_tokens"] <= out["n_chars"]).all()
+    assert (out["n_bpe_tokens"] < out["n_chars"]).any()
+    assert (out["n_bpe_tokens"] >= out["n_words"]).all()
