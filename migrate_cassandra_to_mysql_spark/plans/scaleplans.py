@@ -555,11 +555,23 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
     ).distinct()
     o = items.select("ok", F.col("p").alias("dst"))
+    # Pair dedup is the memory-heaviest step (pair instances ~ orders x
+    # width^2; distinct pairs are ~same order of magnitude since the key
+    # space is wide). Partition the dedup by the pair key across many
+    # tasks BEFORE aggregating: at a low shuffle-partition setting each
+    # task would otherwise hold a multi-million-entry hash map — the sf1
+    # smoke OOM'd a 1 GB driver exactly there. The repartition satisfies
+    # the aggregation's distribution requirement, so it costs no extra
+    # exchange over plain distinct().
+    n_dedup = max(
+        64, spark.sparkContext.defaultParallelism * 8
+    )
     pairs = (
         items.join(o, "ok")
         .where(F.col("p") != F.col("dst"))
         .select(F.col("p").alias("src"), "dst")
-        .distinct()
+        .repartition(n_dedup, "src", "dst")
+        .dropDuplicates()
     )
     ranks = pagerank(pairs, n_iter=5, damping=0.85)
     outdeg = pairs.groupBy("src").agg(

@@ -20,6 +20,7 @@ from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
 
 DOC_ID_SHIFT = 10_000_000
 USER_ID_SHIFT = 1_000_000
+PART_ID_SHIFT = 1_000_000
 ORDERKEY_SHIFT = 100_000_000
 VEC_ID_SHIFT = 10_000_000
 
@@ -75,7 +76,15 @@ def synthesize_sf1(
         .select(
             (F.col("l_orderkey") + F.col("_copy") * F.lit(ORDERKEY_SHIFT))
             .alias("l_orderkey"),
-            *[c for c in li.columns if c != "l_orderkey"],
+            # partkey shifts too: derived structures over (orderkey,
+            # partkey) — the co-purchase graph, z-order curve — must grow
+            # in NODES/KEYS at sf1, not densify onto the sf0.1 key space
+            # (10x orders on FIXED parts makes the co-purchase graph 10x
+            # denser, a different asymptotic than 10x bigger; the r6
+            # pagerank sf1 smoke OOM'd a 1 GB driver exactly this way).
+            (F.col("l_partkey") + F.col("_copy") * F.lit(PART_ID_SHIFT))
+            .alias("l_partkey"),
+            *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
         )
         .repartition(8)
         .write.parquet(f"{out_dir}/lineitem.parquet")
