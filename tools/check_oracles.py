@@ -11,6 +11,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -94,9 +95,27 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     from migrate_cassandra_to_mysql_spark.plans import catalog
-    from migrate_cassandra_to_mysql_spark.session import get_spark
 
-    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    if os.environ.get("SPARK_GRAFT_PLAIN_SESSION") == "1":
+        # Driver simulation: a RAW SparkSession with none of our factory's
+        # conf (no UTC pin, no excluded rules, default shuffle partitions)
+        # — every query must still match its oracle, because the engine
+        # sets what it needs at load time (sources/parquet.table), not at
+        # session build time.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-plain")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        from migrate_cassandra_to_mysql_spark.session import get_spark
+
+        spark = get_spark(
+            "oracle-check", master="local[8]", shuffle_partitions=8
+        )
     con = load_duckdb(sf_dir)
 
     qs, os_ = catalog.queries(), catalog.oracles()
