@@ -151,3 +151,21 @@ def test_compact_no_shuffle_in_plan(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_zvalue_is_a_bijection_on_the_key_square():
+    # deinterleave recovers (a, b) exactly: no two key pairs share a
+    # z-value, so the curve sort is a true total order on the key square
+    import random
+
+    def unz(z: int, bits: int = 16):
+        a = b = 0
+        for i in range(bits):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    rng = random.Random(11)
+    for _ in range(500):
+        a, b = rng.randrange(1 << 16), rng.randrange(1 << 16)
+        assert unz(zvalue_py(a, b)) == (a, b)
