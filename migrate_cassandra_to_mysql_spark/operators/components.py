@@ -138,15 +138,25 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 5,
+    redistribute_dangling: bool = False,
+    tol: float | None = None,
 ) -> DataFrame:
-    """(node, rank) after `n_iter` synchronous power iterations of
-    PageRank over a directed edge list:
+    """(node, rank) after synchronous power iterations of PageRank over a
+    directed edge list:
 
-        rank'(v) = (1-d)/N + d * sum_{u->v} rank(u) / outdeg(u)
+        rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) [+ D/N])
 
-    Dangling nodes (no out-edges) contribute no mass (documented simple
-    variant — on the symmetric co-purchase graphs this engine feeds it,
-    every node has out-edges, so no mass is lost).
+    Two production options on top of the fixed-iteration oracle twin:
+      - `redistribute_dangling=True`: mass held by dangling nodes (no
+        out-edges) is spread uniformly (the D/N term above), so total
+        rank mass is conserved at exactly 1.0 per iteration. The default
+        False keeps the documented simple variant that the DuckDB oracle
+        mirrors — on the symmetric co-purchase graphs the catalog feeds
+        it, every node has out-edges, so the two variants coincide.
+      - `tol`: when set, iteration stops early once the L1 delta
+        sum(|rank' - rank|) drops below `tol`; `n_iter` becomes the cap.
+        The delta is a 1-row aggregate action per round — it doubles as
+        the in-loop materialization point, never a data collect.
 
     Determinism contract (shared with the DuckDB oracle): each
     contribution rank/outdeg is rounded to 12 dp and summed as
@@ -154,13 +164,21 @@ def pagerank(
     is bit-identical to a single-threaded one. The damping constants are
     combined with the same IEEE ops on both engines ((1.0 - d)/N, no
     transcendental functions), so ranks need no per-iteration tolerance.
+    The dangling sum uses the same 12-dp DECIMAL discipline.
 
     Scale shape: the loop shuffles only (node, rank) pairs — 16 bytes per
     node per iteration — against a persisted (src, dst, outdeg) edge
-    frame; each iteration's ranks are persisted and the previous round
-    unpersisted so lineage stays O(1) deep (same discipline as
-    connected_components above); N rides as a broadcast 1-row aggregate,
-    never a driver-side count action.
+    frame; each iteration's ranks are EAGERLY localCheckpoint-ed, which
+    both materializes the round and truncates the logical plan, so
+    lineage is O(1) deep in fact, not just intent (plain persist keeps
+    the full logical tree — with the dangling term referencing ranks
+    twice per round the plan doubles per iteration and Catalyst's plan
+    stringification alone OOMs the driver; caught by the dangling
+    tests). N rides as a broadcast 1-row aggregate, never a driver-side
+    count action. localCheckpoint stores blocks on executors — a
+    production run that must survive executor loss should set a reliable
+    `spark.sparkContext.setCheckpointDir` deployment-side and swap in
+    `checkpoint()`; semantics are identical.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_out"))
@@ -171,12 +189,16 @@ def pagerank(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Dangling set: nodes with no out-edges (left-anti vs outdeg keys).
+    dangling = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_df = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     teleport = F.lit(1.0) - F.lit(damping)
     ranks = (
         nodes.crossJoin(F.broadcast(n_df))
         .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     try:
         for _ in range(n_iter):
@@ -189,24 +211,63 @@ def pagerank(
                 .alias("c"),
             )
             sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            if redistribute_dangling:
+                # 1-row broadcast scalar: total rank mass on dangling
+                # nodes this round (same order-independent DECIMAL sum).
+                d_mass = dangling.join(ranks, "node").agg(
+                    F.coalesce(
+                        F.sum(
+                            F.round(F.col("rank"), 12).cast("decimal(28,12)")
+                        ).cast("double"),
+                        F.lit(0.0),
+                    ).alias("d_mass")
+                )
+                extra = F.col("d_mass") / F.col("n_nodes")
+            else:
+                d_mass = None
+                extra = F.lit(0.0)
+            base = nodes.join(sums, nodes["node"] == sums["dst"], "left")
+            if d_mass is not None:
+                base = base.crossJoin(F.broadcast(d_mass))
+            # Eager localCheckpoint = materialize this round AND truncate
+            # the logical plan to a scan of the checkpointed blocks.
             new_ranks = (
-                nodes.join(sums, nodes["node"] == sums["dst"], "left")
-                .crossJoin(F.broadcast(n_df))
+                base.crossJoin(F.broadcast(n_df))
                 .select(
                     "node",
                     (
                         teleport / F.col("n_nodes")
                         + F.lit(damping)
-                        * F.coalesce(
-                            F.col("s").cast("double"), F.lit(0.0)
+                        * (
+                            F.coalesce(
+                                F.col("s").cast("double"), F.lit(0.0)
+                            )
+                            + extra
                         )
                     ).alias("rank"),
                 )
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .localCheckpoint(eager=True)
             )
-            ranks.unpersist()
-            ranks = new_ranks
+            if tol is not None:
+                # L1 delta: one 1-row aggregate over two checkpointed
+                # frames — the convergence probe, never a data collect.
+                delta = (
+                    new_ranks.alias("n")
+                    .join(ranks.alias("o"), "node")
+                    .agg(
+                        F.sum(
+                            F.abs(F.col("n.rank") - F.col("o.rank"))
+                        ).alias("l1")
+                    )
+                    .collect()[0]["l1"]
+                )
+                ranks = new_ranks
+                if delta is not None and delta < tol:
+                    break
+            else:
+                ranks = new_ranks
         return ranks
     finally:
         ed.unpersist()
         nodes.unpersist()
+        dangling.unpersist()

@@ -14,7 +14,7 @@ from migrate_cassandra_to_mysql_spark.plans.scaleplans import (
 )
 
 
-def _ref_pagerank(edges, damping=0.85, n_iter=5):
+def _ref_pagerank(edges, damping=0.85, n_iter=5, redistribute_dangling=False):
     nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
     out = {}
     for a, _ in edges:
@@ -25,8 +25,12 @@ def _ref_pagerank(edges, damping=0.85, n_iter=5):
         sums = {v: 0.0 for v in nodes}
         for a, b in edges:
             sums[b] += round(rank[a] / out[a], 12)
+        d_mass = 0.0
+        if redistribute_dangling:
+            d_mass = sum(round(rank[v], 12) for v in nodes if v not in out)
         rank = {
-            v: (1.0 - damping) / n + damping * sums[v] for v in nodes
+            v: (1.0 - damping) / n + damping * (sums[v] + d_mass / n)
+            for v in nodes
         }
     return rank
 
@@ -68,6 +72,61 @@ def test_partitioning_invariance(spark, ring_edges):
     a = {r["node"]: r["rank"] for r in pagerank(df1, n_iter=4).collect()}
     b = {r["node"]: r["rank"] for r in pagerank(df2, n_iter=4).collect()}
     assert a == b  # bit-identical, not approximately equal
+
+
+@pytest.fixture(scope="module")
+def dangling_edges():
+    # nodes 0-4 in a chain feeding node 5, which has NO out-edges (the
+    # dangling sink), plus a side branch; nodes {5, 7} are dangling
+    return [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 5), (2, 7)]
+
+
+def test_dangling_matches_python_reference(spark, dangling_edges):
+    df = spark.createDataFrame(dangling_edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, n_iter=6, redistribute_dangling=True
+        ).collect()
+    }
+    ref = _ref_pagerank(dangling_edges, n_iter=6, redistribute_dangling=True)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-9, v
+
+
+def test_dangling_mass_conserved(spark, dangling_edges):
+    df = spark.createDataFrame(dangling_edges, "src long, dst long")
+    total = (
+        pagerank(df, n_iter=6, redistribute_dangling=True)
+        .agg(F.sum("rank").alias("s"))
+        .collect()[0]["s"]
+    )
+    # with redistribution, total mass stays 1 even though {5,7} have no
+    # out-edges; without it the simple variant leaks their mass
+    assert abs(total - 1.0) < 1e-9
+    leaky = (
+        pagerank(df, n_iter=6, redistribute_dangling=False)
+        .agg(F.sum("rank").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert leaky < 1.0 - 1e-6
+
+
+def test_tol_early_stop_matches_converged(spark, ring_edges):
+    df = spark.createDataFrame(ring_edges, "src long, dst long")
+    # generous cap + tight tol: must stop early AND agree with a long
+    # fixed run to within the tolerance band
+    converged = {
+        r["node"]: r["rank"] for r in pagerank(df, n_iter=60).collect()
+    }
+    early = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=60, tol=1e-10).collect()
+    }
+    assert set(early) == set(converged)
+    for v in converged:
+        assert abs(early[v] - converged[v]) < 1e-8, v
 
 
 def test_catalog_query_shape(spark, sf_dir):
