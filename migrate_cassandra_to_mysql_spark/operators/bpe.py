@@ -107,9 +107,13 @@ def train_bpe(
             merges.append((rank, left, right, int(n)))
             pattern = f"{SEP}{left}{SEP}{SEP}{right}{SEP}"
             replacement = f"{SEP}{left}{right}{SEP}"
+            # Column literals, NOT SQL-string interpolation: learned
+            # symbols are corpus-controlled, and a token containing a
+            # quote or backslash ("don't", "a\\b") would make an
+            # interpolated expression fail to parse data-dependently.
             new_vocab = vocab.select(
-                F.expr(
-                    f"replace(syms, '{pattern}', '{replacement}')"
+                F.replace(
+                    F.col("syms"), F.lit(pattern), F.lit(replacement)
                 ).alias("syms"),
                 "freq",
             ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -136,6 +140,23 @@ def bpe_merge_table(
     )
 
 
+def _sql_str_literal(s: str) -> str:
+    """Quote a symbol for embedding in a SQL string literal shared by
+    Spark AND DuckDB. Single quotes double ('' is the escape in both
+    dialects); backslashes are REJECTED because the two dialects
+    disagree (Spark's default parser treats \\ as an escape intro,
+    DuckDB's standard strings treat it literally) — no one spelling is
+    correct in both. Merge tables containing backslash symbols must go
+    through the Column-literal path (train_bpe's in-loop rewrite), not
+    the shared-SQL form."""
+    if "\\" in s:
+        raise ValueError(
+            "apply_merges_sql cannot embed backslash symbols portably; "
+            "use the Column-literal path"
+        )
+    return s.replace("'", "''")
+
+
 def apply_merges_sql(sym_string_sql: str, merges: list[tuple[str, str]]) -> str:
     """Expression applying a FIXED merge list to a double-SEP symbol
     string: one chained replace() per merge, in merge order — the
@@ -143,10 +164,12 @@ def apply_merges_sql(sym_string_sql: str, merges: list[tuple[str, str]]) -> str:
     the whole tokenization is a single map-side expression chain, zero
     shuffle, zero Python). Shared verbatim by Spark and the DuckDB
     oracle: replace() is left-to-right non-overlapping in both, which
-    with the separator guards is exactly greedy BPE application."""
+    with the separator guards is exactly greedy BPE application.
+    Symbols are SQL-quoted (quotes doubled; backslashes rejected — see
+    _sql_str_literal) so trained merge tables embed safely."""
     expr = sym_string_sql
     for left, right in merges:
-        pattern = f"{SEP}{left}{SEP}{SEP}{right}{SEP}"
-        replacement = f"{SEP}{left}{right}{SEP}"
+        pattern = _sql_str_literal(f"{SEP}{left}{SEP}{SEP}{right}{SEP}")
+        replacement = _sql_str_literal(f"{SEP}{left}{right}{SEP}")
         expr = f"replace({expr}, '{pattern}', '{replacement}')"
     return expr

@@ -9,6 +9,8 @@ only the few bucket partitions its terms hash to:
 
   postings/bucket=N/   (tok, doc_id, tf, dl)  — doc length denormalized
                        into every posting so scoring needs NO doclens join
+  doclens/             (doc_id, dl) for EVERY doc — incl. NULL/empty-text
+                       docs that produce no postings; the n_docs source
   lexicon/bucket=N/    (tok, df)              — per-term document frequency
   stats/               1 row (n_docs, sum_dl) — corpus-level BM25 constants
 
@@ -58,13 +60,19 @@ def build_inverted_index(
     text_col: str = "text",
 ) -> None:
     """Invert the corpus into the on-disk layout above. One corpus-scan
-    job (tokenize → explode → partial-agg tf), then lexicon and stats are
-    cheap aggregations over the already-inverted postings (read back from
-    disk, so the corpus is scanned exactly once)."""
+    job (tokenize → explode → partial-agg tf) plus a doclens pass over
+    the same tokenized frame, then lexicon and stats are cheap
+    aggregations over the already-persisted layers. Every document —
+    including NULL-text ones that produce no postings — lands in
+    doclens, with dl matching the inline bm25_topk_search semantics
+    exactly: NULL text → dl 0 (sum() skips NULL there), empty text →
+    dl 1 (split('') yields [''])."""
     toks = docs.select(
         "doc_id", textfns.tokens(F.col(text_col)).alias("toks")
     ).select(
-        "doc_id", F.size("toks").cast("long").alias("dl"), F.col("toks")
+        "doc_id",
+        F.coalesce(F.size("toks").cast("long"), F.lit(0)).alias("dl"),
+        F.col("toks"),
     )
     postings = (
         toks.select("doc_id", "dl", F.explode("toks").alias("tok"))
@@ -77,10 +85,12 @@ def build_inverted_index(
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/postings"
     )
-    # lexicon (per-term df) and stats (n_docs/sum_dl) derive from the
-    # postings layer — every non-empty doc has >= 1 posting and dl is
-    # constant per doc_id — so build and incremental append share one
-    # refresh path.
+    toks.select("doc_id", "dl").write.mode("overwrite").parquet(
+        f"{index_dir}/doclens"
+    )
+    # lexicon (per-term df) derives from postings; stats (n_docs/sum_dl)
+    # from doclens — so build and incremental append share one refresh
+    # path and NULL/empty-text docs still count toward n_docs.
     _refresh_derived(docs.sparkSession, index_dir)
 
 
@@ -105,7 +115,9 @@ def append_to_inverted_index(
     toks = docs_new.select(
         "doc_id", textfns.tokens(F.col(text_col)).alias("toks")
     ).select(
-        "doc_id", F.size("toks").cast("long").alias("dl"), F.col("toks")
+        "doc_id",
+        F.coalesce(F.size("toks").cast("long"), F.lit(0)).alias("dl"),
+        F.col("toks"),
     )
     (
         toks.select("doc_id", "dl", F.explode("toks").alias("tok"))
@@ -118,14 +130,24 @@ def append_to_inverted_index(
         .partitionBy("bucket")
         .parquet(f"{index_dir}/postings")
     )
+    toks.select("doc_id", "dl").write.mode("append").parquet(
+        f"{index_dir}/doclens"
+    )
     _refresh_derived(spark, index_dir)
 
 
 def _refresh_derived(spark: SparkSession, index_dir: str) -> None:
-    """Rebuild lexicon/ and stats/ from postings/ (the source of truth).
-    Written to temp names then swapped, so a concurrent reader never sees
-    a half-written lexicon."""
+    """Rebuild lexicon/ (from postings/) and stats/ (from doclens/, so
+    NULL/empty-text docs count toward n_docs/sum_dl exactly like the
+    inline path's count(*)). Each is written to a temp name, then the
+    live dir is renamed aside, the new one renamed in, and the old one
+    deleted — the unavailable window is two renames, not an rmtree of
+    the old data. NOT atomic: a concurrent bm25_search racing those two
+    renames can still see a missing path and should retry; a deployment
+    needing lock-free refresh should version the directory names and
+    flip a pointer instead."""
     import shutil
+    from pathlib import Path
 
     written = spark.read.parquet(f"{index_dir}/postings")
     (
@@ -136,9 +158,7 @@ def _refresh_derived(spark: SparkSession, index_dir: str) -> None:
         .parquet(f"{index_dir}/lexicon.new")
     )
     (
-        written.select("doc_id", "dl")
-        .groupBy("doc_id")
-        .agg(F.first("dl").alias("dl"))
+        spark.read.parquet(f"{index_dir}/doclens")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").alias("sum_dl"),
@@ -148,8 +168,14 @@ def _refresh_derived(spark: SparkSession, index_dir: str) -> None:
         .parquet(f"{index_dir}/stats.new")
     )
     for part in ("lexicon", "stats"):
-        shutil.rmtree(f"{index_dir}/{part}", ignore_errors=True)
-        shutil.move(f"{index_dir}/{part}.new", f"{index_dir}/{part}")
+        live, new, bak = (
+            Path(f"{index_dir}/{part}{sfx}") for sfx in ("", ".new", ".bak")
+        )
+        shutil.rmtree(bak, ignore_errors=True)
+        if live.exists():
+            live.rename(bak)
+        new.rename(live)
+        shutil.rmtree(bak, ignore_errors=True)
 
 
 def bm25_search(

@@ -87,6 +87,42 @@ def test_suffix_symbol_does_not_false_match(spark):
     assert got == _ref_bpe(["xa xa xab ab"], 3)
 
 
+def test_quote_and_backslash_tokens_train_safely(spark):
+    # corpus tokens containing SQL-hostile characters: the in-loop
+    # rewrite uses Column literals, so a learned symbol with ' or \
+    # must not crash the generated plan (ADVICE r6: interpolated SQL
+    # literals failed to parse data-dependently on such corpora)
+    texts = ["don't don't don't can't", "a\\b a\\b 'quoted' 'quoted'"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = train_bpe(docs, n_merges=6)
+    assert got == _ref_bpe(texts, 6)
+
+
+def test_apply_merges_sql_quotes_symbols():
+    import duckdb
+    import pytest
+
+    from migrate_cassandra_to_mysql_spark.operators.bpe import (
+        SEP,
+        _sql_str_literal,
+        apply_merges_sql,
+    )
+
+    # a trained merge containing a single quote must embed portably:
+    # the same expression string parses and agrees in DuckDB
+    base = SEP + SEP + (SEP + SEP).join("don't") + SEP + SEP
+    expr = apply_merges_sql(
+        f"'{_sql_str_literal(base)}'", [("n", "'"), ("n'", "t")]
+    )
+    out = duckdb.sql(f"select {expr} as s").fetchone()[0]
+    assert f"{SEP}n't{SEP}" in out
+    # backslash symbols cannot be spelled portably -> loud error
+    with pytest.raises(ValueError):
+        apply_merges_sql("x", [("a\\b", "c")])
+
+
 def test_catalog_entry_shape(spark, sf_dir):
     df = bpe_merge_table(
         spark, T(spark, sf_dir, "documents"), n_merges=4

@@ -102,6 +102,34 @@ def test_stats_match_corpus(spark, sf_dir, index_dir):
     assert stats["sum_dl"] == expect["s"]
 
 
+def test_null_and_empty_text_docs_count_in_stats(spark, tmp_path):
+    # ADVICE r6: n_docs derived from postings silently dropped docs whose
+    # text is NULL/empty (no postings rows) — idf then diverged from the
+    # inline path's count(*). stats now derives from doclens/, where
+    # every doc lands.
+    docs = spark.createDataFrame(
+        [
+            (0, "spark join spark"),
+            (1, None),
+            (2, ""),
+            (3, "join window"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "nulltext")
+    inverted_index.build_inverted_index(docs, d)
+    stats = spark.read.parquet(f"{d}/stats").collect()[0]
+    assert stats["n_docs"] == 4  # all docs, incl. NULL and empty text
+    # inline semantics: NULL text -> 0 (sum skips NULL), '' -> 1
+    # (split('') = ['']), so 3 + 0 + 1 + 2
+    assert stats["sum_dl"] == 6
+    # and the served path still scores the non-empty docs
+    out = inverted_index.bm25_search(
+        spark, d, ["spark", "join"], k=10
+    ).toPandas()
+    assert set(out["doc_id"]) == {0, 3}
+
+
 def test_incremental_append_equals_full_build(spark, sf_dir, tmp_path):
     # Build an index over the first half, append the second half: the
     # result must answer queries identically to a single-pass build over
