@@ -66,32 +66,62 @@ def register(name: str, oracle: str | None = None):
 # and the structurally-distinct TPC-H core. Registration order within
 # modules stays meaningful for everything not listed here.
 PRIORITY: list[str] = [
-    # bench headliners (bench.py HEADLINE, same order)
+    # r7 rotation (VERDICT r6 ask #1 — burn the never-driver-verified
+    # backlog from 34 to <=15). Twenty swaps, the window's largest, all
+    # sanctioned by the ask; every rotated-out query holds a green r6
+    # driver row (most hold green rows for 4-5 consecutive rounds).
+    # Out, with the in-window coverage that retains each family:
+    #   token_range_counts, running_max_token (token ring family ->
+    #     snapshot_sanitize row + invariant tests), missing_ids_anti_join
+    #     (anti-join shape -> q16's NOT IN / counts-distinct shape),
+    #   dedup_exact_lineitem (exact dedup -> snapshot_merge_upsert +
+    #     dedup_clusters), q1/q3/q5 (TPC-H agg/join core ->
+    #     q2/q10/q12/q11/q15/q16/q20 + scalar suite),
+    #   events_sessionize (-> events_session_window_native, the native
+    #     twin of the same semantics), json_events_agg (JSON family ->
+    #     streaming rows parse the same events), text_stats /
+    #     doc_fingerprint (-> doc_signal_suite + corpus_curation rows),
+    #   embedding_topk_cosine / embedding_ivf_topk (ANN ladder ->
+    #     embedding_ivfpq_topk + both persisted serving twins),
+    #   order_price_stats (-> corr_covar_stats + scalar suite),
+    #   events_cube (-> events_grouping_sets, the same rollup family's
+    #     unverified shape), top_ngrams (-> tfidf/bm25 stay out but
+    #     bigram_lm_perplexity covers n-gram stats), asof_last_purchase /
+    #     range_join_attribution (temporal joins -> events_gap_fill +
+    #     streaming_click_attribution_outer), label_centroids (->
+    #     stratified_sample + kmeans parity suite), tfidf_top_terms
+    #     (-> bm25_topk_search + bm25_persisted_topk).
+    # bench headliners retained in-window:
     "snapshot_sanitize",
-    "token_range_counts",
-    "missing_ids_anti_join",
-    "running_max_token",
-    "dedup_exact_lineitem",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "events_sessionize",
-    "json_events_agg",
-    "text_stats",
-    "doc_fingerprint",
     "minhash_lsh_candidates",
     "ngram_jaccard_pruned",
-    "embedding_topk_cosine",
-    "embedding_ivf_topk",
-    "order_price_stats",
-    "events_cube",
-    "top_ngrams",
     "salted_skew_join",
     "snapshot_merge_upsert",
-    "asof_last_purchase",
-    "range_join_attribution",
-    "tfidf_top_terms",
-    "label_centroids",
+    # r7 in: the five post-rotation late-r6 operators
+    "bigram_lm_perplexity",
+    "events_session_window_native",
+    "zorder_curve_rollup",
+    "customer_hierarchy_recursive",
+    "bpe_merge_training",
+    # r7 in: both persisted serving paths (the inline twins' green rows
+    # don't cover the on-disk index layout)
+    "ivfpq_persisted_topk",
+    "bm25_persisted_topk",
+    # r7 in: TPC-H tail
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_relation_count",
+    "q20_excess_inventory_suppliers",
+    # r7 in: showcase / shape rows never driver-verified
+    "pivot_status_by_year",
+    "unpivot_part_measures",
+    "regexp_showcase",
+    "array_hof_showcase",
+    "user_retention_cohorts",
+    "events_grouping_sets",
+    "stratified_sample",
+    "mode_and_percentile_disc",
+    "approx_distinct_stats",
     # reference lifecycle (sources -> sinks -> streaming -> full job).
     # streaming_snapshot_drain / idempotent_sink_roundtrip rotated out in
     # r3b (both hold green r2 driver rows, and snapshot_job_e2e's row

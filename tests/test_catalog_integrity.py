@@ -37,11 +37,24 @@ def test_catalog_names_are_stable_identifiers():
         assert name.replace("_", "").isalnum() and name.lower() == name, name
 
 
+ROWS_ONLY_WINDOW_ENTRIES = {
+    # deliberate: cross-iteration data dependence is not single-statement
+    # SQL; pinned against a pure-Python reference in tests/test_bpe.py
+    "bpe_merge_training",
+}
+
+
 def test_priority_window_is_complete_and_curated():
     """The driver verifies the first 50 registered queries; PRIORITY pins
     that window. Every priority name must exist (a typo would silently
     demote a query out of the verified window), every bench headline must
-    be inside it, and every window query must be oracle-checked."""
+    either sit in the window or already hold a committed driver-green
+    row (the r7 rotation policy: long-green headliners rotate out to
+    admit never-verified queries), and every window query must be
+    oracle-checked unless it is a documented rows-only entry."""
+    import glob
+    import json
+
     from bench import HEADLINE
 
     from migrate_cassandra_to_mysql_spark.plans.registry import PRIORITY
@@ -53,9 +66,23 @@ def test_priority_window_is_complete_and_curated():
 
     window = list(catalog.queries())[:50]
     assert window == PRIORITY
-    outside = [n for n in HEADLINE if n not in set(window)]
-    assert not outside, f"bench headliners outside driver window: {outside}"
+
+    driver_green = set()
+    for f in glob.glob("CORRECTNESS_r0*.json"):
+        for k, v in json.load(open(f)).items():
+            if v.get("rows_match") and v.get("schema_match"):
+                driver_green.add(k)
+    outside = [
+        n for n in HEADLINE if n not in set(window) and n not in driver_green
+    ]
+    assert not outside, (
+        f"bench headliners neither in-window nor driver-green: {outside}"
+    )
 
     oracles = catalog.oracles()
-    unoracled = [n for n in window if n not in oracles]
+    unoracled = [
+        n
+        for n in window
+        if n not in oracles and n not in ROWS_ONLY_WINDOW_ENTRIES
+    ]
     assert not unoracled, f"window queries without oracle: {unoracled}"
