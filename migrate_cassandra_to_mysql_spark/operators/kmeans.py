@@ -118,18 +118,10 @@ def init_farthest_point(e: DataFrame, k: int) -> list:
     return chosen
 
 
-def kmeans(
-    embeddings: DataFrame,
-    k: int = 8,
-    n_iter: int = 5,
-    init: str = "first-k",
-) -> tuple[DataFrame, list[float]]:
-    """Lloyd's algorithm. Returns (assignments DataFrame, inertia history).
-
-    init: 'first-k' (SQL-oracle-compatible) or 'farthest-point' (better
-    spread, still deterministic). Cluster ids are the vec_ids of the init
-    points in both modes.
-    """
+def _lloyd(
+    embeddings: DataFrame, k: int, n_iter: int, init: str
+) -> tuple[DataFrame, list, list[float]]:
+    """Shared Lloyd loop: returns (e, final cent_rows, inertia history)."""
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -149,9 +141,44 @@ def kmeans(
         inertia = assigned.agg(F.sum("d2").alias("i")).collect()[0]["i"]
         inertia_history.append(float(inertia))
         cent_rows = _update(assigned, cent_rows)
+    return e, cent_rows, inertia_history
 
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    init: str = "first-k",
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd's algorithm. Returns (assignments DataFrame, inertia history).
+
+    init: 'first-k' (SQL-oracle-compatible) or 'farthest-point' (better
+    spread, still deterministic). Cluster ids are the vec_ids of the init
+    points in both modes.
+    """
+    e, cent_rows, inertia_history = _lloyd(embeddings, k, n_iter, init)
+    spark = embeddings.sparkSession
     final_cent = spark.createDataFrame(
         [(int(r["c_id"]), list(r["cv"])) for r in cent_rows],
         "c_id long, cv array<double>",
     )
     return _assign(e, final_cent).select("vec_id", "cluster", "d2"), inertia_history
+
+
+def train_centroid_vectors(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    init: str = "farthest-point",
+) -> list:
+    """Trained IVF cell codebook as plain vectors [[float]*dim]*k, in
+    deterministic (c_id-sorted) order — the trained counterpart of
+    similarity.first_k_cell_centroids, pluggable into ivf_topk /
+    ivfpq_topk / ivf_index.build as `cell_centroids`. Same Lloyd loop as
+    kmeans() (quantized-exact means, deterministic init), so a given
+    corpus always trains to the identical codebook."""
+    _, cent_rows, _ = _lloyd(embeddings, k, n_iter, init)
+    return [
+        [float(x) for x in r["cv"]]
+        for r in sorted(cent_rows, key=lambda r: r["c_id"])
+    ]

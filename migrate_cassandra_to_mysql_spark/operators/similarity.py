@@ -334,15 +334,20 @@ def _subvec(col_name: str, mi: int, sub: int) -> F.Column:
     return F.slice(F.col(col_name), mi * sub + 1, sub)
 
 
-def _pq_code_cols(centers: list, n_centers: int, sub: int) -> list:
+def _pq_code_cols(
+    centers: list, n_centers: int, sub: int, vec_sql: str = "v"
+) -> list:
     """Per-subspace PQ code expressions (argmin squared-L2 against the
     literal codebook). array_min over (d, j) structs compares d first,
     then j ascending — so a distance tie picks the LOWEST center id,
     matching the oracle's ORDER BY d, j. (Pairing negation with
-    array_min, as an earlier draft did, double-inverts the tie-break.)"""
+    array_min, as an earlier draft did, double-inverts the tie-break.)
+    `vec_sql` is the SQL expression for the vector being encoded — "v"
+    for raw encoding, a zip_with residual expression for IVFADC-proper
+    residual encoding."""
     cols = []
     for mi in range(len(centers)):
-        sv = f"slice(v, {mi * sub + 1}, {sub})"
+        sv = f"slice({vec_sql}, {mi * sub + 1}, {sub})"
         structs = ", ".join(
             f"named_struct('d', {_sql_sqdist(sv, centers[mi][j])}, 'j', {j})"
             for j in range(n_centers)
@@ -353,19 +358,35 @@ def _pq_code_cols(centers: list, n_centers: int, sub: int) -> list:
     return cols
 
 
-def _adc_expr(centers: list, n_centers: int, sub: int) -> F.Column:
+def _adc_expr(
+    centers: list, n_centers: int, sub: int, qv_sql: str = "qv"
+) -> F.Column:
     """Asymmetric-distance expression: per subspace, distance from the
-    query's sub-vector (column `qv`) to the candidate's chosen center via
+    query's sub-vector (`qv_sql`, default the `qv` column; a residual
+    expression in residual mode) to the candidate's chosen center via
     element_at over the literal per-center distance array, summed across
     subspaces and rounded to 6 dp (cross-engine rule)."""
     terms = []
     for mi in range(len(centers)):
-        qsv = f"slice(qv, {mi * sub + 1}, {sub})"
+        qsv = f"slice({qv_sql}, {mi * sub + 1}, {sub})"
         dists = ", ".join(
             _sql_sqdist(qsv, centers[mi][j]) for j in range(n_centers)
         )
         terms.append(f"element_at(array({dists}), codes[{mi}] + 1)")
     return F.expr(f"round({' + '.join(terms)}, 6)")
+
+
+def _residual_sql(vec_col: str, cell_col: str, cell_centroids: list) -> str:
+    """SQL expression for the IVF residual vec - centroid[cell]: the
+    centroid table rides as one literal array-of-arrays, indexed map-side
+    by the row's cell id — no join, no shuffle."""
+    cents = "array(" + ", ".join(
+        _sql_vec(list(cv)) for cv in cell_centroids
+    ) + ")"
+    return (
+        f"zip_with({vec_col}, element_at({cents}, cast({cell_col} AS int)"
+        f" + 1), (x, y) -> x - y)"
+    )
 
 
 def pq_topk(
@@ -439,21 +460,58 @@ def ranked_cells_expr(col: str, cell_centroids: list) -> F.Column:
 
 
 def ivfpq_encode(
-    embeddings: DataFrame, cell_centroids: list, centers: list
+    embeddings: DataFrame,
+    cell_centroids: list,
+    centers: list,
+    residual: bool = False,
 ) -> DataFrame:
     """(vec_id, cell, codes): the IVFADC encoding — nearest IVF cell plus
     per-subspace PQ codes, all map-side literal-codebook expressions.
     Shared by the inline search (ivfpq_topk) and the persisted index
     build (operators/ivf_index.build_ivfpq_index), so the on-disk codes
-    are bit-identical to what the inline oracle-checked path computes."""
+    are bit-identical to what the inline oracle-checked path computes.
+
+    residual=True encodes x - centroid[cell(x)] instead of x — the
+    IVFADC-proper form (Jégou et al. 2011 §IV.B): residuals live on the
+    within-cell noise scale, so a fixed-size PQ codebook spends its
+    resolution on exactly the distances that rank neighbors inside a
+    probed cell. Raw encoding (the default) stays the SQL-oracle-able
+    catalog form. The residual is one map-side zip_with against the
+    literal centroid table — the encode stays shuffle-free."""
     e = _base(embeddings)
     n_centers = len(centers[0])
     sub = len(centers[0][0])
     ranked = ranked_cells_expr("v", cell_centroids)
-    return e.select(
+    with_cell = e.select(
+        "vec_id", "v", ranked[0]["c"].cast("long").alias("cell")
+    )
+    vec_sql = (
+        _residual_sql("v", "cell", cell_centroids) if residual else "v"
+    )
+    return with_cell.select(
         "vec_id",
-        ranked[0]["c"].cast("long").alias("cell"),
-        F.array(*_pq_code_cols(centers, n_centers, sub)).alias("codes"),
+        "cell",
+        F.array(
+            *_pq_code_cols(centers, n_centers, sub, vec_sql=vec_sql)
+        ).alias("codes"),
+    )
+
+
+def residual_frame(embeddings: DataFrame, cell_centroids: list) -> DataFrame:
+    """(vec_id, label, embedding=v - centroid[cell(v)]): the corpus in
+    residual space — the training input for a residual PQ codebook
+    (pass to pq_train_centers). Map-side only."""
+    e = _base(embeddings)
+    ranked = ranked_cells_expr("v", cell_centroids)
+    with_cell = e.select(
+        "vec_id", "label", "v", ranked[0]["c"].cast("long").alias("cell")
+    )
+    return with_cell.select(
+        "vec_id",
+        "label",
+        F.expr(_residual_sql("v", "cell", cell_centroids)).alias(
+            "embedding"
+        ),
     )
 
 
@@ -467,6 +525,7 @@ def ivfpq_topk(
     n_probe: int = 2,
     cell_centroids: list | None = None,
     centers: list | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFADC: IVF cell pruning composed with PQ/ADC scoring — the actual
     100 TB ANN search path (Jégou et al., "Product Quantization for
@@ -488,9 +547,14 @@ def ivfpq_topk(
     Both codebooks default to the deterministic first-K convention (and
     are then SQL-oracle-able); pass `cell_centroids` ([[float]*dim]*n_cells)
     and/or `centers` (centers[mi][j] sub-vectors, e.g. pq_train_centers)
-    for trained recall. Everything before the final top-k window is
-    map-side literal-expression work: encode, assign, and probe all ride
-    the corpus/query scans, the scoring join is a broadcast equi-join on
+    for trained recall, and `residual=True` (with a residual-trained
+    codebook — pq_train_centers over residual_frame) for IVFADC-proper
+    residual encoding: in residual mode each probed cell scores the
+    query's residual against THAT cell's residual codes (the per-cell
+    query residual is one map-side zip_with; Jégou et al. 2011 §IV.B).
+    Everything before the final top-k window is map-side
+    literal-expression work: encode, assign, and probe all ride the
+    corpus/query scans, the scoring join is a broadcast equi-join on
     cell, and the only shuffle is the top-k window (WindowGroupLimit caps
     it map-side).
     """
@@ -502,7 +566,9 @@ def ivfpq_topk(
         cell_centroids = first_k_cell_centroids(embeddings, n_cells)
 
     ranked = ranked_cells_expr("v", cell_centroids)
-    encoded = ivfpq_encode(embeddings, cell_centroids, centers)
+    encoded = ivfpq_encode(
+        embeddings, cell_centroids, centers, residual=residual
+    )
     q = e.where(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
@@ -512,6 +578,9 @@ def ivfpq_topk(
             )
         ).alias("q_cell"),
     )
+    qv_sql = (
+        _residual_sql("qv", "q_cell", cell_centroids) if residual else "qv"
+    )
     cand = (
         F.broadcast(q)
         .join(encoded, F.col("cell") == F.col("q_cell"))
@@ -520,11 +589,71 @@ def ivfpq_topk(
             "q_id",
             F.col("vec_id").alias("n_id"),
             "cell",
-            _adc_expr(centers, n_centers, sub).alias("approx_dist"),
+            _adc_expr(centers, n_centers, sub, qv_sql=qv_sql).alias(
+                "approx_dist"
+            ),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("approx_dist"), F.asc("n_id"))
     return cand.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).where(F.col("rnk") <= k)
+
+
+def ivfpq_rerank_topk(
+    embeddings: DataFrame,
+    n_cells: int = 4,
+    m: int = 4,
+    n_centers: int = 4,
+    query_mod: int = 100,
+    k: int = 3,
+    n_probe: int = 2,
+    shortlist: int = 50,
+    cell_centroids: list | None = None,
+    centers: list | None = None,
+    residual: bool = False,
+) -> DataFrame:
+    """ADC shortlist + exact re-rank — the standard production IVFADC
+    serving composition: the compressed index proposes a per-query
+    shortlist (top-`shortlist` by ADC, cheap, code-only), then ONLY those
+    candidates' full vectors are fetched and exact-cosine re-ranked to
+    the final top-k. Quality is bounded by shortlist recall (the PQ
+    codebook's job) times cell capture (the IVF codebook's job) — the
+    two quantities tests/test_ann_recall.py pins on the clustered
+    fixture.
+
+    Scale shape: the shortlist is queries x shortlist rows —
+    control-plane small — so it BROADCASTS against the corpus scan for
+    the vector fetch (no corpus shuffle; at 100 TB the fetch reads only
+    the rows a Bloom/DPP filter on vec_id admits), and the final exact
+    top-k windows over queries x shortlist rows, not the corpus."""
+    short = ivfpq_topk(
+        embeddings,
+        n_cells=n_cells,
+        m=m,
+        n_centers=n_centers,
+        query_mod=query_mod,
+        k=shortlist,
+        n_probe=n_probe,
+        cell_centroids=cell_centroids,
+        centers=centers,
+        residual=residual,
+    ).select("q_id", "n_id")
+    e = _base(embeddings)
+    q = e.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    fetched = F.broadcast(short).join(
+        e.select(F.col("vec_id").alias("n_id"), F.col("v").alias("nv")),
+        "n_id",
+    )
+    scored = fetched.join(F.broadcast(q), "q_id").select(
+        "q_id",
+        "n_id",
+        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return scored.withColumn(
         "rnk", F.row_number().over(w).cast("long")
     ).where(F.col("rnk") <= k)
 
