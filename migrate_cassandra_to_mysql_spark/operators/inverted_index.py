@@ -146,8 +146,9 @@ def _refresh_derived(spark: SparkSession, index_dir: str) -> None:
     renames can still see a missing path and should retry; a deployment
     needing lock-free refresh should version the directory names and
     flip a pointer instead."""
-    import shutil
-    from pathlib import Path
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        swap_live_dir,
+    )
 
     written = spark.read.parquet(f"{index_dir}/postings")
     (
@@ -168,14 +169,37 @@ def _refresh_derived(spark: SparkSession, index_dir: str) -> None:
         .parquet(f"{index_dir}/stats.new")
     )
     for part in ("lexicon", "stats"):
-        live, new, bak = (
-            Path(f"{index_dir}/{part}{sfx}") for sfx in ("", ".new", ".bak")
-        )
-        shutil.rmtree(bak, ignore_errors=True)
-        if live.exists():
-            live.rename(bak)
-        new.rename(live)
-        shutil.rmtree(bak, ignore_errors=True)
+        swap_live_dir(index_dir, part)
+
+
+def compact_postings(
+    spark: SparkSession,
+    index_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Maintenance pass after N incremental appends: bin-pack each
+    postings/bucket=N directory back to ~target-size files (append adds
+    a file per batch per bucket; query cost then grows with file count,
+    not posting volume). Per-partition coalesce — zero shuffle, bucket
+    pruning untouched — then rename-swap into place. Content is
+    identical by construction, so lexicon/ and stats/ need no refresh;
+    the append+compact == single-pass-build equivalence is pinned at the
+    QUERY level in tests/test_inverted_index.py. Returns the compaction
+    stats dict for the caller's audit log."""
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        compact_partitioned,
+        swap_live_dir,
+    )
+
+    stats = compact_partitioned(
+        spark,
+        f"{index_dir}/postings",
+        f"{index_dir}/postings.new",
+        target_file_bytes=target_file_bytes,
+        sort_within_by=["tok", "doc_id"],
+    )
+    swap_live_dir(index_dir, "postings")
+    return stats
 
 
 def bm25_search(

@@ -166,6 +166,34 @@ def append_to_ivfpq_index(
     ).partitionBy("cell").parquet(f"{index_dir}/codes")
 
 
+def compact_codes(
+    spark: SparkSession,
+    index_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Maintenance pass after N incremental appends: bin-pack each
+    codes/cell=N directory (append adds one file per batch per cell;
+    probe cost then grows with file count). Per-partition coalesce —
+    zero shuffle, cell pruning untouched — then rename-swap into place;
+    codebooks are frozen so nothing else needs refresh. The
+    append+compact == single-pass-build equivalence is pinned at the
+    QUERY level in tests/test_ivf_index.py. Returns compaction stats."""
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        compact_partitioned,
+        swap_live_dir,
+    )
+
+    stats = compact_partitioned(
+        spark,
+        f"{index_dir}/codes",
+        f"{index_dir}/codes.new",
+        target_file_bytes=target_file_bytes,
+        sort_within_by=["vec_id"],
+    )
+    swap_live_dir(index_dir, "codes")
+    return stats
+
+
 def load_ivfpq_codebooks(
     spark: SparkSession, index_dir: str
 ) -> tuple[list, list]:

@@ -164,3 +164,62 @@ def compact_small_files(
         [p for p in _glob.glob(f"{out_dir}/part-*") if _os.path.isfile(p)]
     )
     return {"files_in": len(set(parts)), "files_out": files_out, "bytes": total}
+
+
+def compact_partitioned(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """compact_small_files for a hive-partitioned layout (e.g. an index's
+    postings/bucket=N or codes/cell=N): each partition directory is
+    bin-packed INDEPENDENTLY into ~target-size files, preserving the
+    partition scheme — partition-filter pruning works identically on the
+    compacted copy. Still zero shuffle (per-partition coalesce of input
+    splits); partitions compact as independent jobs, which is exactly how
+    a 100 TB deployment staggers maintenance (compact the partitions a
+    day's appends touched, leave the rest untouched — the file listing
+    that decides is driver-side metadata only). Returns aggregate
+    {files_in, files_out, bytes, partitions}."""
+    import glob as _glob
+    import os as _os
+
+    part_dirs = sorted(
+        d for d in _glob.glob(f"{src_dir}/*=*") if _os.path.isdir(d)
+    )
+    agg = {"files_in": 0, "files_out": 0, "bytes": 0, "partitions": 0}
+    for d in part_dirs:
+        name = _os.path.basename(d)
+        res = compact_small_files(
+            spark,
+            d,
+            f"{out_dir}/{name}",
+            target_file_bytes=target_file_bytes,
+            sort_within_by=sort_within_by,
+        )
+        agg["files_in"] += res["files_in"]
+        agg["files_out"] += res["files_out"]
+        agg["bytes"] += res["bytes"]
+        agg["partitions"] += 1
+    return agg
+
+
+def swap_live_dir(parent_dir: str, part: str) -> None:
+    """Promote `{parent_dir}/{part}.new` to `{parent_dir}/{part}` via
+    rename-aside (old -> .bak, .new -> live, delete .bak). NOT atomic: a
+    reader racing the two renames can see a missing path and should
+    retry (same contract as inverted_index._refresh_derived, which this
+    generalizes for the compaction lifecycle)."""
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    live, new, bak = (
+        _Path(f"{parent_dir}/{part}{sfx}") for sfx in ("", ".new", ".bak")
+    )
+    _shutil.rmtree(bak, ignore_errors=True)
+    if live.exists():
+        live.rename(bak)
+    new.rename(live)
+    _shutil.rmtree(bak, ignore_errors=True)

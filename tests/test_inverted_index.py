@@ -102,6 +102,55 @@ def test_stats_match_corpus(spark, sf_dir, index_dir):
     assert stats["sum_dl"] == expect["s"]
 
 
+def test_append_then_compact_lifecycle(spark, sf_dir, tmp_path):
+    """The daily-ingest loop at 100 TB: build + N appends accrete one
+    file per batch per bucket; compact_postings bin-packs them back
+    (zero shuffle, bucket layout preserved) and the index must answer
+    queries identically to a single-pass build — pinned row-for-row,
+    plus the file-count audit (VERDICT r6 ask #5)."""
+    import glob
+
+    docs = T(spark, sf_dir, "documents")
+    full_dir = str(tmp_path / "full")
+    inc_dir = str(tmp_path / "inc")
+    inverted_index.build_inverted_index(docs, full_dir)
+    inverted_index.build_inverted_index(
+        docs.where(F.col("doc_id") % 4 == 0), inc_dir
+    )
+    for gen in (1, 2, 3):
+        inverted_index.append_to_inverted_index(
+            docs.where(F.col("doc_id") % 4 == gen), inc_dir
+        )
+
+    def n_files(d):
+        return len(
+            [p for p in glob.glob(f"{d}/postings/bucket=*/part-*")]
+        )
+
+    before = n_files(inc_dir)
+    stats = inverted_index.compact_postings(spark, inc_dir)
+    after = n_files(inc_dir)
+    assert stats["files_in"] == before
+    assert stats["files_out"] == after
+    # 4 write batches -> ~4 files per bucket; compaction packs each
+    # bucket back to 1 (tiny partitions, one target bin)
+    assert after < before
+    assert after == stats["partitions"]
+
+    a = inverted_index.bm25_search(spark, full_dir, _BM25_TERMS, k=20).toPandas()
+    b = inverted_index.bm25_search(spark, inc_dir, _BM25_TERMS, k=20).toPandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert (a["bm25"].to_numpy() == b["bm25"].to_numpy()).all()
+    # bucket pruning still works on the compacted layout
+    plan = inverted_index.bm25_search(
+        spark, inc_dir, _BM25_TERMS
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    sa = spark.read.parquet(f"{full_dir}/stats").collect()[0]
+    sb = spark.read.parquet(f"{inc_dir}/stats").collect()[0]
+    assert (sa["n_docs"], sa["sum_dl"]) == (sb["n_docs"], sb["sum_dl"])
+
+
 def test_null_and_empty_text_docs_count_in_stats(spark, tmp_path):
     # ADVICE r6: n_docs derived from postings silently dropped docs whose
     # text is NULL/empty (no postings rows) — idf then diverged from the
