@@ -687,13 +687,40 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation becomes a fill range [its hour, next observed hour), and
     one sequence() explode emits the filled buckets — no grid×events join,
     no per-bucket window scan. The oracle materializes the same grid via
-    generate_series + ASOF join.
+    generate_series + ASOF join. Expansion bounds (chunked sequence(),
+    optional max-span guard) live in gap_fill_hourly below.
     """
     e = T(spark, sf_dir, "events").select(
         "user_id",
         F.date_trunc("hour", F.col("ts")).alias("h"),
         F.struct("ts", "event_id", "value").alias("obs"),
     )
+    return gap_fill_hourly(e)
+
+
+def gap_fill_hourly(
+    e: DataFrame,
+    max_span_hours: int | None = None,
+    chunk_hours: int = 8760,
+) -> DataFrame:
+    """The gap-fill engine behind events_gap_fill, with the expansion
+    bounds a 100 TB deployment needs (VERDICT r6 ask #6):
+
+      - `chunk_hours` (default one year) caps EVERY generated sequence()
+        array: a fill range longer than the chunk is split map-side into
+        chunk-sized sub-ranges first, so a single pathological always-on
+        user spanning decades never materializes one multi-hundred-
+        thousand-element array in a task (the per-row memory burst is
+        bounded by chunk_hours regardless of span). For spans under the
+        chunk this adds one no-op transform — same output, same shuffle
+        count.
+      - `max_span_hours` (optional) is a loud guard: any user whose
+        first→last span exceeds it fails the job with raise_error naming
+        the user, instead of silently expanding (opt-in because the
+        right bound is deployment policy, not engine policy).
+
+    Input: (user_id, h, obs struct) rows as built by events_gap_fill.
+    """
     hourly = e.groupBy("user_id", "h").agg(
         F.count(F.lit(1)).alias("n_ev"),
         F.max("obs").getField("value").alias("v"),
@@ -701,6 +728,26 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = hourly.groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct("h", "v", "n_ev"))).alias("obs")
     )
+    if max_span_hours is not None:
+        span_h = (
+            "(unix_timestamp(element_at(obs, -1).h)"
+            " - unix_timestamp(get(obs, 0).h)) / 3600 + 1"
+        )
+        guard = F.when(
+            F.expr(span_h) > max_span_hours,
+            F.raise_error(
+                F.concat(
+                    F.lit("gap_fill: user "),
+                    F.col("user_id").cast("string"),
+                    F.lit(f" span exceeds max_span_hours={max_span_hours}"),
+                )
+            ),
+        ).otherwise(F.lit("ok"))
+        spans = (
+            spans.withColumn("_g", guard)
+            .where(F.col("_g") == "ok")
+            .drop("_g")
+        )
     # Each observation i covers [h_i, h_{i+1}) (the last covers just its own
     # hour: the grid ends at the user's final observed hour). get() is the
     # 0-based accessor that yields NULL past the end (bracket indexing
@@ -718,17 +765,38 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r"),
     )
-    return ranges.select(
+    # Split each fill range into <= chunk_hours sub-ranges BEFORE the
+    # sequence explode, so no single task row expands an unbounded array.
+    chunked = ranges.select(
         "user_id",
-        F.explode(
-            F.expr(
-                "sequence(r.start_h, r.next_h - interval 1 hour,"
-                "         interval 1 hour)"
-            )
-        ).alias("bucket"),
         F.col("r.start_h").alias("start_h"),
         F.col("r.v").alias("v"),
         F.col("r.n_ev").alias("n_ev"),
+        F.explode(
+            F.expr(
+                "transform("
+                " sequence(0, cast(floor((unix_timestamp(r.next_h"
+                "   - interval 1 hour) - unix_timestamp(r.start_h))"
+                f"  / 3600 / {chunk_hours}) AS int)),"
+                " ci -> struct("
+                f"  r.start_h + make_interval(0, 0, 0, 0, ci * {chunk_hours})"
+                "    AS c0,"
+                "  least(r.next_h, r.start_h"
+                f"   + make_interval(0, 0, 0, 0, (ci + 1) * {chunk_hours}))"
+                "    AS c1))"
+            )
+        ).alias("c"),
+    )
+    return chunked.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "sequence(c.c0, c.c1 - interval 1 hour, interval 1 hour)"
+            )
+        ).alias("bucket"),
+        "start_h",
+        "v",
+        "n_ev",
     ).select(
         "user_id",
         "bucket",

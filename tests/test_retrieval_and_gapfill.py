@@ -30,6 +30,66 @@ def _events_pdf(sf_dir: str) -> pd.DataFrame:
     return pdf
 
 
+class TestGapFillSpanBounds:
+    """VERDICT r6 ask #6: the 'bounded by span hours' claim needs an
+    enforced edge — a single always-on user spanning years must neither
+    blow a task (chunked expansion) nor pass silently when a deployment
+    set a span policy (raise_error guard)."""
+
+    def _years_apart_events(self, spark):
+        # one user, two events ~3 years apart at hourly grid:
+        # span = 26281 hours -> > 3 chunk boundaries at chunk_hours=8760
+        return spark.createDataFrame(
+            [
+                (1, "2020-01-01 00:00:00", 10, 1.0),
+                (1, "2022-12-31 00:00:00", 20, 2.0),
+            ],
+            "user_id long, ts string, event_id long, value double",
+        ).select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+            F.struct(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_id",
+                "value",
+            ).alias("obs"),
+        )
+
+    def test_multi_year_span_is_chunked_not_exploded(self, spark):
+        from migrate_cassandra_to_mysql_spark.plans.relational import (
+            gap_fill_hourly,
+        )
+
+        e = self._years_apart_events(spark)
+        out = gap_fill_hourly(e, chunk_hours=1000).toPandas()
+        span_hours = (366 + 365 + 364) * 24 + 1  # 2020-01-01 .. 2022-12-31
+        assert len(out) == span_hours
+        assert out["bucket"].is_unique
+        # LOCF: everything strictly between the two events carries v=1.0
+        mid = out[(out["is_gap"])]
+        assert (mid["filled_value"] == 1.0).all()
+        assert int(out["n_events"].sum()) == 2
+        # chunking is output-invariant: same rows at any chunk size
+        big = gap_fill_hourly(e, chunk_hours=10**6).toPandas()
+        assert big.sort_values("bucket").reset_index(drop=True).equals(
+            out.sort_values("bucket").reset_index(drop=True)
+        )
+
+    def test_max_span_guard_raises_loudly(self, spark):
+        import pytest
+
+        from migrate_cassandra_to_mysql_spark.plans.relational import (
+            gap_fill_hourly,
+        )
+
+        e = self._years_apart_events(spark)
+        with pytest.raises(Exception, match="max_span_hours"):
+            gap_fill_hourly(e, max_span_hours=720).toPandas()
+        # under the bound: passes untouched
+        ok = gap_fill_hourly(e, max_span_hours=30000).toPandas()
+        assert len(ok) > 0
+
+
 class TestEventsGapFill:
     def test_grid_is_complete_and_hourly(self, spark, sf_dir):
         out = events_gap_fill(spark, sf_dir).toPandas()
