@@ -178,6 +178,11 @@ def main() -> None:
                 "minhash_lsh_candidates",
                 "tfidf_top_terms",
                 "dedup_exact_lineitem",
+                # r7: the incremental SCD2 fold measured at 10x (VERDICT
+                # r6 ask #7) — 10x entity count, 3 full-outer generations;
+                # the closed-row passthrough claim is now a number, not
+                # an argument.
+                "scd2_incremental_history",
             ):
                 t0 = time.perf_counter()
                 df = qs[name](spark, sf1_dir)

@@ -145,6 +145,11 @@ def compact_small_files(
 
     Write-then-swap is left to the caller/catalog layer (same contract
     as inverted_index._refresh_derived) — this writes to out_dir.
+
+    The source listing uses a local-FS glob — correct for this engine's
+    test/serving layout; an object-store deployment (S3/GCS) swaps in a
+    FileSystem/object listing for the same sizes (still metadata-only,
+    no data pass either way).
     """
     import glob as _glob
     import os as _os

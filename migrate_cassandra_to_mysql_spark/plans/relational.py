@@ -840,7 +840,7 @@ def customer_hierarchy_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant: a self-parented root would recurse forever (custkey 0 is
     therefore anchored in the base case and excluded from the step).
     This subsumes the driver-side wave loop the reference hand-rolls
-    (`snapshot_use_pyspark.py` ThreadPoolExecutor waves) for
+    (`snapshot_only_python.py:364-371` ThreadPoolExecutor waves) for
     hierarchical expansion workloads.
     """
     T(spark, sf_dir, "customer").createOrReplaceTempView(

@@ -126,7 +126,9 @@ def test_gap_fill_two_data_exchanges_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_gap_fill")
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert plan.count("Generate") == 2  # range transform + bucket explode
+    # range transform + chunk split (r7 span bound) + bucket explode —
+    # all map-side Generates, no new exchange
+    assert plan.count("Generate") == 3
 
 
 def test_bm25_single_row_broadcast_and_take_ordered(spark, sf_dir):
