@@ -109,6 +109,7 @@ def build_ivfpq_index(
     index_dir: str,
     cell_centroids: list,
     centers: list,
+    residual: bool = False,
 ) -> None:
     """Persist the IVFADC layout — the production 100 TB vector-serving
     shape (Jégou et al. 2011 §IV composed with the token-range layout
@@ -124,6 +125,14 @@ def build_ivfpq_index(
       cells/           n_cells rows (c_id, cv) — IVF coarse centroids
       pq/              m*n_centers rows (mi, j, cv) — PQ sub-codebooks
       codes/cell=N/... (vec_id, codes array<int>)
+      meta/            1 row (residual) — the encoding mode, persisted so
+                       append and search can never diverge from the build
+
+    residual=True stores residual codes (x - centroid[cell], the
+    IVFADC-proper form — pair with a residual-trained PQ codebook from
+    similarity.residual_frame + pq_train_centers); the flag rides in
+    meta/ and every later append/search applies the matching encoding
+    automatically.
     """
     from migrate_cassandra_to_mysql_spark.operators import similarity as sim
 
@@ -140,9 +149,14 @@ def build_ivfpq_index(
         ],
         "mi int, j int, cv array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq")
-    sim.ivfpq_encode(embeddings, cell_centroids, centers).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{index_dir}/codes")
+    spark.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+    sim.ivfpq_encode(
+        embeddings, cell_centroids, centers, residual=residual
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/codes"
+    )
 
 
 def append_to_ivfpq_index(
@@ -161,9 +175,12 @@ def append_to_ivfpq_index(
 
     spark = embeddings_new.sparkSession
     cell_centroids, centers = load_ivfpq_codebooks(spark, index_dir)
-    sim.ivfpq_encode(embeddings_new, cell_centroids, centers).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(f"{index_dir}/codes")
+    sim.ivfpq_encode(
+        embeddings_new,
+        cell_centroids,
+        centers,
+        residual=load_ivfpq_residual_flag(spark, index_dir),
+    ).write.mode("append").partitionBy("cell").parquet(f"{index_dir}/codes")
 
 
 def compact_codes(
@@ -192,6 +209,18 @@ def compact_codes(
     )
     swap_live_dir(index_dir, "codes")
     return stats
+
+
+def load_ivfpq_residual_flag(spark: SparkSession, index_dir: str) -> bool:
+    """The index's persisted encoding mode. Indexes built before the
+    residual option (no meta/) are raw-encoded by construction."""
+    import os
+
+    if not os.path.isdir(f"{index_dir}/meta"):
+        return False
+    return bool(
+        spark.read.parquet(f"{index_dir}/meta").collect()[0]["residual"]
+    )
 
 
 def load_ivfpq_codebooks(
@@ -225,10 +254,14 @@ def ivfpq_search(
     rows that ARE read carry m code bytes, not d-dim vectors. Scoring is
     a broadcast equi-join on cell + the ADC expression; the only shuffle
     is the per-query top-k window. Same conventions as the inline
-    operators, so results equal similarity.ivfpq_topk row-for-row."""
+    operators, so results equal similarity.ivfpq_topk row-for-row. The
+    index's persisted encoding mode (meta/) selects raw or residual ADC
+    automatically — a query cannot accidentally score residual codes
+    with raw query vectors."""
     from migrate_cassandra_to_mysql_spark.operators import similarity as sim
 
     cell_centroids, centers = load_ivfpq_codebooks(spark, index_dir)
+    residual = load_ivfpq_residual_flag(spark, index_dir)
     n_centers = len(centers[0])
     sub = len(centers[0][0])
     ranked = sim.ranked_cells_expr("qv", cell_centroids)
@@ -247,6 +280,11 @@ def ivfpq_search(
         .where(F.col("cell").isin(probed))
         .select("vec_id", "codes", F.col("cell").cast("long").alias("cell"))
     )
+    qv_sql = (
+        sim._residual_sql("qv", "q_cell", cell_centroids)
+        if residual
+        else "qv"
+    )
     cand = (
         F.broadcast(q)
         .join(codes, F.col("cell") == F.col("q_cell"))
@@ -255,7 +293,9 @@ def ivfpq_search(
             "q_id",
             F.col("vec_id").alias("n_id"),
             "cell",
-            sim._adc_expr(centers, n_centers, sub).alias("approx_dist"),
+            sim._adc_expr(centers, n_centers, sub, qv_sql=qv_sql).alias(
+                "approx_dist"
+            ),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("approx_dist"), F.asc("n_id"))

@@ -155,7 +155,10 @@ PRIORITY: list[str] = [
     "multimodal_suite",
     "dedup_clusters",
     "contamination_check",
-    "embedding_near_dup",
+    # r7: embedding_near_dup out on its green r2-r6 rows to admit the
+    # r7-new serving composition (ADC shortlist + exact re-rank) — new
+    # ops earn their driver row in their own round:
+    "embedding_rerank_topk",
     # r6 rotation (VERDICT r5 ask #2 — the ROADMAP backlog executed).
     # Out on green r5 rows: simhash_near_dup, fuzzy_name_dedup,
     # random_projection, dataset_split_assignment, kmeans_clusters

@@ -240,6 +240,67 @@ def _ivfpq_oracle() -> str:
     return CATALOG["embedding_ivfpq_topk"].oracle
 
 
+def _rerank_oracle(shortlist: int = 20, k: int = 3) -> str:
+    """ADC-shortlist + exact-re-rank oracle, built on the IVFADC oracle's
+    CTE chain (single source of truth for the codebook/encode/probe
+    semantics): keep everything up to the `ad` scores, take the
+    per-query ADC top-`shortlist`, then exact-cosine re-rank to top-k."""
+    base = _ivfpq_oracle()
+    cte_part = base.split("SELECT q_id, n_id, cell, approx_dist")[0]
+    return (
+        cte_part
+        + f""",
+ short AS (SELECT q_id, n_id FROM (
+   SELECT *, row_number() OVER (PARTITION BY q_id
+                                ORDER BY approx_dist, n_id) AS srnk
+   FROM ad) t
+   WHERE srnk <= {shortlist}),
+ rr AS (SELECT s.q_id, s.n_id,
+               {_COS.format(a='q.qv', b='e.v')} AS cos_sim
+        FROM short s
+        JOIN q ON q.q_id = s.q_id
+        JOIN e ON e.vec_id = s.n_id)
+SELECT q_id, n_id, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, n_id) AS rnk
+  FROM rr) t
+WHERE rnk <= {k}
+"""
+    )
+
+
+@register("embedding_rerank_topk", oracle=_rerank_oracle())
+def embedding_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC shortlist + exact re-rank — the full production ANN serving
+    composition (new r7): the compressed index proposes the per-query ADC
+    top-20 (probe-pruned, code-only — the cheap pass over 100 TB), then
+    ONLY those 20 candidates' full vectors are fetched and re-ranked by
+    exact cosine to the final top-3. On the clustered fixture this
+    recovers near-exact recall (0.94 with trained residual codebooks vs
+    0.44 without re-rank quality — tests/test_ann_recall.py); here the
+    catalog form uses the first-K codebooks so DuckDB can replay the
+    identical shortlist. Scale shape: the shortlist (queries x 20 rows)
+    broadcasts against the corpus scan for the vector fetch — the corpus
+    itself never shuffles; the final window sorts queries x 20 rows
+    (operators/similarity.ivfpq_rerank_topk)."""
+    from migrate_cassandra_to_mysql_spark.plans._work import memo
+
+    emb = T(spark, sf_dir, "embeddings")
+    cells = memo(
+        ("ivfpq_cells", sf_dir),
+        lambda: similarity.first_k_cell_centroids(emb, 4),
+    )
+    centers = memo(
+        ("pq_centers", sf_dir),
+        lambda: similarity.first_k_pq_centers(emb, 4, 4),
+    )
+    return similarity.ivfpq_rerank_topk(
+        emb,
+        n_cells=4, m=4, n_centers=4, query_mod=100, k=3, n_probe=2,
+        shortlist=20, cell_centroids=cells, centers=centers,
+    )
+
+
 @register("ivfpq_persisted_topk", oracle=_ivfpq_oracle())
 def ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index form of embedding_ivfpq_topk (same oracle: the

@@ -256,3 +256,61 @@ def test_ivfpq_append_then_compact_lifecycle(spark, sf_dir):
         if "FileScan parquet" in l and "codes" in l
     ]
     assert code_scans and all("PartitionFilters: [cell" in l for l in code_scans)
+
+
+def test_persisted_residual_index_matches_inline(spark):
+    """Residual IVFADC persisted round-trip (r7): build with
+    residual=True, the meta/ flag makes search apply residual ADC, and
+    results equal the inline residual operator row-for-row; an append to
+    a residual index encodes new vectors residually too."""
+    from migrate_cassandra_to_mysql_spark.operators.kmeans import (
+        train_centroid_vectors,
+    )
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_train_centers,
+        residual_frame,
+    )
+    from migrate_cassandra_to_mysql_spark.scale_data import (
+        clustered_embeddings,
+    )
+
+    emb = clustered_embeddings(spark, n_vectors=600).persist()
+    cells = train_centroid_vectors(emb, k=8, n_iter=2)
+    centers = pq_train_centers(
+        residual_frame(emb, cells), m=8, n_centers=16, n_iter=1
+    )
+    d = tempfile.mkdtemp(prefix="ivfpq_res_")
+    ivf_index.build_ivfpq_index(
+        emb.where(F.col("vec_id") < 500), d, cells, centers, residual=True
+    )
+    assert ivf_index.load_ivfpq_residual_flag(spark, d) is True
+    ivf_index.append_to_ivfpq_index(emb.where(F.col("vec_id") >= 500), d)
+
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    got = sorted(
+        map(
+            tuple,
+            ivf_index.ivfpq_search(spark, d, q, k=3, n_probe=2).collect(),
+        )
+    )
+    want = sorted(
+        (r["q_id"], r["n_id"], r["cell"], r["approx_dist"], r["rnk"])
+        for r in ivfpq_topk(
+            emb,
+            n_cells=8,
+            m=8,
+            n_centers=16,
+            query_mod=100,
+            k=3,
+            n_probe=2,
+            cell_centroids=cells,
+            centers=centers,
+            residual=True,
+        ).collect()
+    )
+    assert got == want
+    emb.unpersist()
