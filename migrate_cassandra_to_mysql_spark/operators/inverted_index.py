@@ -53,20 +53,17 @@ def term_bucket(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % n_buckets
 
 
-def build_inverted_index(
+def encode_postings(
     docs: DataFrame,
-    index_dir: str,
     n_buckets: int = DEFAULT_BUCKETS,
     text_col: str = "text",
-) -> None:
-    """Invert the corpus into the on-disk layout above. One corpus-scan
-    job (tokenize → explode → partial-agg tf) plus a doclens pass over
-    the same tokenized frame, then lexicon and stats are cheap
-    aggregations over the already-persisted layers. Every document —
-    including NULL-text ones that produce no postings — lands in
-    doclens, with dl matching the inline bm25_topk_search semantics
-    exactly: NULL text → dl 0 (sum() skips NULL there), empty text →
-    dl 1 (split('') yields [''])."""
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) frames for a document batch — the shared
+    inversion step behind build, incremental append, and streaming
+    ingest, so all three produce bit-identical rows for the same docs.
+    doclens carries EVERY document with dl matching the inline
+    bm25_topk_search semantics exactly: NULL text → dl 0 (sum() skips
+    NULL there), empty text → dl 1 (split('') yields [''])."""
     toks = docs.select(
         "doc_id", textfns.tokens(F.col(text_col)).alias("toks")
     ).select(
@@ -82,12 +79,24 @@ def build_inverted_index(
             "bucket", md5_token_bucket(F.col("tok"), n_buckets).cast("int")
         )
     )
+    return postings, toks.select("doc_id", "dl")
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    index_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+) -> None:
+    """Invert the corpus into the on-disk layout above. One corpus-scan
+    job (tokenize → explode → partial-agg tf) plus a doclens pass over
+    the same tokenized frame, then lexicon and stats are cheap
+    aggregations over the already-persisted layers."""
+    postings, doclens = encode_postings(docs, n_buckets, text_col)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/postings"
     )
-    toks.select("doc_id", "dl").write.mode("overwrite").parquet(
-        f"{index_dir}/doclens"
-    )
+    doclens.write.mode("overwrite").parquet(f"{index_dir}/doclens")
     # lexicon (per-term df) derives from postings; stats (n_docs/sum_dl)
     # from doclens — so build and incremental append share one refresh
     # path and NULL/empty-text docs still count toward n_docs.
@@ -112,27 +121,11 @@ def append_to_inverted_index(
     doc_ids in docs_new are not already indexed (same contract as any
     append-only ingest)."""
     spark = docs_new.sparkSession
-    toks = docs_new.select(
-        "doc_id", textfns.tokens(F.col(text_col)).alias("toks")
-    ).select(
-        "doc_id",
-        F.coalesce(F.size("toks").cast("long"), F.lit(0)).alias("dl"),
-        F.col("toks"),
+    postings, doclens = encode_postings(docs_new, n_buckets, text_col)
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        f"{index_dir}/postings"
     )
-    (
-        toks.select("doc_id", "dl", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn(
-            "bucket", md5_token_bucket(F.col("tok"), n_buckets).cast("int")
-        )
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(f"{index_dir}/postings")
-    )
-    toks.select("doc_id", "dl").write.mode("append").parquet(
-        f"{index_dir}/doclens"
-    )
+    doclens.write.mode("append").parquet(f"{index_dir}/doclens")
     _refresh_derived(spark, index_dir)
 
 

@@ -1,0 +1,141 @@
+"""Streaming ingestion into the persisted serving indexes — the
+continuous form of the daily append+compact loop.
+
+The batch maintenance path (operators/inverted_index.append_to_inverted_
+index, operators/ivf_index.append_to_ivfpq_index) assumes someone batches
+the new documents. Production corpora arrive as a stream of files; this
+module drains them through Structured Streaming (AvailableNow trigger +
+checkpoint, the snapshot_stream discipline) straight into the index
+layouts.
+
+Exactly-once contract — stronger than plain append: a foreachBatch
+handler can crash AFTER writing but BEFORE the checkpoint commits, and
+Structured Streaming then REPLAYS the batch. A mode('append') write would
+duplicate every posting in the replayed batch. Instead each micro-batch
+writes under its own partition — postings/(bucket, ingest_batch=<id>),
+doclens/(ingest_batch=<id>) — with DYNAMIC partition overwrite, so a
+replay rewrites exactly its own partitions and converges to the same
+bytes (the same idempotent-replay trick the reference gets from uk_file_id
++ INSERT IGNORE, re-derived for file layouts; Delta/Iceberg get it from
+txn logs). Query semantics are unchanged: readers select named columns,
+so the extra ingest_batch partition column is invisible to bm25_search,
+and the derived lexicon/stats layers refresh once per drain, not per
+micro-batch.
+
+Maintenance composes: compact_ingested_postings merges each bucket's
+accumulated ingest_batch partitions back into a single ingest_batch=0
+layout (zero shuffle, rename-swap). Run it while ingest is quiescent —
+the same operational contract as any maintenance window: a replay of an
+uncommitted batch whose partitions were just merged would re-create them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.operators import inverted_index as inv
+from migrate_cassandra_to_mysql_spark.streaming.snapshot_stream import (
+    snapshot_stream,
+)
+
+
+def stream_docs_into_inverted_index(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    n_buckets: int = inv.DEFAULT_BUCKETS,
+    text_col: str = "text",
+) -> list[int]:
+    """Drain all available document files from source_dir into the
+    inverted-index layout at index_dir, exactly once per file across
+    restarts. Returns the batch ids processed this run (empty on a
+    no-new-data restart — the derived layers are then left untouched).
+
+    Per micro-batch: one inversion job (the same encode_postings the
+    batch paths use, so rows are bit-identical), one dynamic-overwrite
+    partitioned write per layer. Derived lexicon/stats rebuild ONCE
+    after the drain — O(index), not O(batches)."""
+    processed: list[int] = []
+
+    def handle(df: DataFrame, batch_id: int) -> None:
+        postings, doclens = inv.encode_postings(df, n_buckets, text_col)
+        (
+            postings.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "ingest_batch")
+            .parquet(f"{index_dir}/postings")
+        )
+        (
+            doclens.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(f"{index_dir}/doclens")
+        )
+        processed.append(batch_id)
+
+    snapshot_stream(spark, source_dir, checkpoint_dir, handle)
+    if processed:
+        inv._refresh_derived(spark, index_dir)
+    return processed
+
+
+def compact_ingested_postings(
+    spark: SparkSession,
+    index_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Merge a streamed index's per-batch partitions: every
+    postings/bucket=N/ingest_batch=* collapses into bucket=N/
+    ingest_batch=0 (and doclens/ingest_batch=* likewise), bin-packed to
+    ~target-size files. Zero shuffle (per-bucket coalesce), rename-swap,
+    query results unchanged (pinned in tests). Quiescent-ingest contract:
+    see module docstring."""
+    import glob as _glob
+    import os as _os
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        swap_live_dir,
+    )
+
+    agg = {"files_in": 0, "files_out": 0, "partitions": 0}
+    for bucket_dir in sorted(
+        d
+        for d in _glob.glob(f"{index_dir}/postings/bucket=*")
+        if _os.path.isdir(d)
+    ):
+        name = _os.path.basename(bucket_dir)
+        files_in = [
+            p
+            for p in _glob.glob(f"{bucket_dir}/ingest_batch=*/part-*")
+            if _os.path.isfile(p)
+        ]
+        total = sum(_os.path.getsize(p) for p in files_in)
+        n_out = max(1, -(-total // target_file_bytes))
+        out = f"{index_dir}/postings.new/{name}/ingest_batch=0"
+        (
+            spark.read.parquet(bucket_dir)
+            .drop("ingest_batch")
+            .coalesce(n_out)
+            .sortWithinPartitions("tok", "doc_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        agg["files_in"] += len(files_in)
+        agg["files_out"] += len(
+            [p for p in _glob.glob(f"{out}/part-*") if _os.path.isfile(p)]
+        )
+        agg["partitions"] += 1
+    swap_live_dir(index_dir, "postings")
+    (
+        spark.read.parquet(f"{index_dir}/doclens")
+        .drop("ingest_batch")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/doclens.new/ingest_batch=0")
+    )
+    swap_live_dir(index_dir, "doclens")
+    return agg

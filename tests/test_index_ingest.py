@@ -1,0 +1,124 @@
+"""Streaming index ingestion (streaming/index_ingest.py): micro-batch
+drains must converge to the single-pass build's query results, replays
+must be idempotent (the dynamic-partition-overwrite exactly-once
+contract), and the streamed layout must compact back to few files
+without changing answers.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.operators import inverted_index
+from migrate_cassandra_to_mysql_spark.plans.textplans import (
+    _BM25_TERMS,
+    _bm25_score_sql,
+)
+from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+from migrate_cassandra_to_mysql_spark.streaming.index_ingest import (
+    compact_ingested_postings,
+    stream_docs_into_inverted_index,
+)
+
+
+def _search(spark, d):
+    return inverted_index.bm25_search(
+        spark, d, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
+    ).toPandas()
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, sf_dir, tmp_path_factory):
+    """Three incremental drains (one new file each) into one index; the
+    slices partition the corpus by doc_id % 3."""
+    root = tmp_path_factory.mktemp("ingest")
+    src = str(root / "src")
+    ckpt = str(root / "ckpt")
+    idx = str(root / "idx")
+    docs = T(spark, sf_dir, "documents")
+    batches = []
+    for gen in (0, 1, 2):
+        docs.where(F.col("doc_id") % 3 == gen).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        bids = stream_docs_into_inverted_index(spark, src, ckpt, idx)
+        batches.append(bids)
+    return {"src": src, "ckpt": ckpt, "idx": idx, "batches": batches}
+
+
+def test_each_drain_processes_exactly_one_batch(streamed):
+    assert [len(b) for b in streamed["batches"]] == [1, 1, 1]
+    assert len({b[0] for b in streamed["batches"]}) == 3
+
+
+def test_streamed_equals_single_pass_build(spark, sf_dir, streamed, tmp_path):
+    full = str(tmp_path / "full")
+    inverted_index.build_inverted_index(T(spark, sf_dir, "documents"), full)
+    a = _search(spark, full)
+    b = _search(spark, streamed["idx"])
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert (a["bm25"].to_numpy() == b["bm25"].to_numpy()).all()
+    sa = spark.read.parquet(f"{full}/stats").collect()[0]
+    sb = spark.read.parquet(f"{streamed['idx']}/stats").collect()[0]
+    assert (sa["n_docs"], sa["sum_dl"]) == (sb["n_docs"], sb["sum_dl"])
+
+
+def test_restart_without_new_data_is_a_noop(spark, streamed):
+    before = _search(spark, streamed["idx"])
+    bids = stream_docs_into_inverted_index(
+        spark, streamed["src"], streamed["ckpt"], streamed["idx"]
+    )
+    assert bids == []  # checkpoint remembers every file
+    after = _search(spark, streamed["idx"])
+    assert before.equals(after)
+
+
+def test_crash_replay_is_idempotent(spark, sf_dir, streamed):
+    """Simulate the crash-after-write-before-commit window: re-run a
+    committed batch's writes verbatim. Dynamic partition overwrite must
+    rewrite that batch's partitions, not duplicate them."""
+    idx = streamed["idx"]
+    before = _search(spark, idx)
+    n_before = spark.read.parquet(f"{idx}/postings").count()
+    replay_bid = streamed["batches"][1][0]
+    docs_b = T(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    postings, doclens = inverted_index.encode_postings(docs_b)
+    (
+        postings.withColumn("ingest_batch", F.lit(replay_bid))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "ingest_batch")
+        .parquet(f"{idx}/postings")
+    )
+    (
+        doclens.withColumn("ingest_batch", F.lit(replay_bid))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(f"{idx}/doclens")
+    )
+    assert spark.read.parquet(f"{idx}/postings").count() == n_before
+    after = _search(spark, idx)
+    assert before.equals(after)
+
+
+def test_compact_ingested_then_identical_answers(spark, streamed):
+    idx = streamed["idx"]
+    before = _search(spark, idx)
+    files_before = len(glob.glob(f"{idx}/postings/bucket=*/*/part-*"))
+    stats = compact_ingested_postings(spark, idx)
+    files_after = len(glob.glob(f"{idx}/postings/bucket=*/*/part-*"))
+    assert stats["files_in"] == files_before
+    assert stats["files_out"] == files_after
+    assert files_after < files_before
+    assert files_after == stats["partitions"]  # one file per tiny bucket
+    after = _search(spark, idx)
+    assert before.equals(after)
+    # every bucket collapsed to the merged ingest_batch=0 layout
+    assert all(
+        p.endswith("ingest_batch=0")
+        for p in glob.glob(f"{idx}/postings/bucket=*/ingest_batch=*")
+    )
