@@ -83,6 +83,90 @@ def stream_docs_into_inverted_index(
     return processed
 
 
+def stream_vectors_into_ivfpq_index(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+) -> list[int]:
+    """Drain embedding files into a persisted IVFADC index (codebooks
+    must already exist — build_ivfpq_index trains/freezes them; streaming
+    only ever encodes with the frozen codebooks, the same contract as
+    append_to_ivfpq_index). Each micro-batch's codes land under
+    (cell, ingest_batch=<id>) with dynamic partition overwrite — the same
+    idempotent-replay exactly-once as the document path. Returns batch
+    ids processed this run."""
+    from migrate_cassandra_to_mysql_spark.operators import ivf_index
+    from migrate_cassandra_to_mysql_spark.operators import similarity as sim
+
+    cell_centroids, centers = ivf_index.load_ivfpq_codebooks(
+        spark, index_dir
+    )
+    residual = ivf_index.load_ivfpq_residual_flag(spark, index_dir)
+    processed: list[int] = []
+
+    def handle(df: DataFrame, batch_id: int) -> None:
+        (
+            sim.ivfpq_encode(df, cell_centroids, centers, residual=residual)
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "ingest_batch")
+            .parquet(f"{index_dir}/codes")
+        )
+        processed.append(batch_id)
+
+    snapshot_stream(spark, source_dir, checkpoint_dir, handle)
+    return processed
+
+
+def compact_ingested_codes(
+    spark: SparkSession,
+    index_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """compact_ingested_postings' twin for a streamed IVFADC index:
+    codes/cell=N/ingest_batch=* collapses into cell=N/ingest_batch=0.
+    Zero shuffle, rename-swap, quiescent-ingest contract."""
+    import glob as _glob
+    import os as _os
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        swap_live_dir,
+    )
+
+    agg = {"files_in": 0, "files_out": 0, "partitions": 0}
+    for cell_dir in sorted(
+        d
+        for d in _glob.glob(f"{index_dir}/codes/cell=*")
+        if _os.path.isdir(d)
+    ):
+        name = _os.path.basename(cell_dir)
+        files_in = [
+            p
+            for p in _glob.glob(f"{cell_dir}/ingest_batch=*/part-*")
+            if _os.path.isfile(p)
+        ]
+        total = sum(_os.path.getsize(p) for p in files_in)
+        n_out = max(1, -(-total // target_file_bytes))
+        out = f"{index_dir}/codes.new/{name}/ingest_batch=0"
+        (
+            spark.read.parquet(cell_dir)
+            .drop("ingest_batch")
+            .coalesce(n_out)
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        agg["files_in"] += len(files_in)
+        agg["files_out"] += len(
+            [p for p in _glob.glob(f"{out}/part-*") if _os.path.isfile(p)]
+        )
+        agg["partitions"] += 1
+    swap_live_dir(index_dir, "codes")
+    return agg
+
+
 def compact_ingested_postings(
     spark: SparkSession,
     index_dir: str,

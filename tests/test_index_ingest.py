@@ -122,3 +122,110 @@ def test_compact_ingested_then_identical_answers(spark, streamed):
         p.endswith("ingest_batch=0")
         for p in glob.glob(f"{idx}/postings/bucket=*/ingest_batch=*")
     )
+
+
+class TestVectorIngest:
+    @pytest.fixture(scope="class")
+    def vstreamed(self, spark, sf_dir, tmp_path_factory):
+        from migrate_cassandra_to_mysql_spark.operators import ivf_index
+        from migrate_cassandra_to_mysql_spark.operators.similarity import (
+            first_k_cell_centroids,
+            first_k_pq_centers,
+        )
+        from migrate_cassandra_to_mysql_spark.streaming.index_ingest import (
+            stream_vectors_into_ivfpq_index,
+        )
+
+        root = tmp_path_factory.mktemp("vingest")
+        src, ckpt, idx = (str(root / p) for p in ("src", "ckpt", "idx"))
+        emb = T(spark, sf_dir, "embeddings")
+        cells = first_k_cell_centroids(emb, 4)
+        centers = first_k_pq_centers(emb, 4, 4)
+        # codebooks frozen by an empty-corpus build; vectors then stream in
+        ivf_index.build_ivfpq_index(
+            emb.where(F.lit(False)), idx, cells, centers
+        )
+        batches = []
+        for gen in (0, 1, 2):
+            emb.where(F.col("vec_id") % 3 == gen).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            batches.append(
+                stream_vectors_into_ivfpq_index(spark, src, ckpt, idx)
+            )
+        return {
+            "idx": idx,
+            "batches": batches,
+            "cells": cells,
+            "centers": centers,
+        }
+
+    def _queries(self, spark, sf_dir):
+        return (
+            T(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") % 100 == 0)
+            .select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").cast("array<double>").alias("qv"),
+            )
+        )
+
+    def test_streamed_equals_single_pass(self, spark, sf_dir, vstreamed, tmp_path):
+        from migrate_cassandra_to_mysql_spark.operators import ivf_index
+
+        assert [len(b) for b in vstreamed["batches"]] == [1, 1, 1]
+        full = str(tmp_path / "full")
+        ivf_index.build_ivfpq_index(
+            T(spark, sf_dir, "embeddings"),
+            full,
+            vstreamed["cells"],
+            vstreamed["centers"],
+        )
+        q = self._queries(spark, sf_dir)
+        got = sorted(
+            map(
+                tuple,
+                ivf_index.ivfpq_search(
+                    spark, vstreamed["idx"], q, k=3, n_probe=2
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                ivf_index.ivfpq_search(spark, full, q, k=3, n_probe=2).collect(),
+            )
+        )
+        assert got == want
+
+    def test_compact_then_identical(self, spark, sf_dir, vstreamed):
+        from migrate_cassandra_to_mysql_spark.operators import ivf_index
+        from migrate_cassandra_to_mysql_spark.streaming.index_ingest import (
+            compact_ingested_codes,
+        )
+
+        q = self._queries(spark, sf_dir)
+        before = sorted(
+            map(
+                tuple,
+                ivf_index.ivfpq_search(
+                    spark, vstreamed["idx"], q, k=3, n_probe=2
+                ).collect(),
+            )
+        )
+        n_before = len(
+            glob.glob(f"{vstreamed['idx']}/codes/cell=*/*/part-*")
+        )
+        stats = compact_ingested_codes(spark, vstreamed["idx"])
+        n_after = len(glob.glob(f"{vstreamed['idx']}/codes/cell=*/*/part-*"))
+        assert stats["files_in"] == n_before and stats["files_out"] == n_after
+        assert n_after < n_before
+        after = sorted(
+            map(
+                tuple,
+                ivf_index.ivfpq_search(
+                    spark, vstreamed["idx"], q, k=3, n_probe=2
+                ).collect(),
+            )
+        )
+        assert before == after
