@@ -142,6 +142,16 @@ def test_bm25_single_row_broadcast_and_take_ordered(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_rerank_broadcast_fetch_no_python(spark, sf_dir):
+    """embedding_rerank_topk (r7): the ADC shortlist and the query frame
+    must BROADCAST against the corpus for the exact-cosine fetch — the
+    corpus never sort-merge-joins — and the whole path stays JVM-side."""
+    plan = _plan(spark, sf_dir, "embedding_rerank_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_corpus_divergence_token_shuffle_plus_broadcast(spark, sf_dir):
     """corpus_divergence: token-level (lang, tok) groupBys and the
     languages-sized final agg — totals must come back as a BROADCAST
