@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from migrate_cassandra_to_mysql_spark.plans.relational import events_gap_fill
@@ -88,6 +89,86 @@ class TestGapFillSpanBounds:
         # under the bound: passes untouched
         ok = gap_fill_hourly(e, max_span_hours=30000).toPandas()
         assert len(ok) > 0
+
+
+class TestGapFillRandomizedReference:
+    """Seeded-random event sets (multi-user, irregular gaps, same-hour
+    ties, single-event users) vs a pure-Python LOCF reference — pins the
+    semantics beyond the sf fixture's distribution."""
+
+    def _ref(self, rows):
+        # rows: (user, ts(datetime), event_id, value)
+        from collections import defaultdict
+        from datetime import timedelta
+
+        by_user = defaultdict(list)
+        for u, ts, eid, v in rows:
+            by_user[u].append((ts, eid, v))
+        out = []
+        for u, evs in by_user.items():
+            hourly = {}
+            for ts, eid, v in evs:
+                h = ts.replace(minute=0, second=0, microsecond=0)
+                n, best = hourly.get(h, (0, None))
+                # latest-within-hour by (ts, event_id) struct-max
+                cand = (ts, eid, v)
+                best = cand if best is None or cand[:2] > best[:2] else best
+                hourly[h] = (n + 1, best)
+            hs = sorted(hourly)
+            h = hs[0]
+            last_v = None
+            last_obs_h = None
+            while h <= hs[-1]:
+                if h in hourly:
+                    n, (ts, eid, v) = hourly[h]
+                    last_v, last_obs_h = v, h
+                    out.append((u, h, n, v, False))
+                else:
+                    out.append((u, h, 0, last_v, True))
+                h = h + timedelta(hours=1)
+        return sorted(out)
+
+    @pytest.mark.parametrize("seed", [11, 23, 47])
+    def test_matches_reference(self, spark, seed):
+        import random
+        from datetime import datetime, timedelta
+
+        from migrate_cassandra_to_mysql_spark.plans.relational import (
+            gap_fill_hourly,
+        )
+
+        rng = random.Random(seed)
+        base = datetime(2024, 3, 1)
+        rows = []
+        eid = 0
+        for u in range(6):
+            n_ev = rng.choice([1, 2, 5, 12])
+            t = base + timedelta(hours=rng.randrange(100))
+            for _ in range(n_ev):
+                # bursts create same-hour ties; jumps create gaps
+                t = t + timedelta(
+                    minutes=rng.choice([0, 7, 30, 61, 300, 1441])
+                )
+                eid += 1
+                rows.append((u, t, eid, round(rng.uniform(0, 10), 2)))
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        ).select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.struct("ts", "event_id", "value").alias("obs"),
+        )
+        got = sorted(
+            (
+                r["user_id"],
+                r["bucket"].replace(tzinfo=None),
+                r["n_events"],
+                r["filled_value"],
+                r["is_gap"],
+            )
+            for r in gap_fill_hourly(df, chunk_hours=24).collect()
+        )
+        assert got == self._ref(rows), seed
 
 
 class TestEventsGapFill:
