@@ -25,11 +25,15 @@ Scale rationale (100 TB):
     non-convergence instead of silently looping.
   - Per round only (id, label) pairs shuffle — 16 bytes/node — never the
     documents themselves.
-  - Each round's frame is persisted and the previous round unpersisted,
-    so lineage stays O(1) deep instead of O(rounds) (without this, round
-    k recomputes rounds 1..k-1; with long loops the plan itself becomes
-    the bottleneck). The convergence probe is a control-plane-sized
-    action (isEmpty on a changed-labels frame), not a data collect.
+  - Each round's frame is EAGERLY localCheckpoint-ed: that materializes
+    the round AND truncates the logical plan (plain persist leaves the
+    full tree in place — `labels` is referenced twice per round, via the
+    neighbor-min join and the convergence probe, so the analyzed plan
+    would DOUBLE per iteration and Catalyst's own plan stringification
+    OOMs the driver near max_iter on adversarial chain graphs; the same
+    failure pagerank's dangling term exposed, pinned by the long-chain
+    test). The convergence probe is a control-plane-sized action
+    (isEmpty on a changed-labels frame), not a data collect.
 
 The reference has no graph step (its dedup is key-level INSERT IGNORE,
 snapshot_use_pyspark.py:456); this is engine-added surface for the
@@ -67,7 +71,7 @@ def connected_components(
         sym.select(F.col("s").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     try:
         for _ in range(max_iter):
@@ -77,6 +81,9 @@ def connected_components(
                 .groupBy(F.col("s").alias("id"))
                 .agg(F.min("component").alias("nbr_min"))
             )
+            # Eager localCheckpoint: materialize AND truncate lineage
+            # (see module docstring — persist alone leaves a plan that
+            # doubles per round).
             new_labels = (
                 labels.join(neighbor_min, "id", "left")
                 .select(
@@ -85,7 +92,7 @@ def connected_components(
                         "component", F.coalesce("nbr_min", "component")
                     ).alias("component"),
                 )
-                .persist(StorageLevel.MEMORY_AND_DISK)
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -93,7 +100,6 @@ def connected_components(
                 .where(F.col("n.component") < F.col("o.component"))
             )
             done = changed.isEmpty()
-            labels.unpersist()
             labels = new_labels
             if done:
                 return labels

@@ -69,3 +69,17 @@ def test_survivor_count_matches_components(spark):
     # 20 pair-components + 20 singletons (40..59) = 40 survivors
     assert out.where("is_survivor").count() == 40
     assert out.count() == 60
+
+
+def test_long_chain_converges_with_bounded_plan(spark):
+    """Adversarial diameter: a 26-node path needs 25 propagation rounds.
+    Before the r7 localCheckpoint fix, the analyzed plan doubled per
+    round (labels referenced twice: neighbor-min join + convergence
+    probe) and plan stringification alone OOM'd the driver long before
+    25 rounds — this test is the regression pin for O(1)-deep lineage
+    in fact, not just intent."""
+    edges = [(i, i + 1) for i in range(25)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, max_iter=30).collect()
+    assert {r["id"] for r in out} == set(range(26))
+    assert all(r["component"] == 0 for r in out)
