@@ -191,23 +191,34 @@ def compact_partitioned(
     import glob as _glob
     import os as _os
 
+    import concurrent.futures as _cf
+
     part_dirs = sorted(
         d for d in _glob.glob(f"{src_dir}/*=*") if _os.path.isdir(d)
     )
-    agg = {"files_in": 0, "files_out": 0, "bytes": 0, "partitions": 0}
-    for d in part_dirs:
+
+    def _one(d: str) -> dict:
         name = _os.path.basename(d)
-        res = compact_small_files(
+        return compact_small_files(
             spark,
             d,
             f"{out_dir}/{name}",
             target_file_bytes=target_file_bytes,
             sort_within_by=sort_within_by,
         )
-        agg["files_in"] += res["files_in"]
-        agg["files_out"] += res["files_out"]
-        agg["bytes"] += res["bytes"]
-        agg["partitions"] += 1
+
+    # Submit per-partition jobs CONCURRENTLY (Spark's scheduler multiplexes
+    # them across executors): each job is tiny, so sequential submission —
+    # not execution — would dominate wall clock at thousands of partitions.
+    # Threads only drive job submission; no shared state beyond the
+    # SparkSession, which is thread-safe for action submission.
+    agg = {"files_in": 0, "files_out": 0, "bytes": 0, "partitions": 0}
+    with _cf.ThreadPoolExecutor(max_workers=8) as ex:
+        for res in ex.map(_one, part_dirs):
+            agg["files_in"] += res["files_in"]
+            agg["files_out"] += res["files_out"]
+            agg["bytes"] += res["bytes"]
+            agg["partitions"] += 1
     return agg
 
 

@@ -128,6 +128,7 @@ def compact_ingested_codes(
     """compact_ingested_postings' twin for a streamed IVFADC index:
     codes/cell=N/ingest_batch=* collapses into cell=N/ingest_batch=0.
     Zero shuffle, rename-swap, quiescent-ingest contract."""
+    import concurrent.futures as _cf
     import glob as _glob
     import os as _os
 
@@ -135,12 +136,7 @@ def compact_ingested_codes(
         swap_live_dir,
     )
 
-    agg = {"files_in": 0, "files_out": 0, "partitions": 0}
-    for cell_dir in sorted(
-        d
-        for d in _glob.glob(f"{index_dir}/codes/cell=*")
-        if _os.path.isdir(d)
-    ):
+    def _one(cell_dir: str) -> dict:
         name = _os.path.basename(cell_dir)
         files_in = [
             p
@@ -158,11 +154,24 @@ def compact_ingested_codes(
             .write.mode("overwrite")
             .parquet(out)
         )
-        agg["files_in"] += len(files_in)
-        agg["files_out"] += len(
-            [p for p in _glob.glob(f"{out}/part-*") if _os.path.isfile(p)]
-        )
-        agg["partitions"] += 1
+        return {
+            "files_in": len(files_in),
+            "files_out": len(
+                [p for p in _glob.glob(f"{out}/part-*") if _os.path.isfile(p)]
+            ),
+        }
+
+    cell_dirs = sorted(
+        d
+        for d in _glob.glob(f"{index_dir}/codes/cell=*")
+        if _os.path.isdir(d)
+    )
+    agg = {"files_in": 0, "files_out": 0, "partitions": 0}
+    with _cf.ThreadPoolExecutor(max_workers=8) as ex:
+        for res in ex.map(_one, cell_dirs):
+            agg["files_in"] += res["files_in"]
+            agg["files_out"] += res["files_out"]
+            agg["partitions"] += 1
     swap_live_dir(index_dir, "codes")
     return agg
 
@@ -178,6 +187,7 @@ def compact_ingested_postings(
     ~target-size files. Zero shuffle (per-bucket coalesce), rename-swap,
     query results unchanged (pinned in tests). Quiescent-ingest contract:
     see module docstring."""
+    import concurrent.futures as _cf
     import glob as _glob
     import os as _os
 
@@ -185,12 +195,7 @@ def compact_ingested_postings(
         swap_live_dir,
     )
 
-    agg = {"files_in": 0, "files_out": 0, "partitions": 0}
-    for bucket_dir in sorted(
-        d
-        for d in _glob.glob(f"{index_dir}/postings/bucket=*")
-        if _os.path.isdir(d)
-    ):
+    def _one(bucket_dir: str) -> dict:
         name = _os.path.basename(bucket_dir)
         files_in = [
             p
@@ -208,11 +213,26 @@ def compact_ingested_postings(
             .write.mode("overwrite")
             .parquet(out)
         )
-        agg["files_in"] += len(files_in)
-        agg["files_out"] += len(
-            [p for p in _glob.glob(f"{out}/part-*") if _os.path.isfile(p)]
-        )
-        agg["partitions"] += 1
+        return {
+            "files_in": len(files_in),
+            "files_out": len(
+                [p for p in _glob.glob(f"{out}/part-*") if _os.path.isfile(p)]
+            ),
+        }
+
+    bucket_dirs = sorted(
+        d
+        for d in _glob.glob(f"{index_dir}/postings/bucket=*")
+        if _os.path.isdir(d)
+    )
+    # Concurrent submission (layout.compact_partitioned rationale): the
+    # per-bucket jobs are tiny; threads drive submission only.
+    agg = {"files_in": 0, "files_out": 0, "partitions": 0}
+    with _cf.ThreadPoolExecutor(max_workers=8) as ex:
+        for res in ex.map(_one, bucket_dirs):
+            agg["files_in"] += res["files_in"]
+            agg["files_out"] += res["files_out"]
+            agg["partitions"] += 1
     swap_live_dir(index_dir, "postings")
     (
         spark.read.parquet(f"{index_dir}/doclens")

@@ -67,8 +67,11 @@ def test_priority_window_is_complete_and_curated():
     window = list(catalog.queries())[:50]
     assert window == PRIORITY
 
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     driver_green = set()
-    for f in glob.glob("CORRECTNESS_r0*.json"):
+    for f in glob.glob(os.path.join(repo_root, "CORRECTNESS_r0*.json")):
         for k, v in json.load(open(f)).items():
             if v.get("rows_match") and v.get("schema_match"):
                 driver_green.add(k)
