@@ -142,6 +142,59 @@ def stream_scd2_fold(
     return processed
 
 
+def compact_scd2_closed(
+    spark: SparkSession,
+    store_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Archive maintenance for the closed layer: years of per-generation
+    __vto partitions (one tiny directory per re-sync) merge into a
+    bin-packed __vto=__archive__ partition. valid_to stays a data column,
+    so load_scd2_store is unchanged; future generations keep writing
+    their own real-timestamp __vto partitions next to the archive and
+    dynamic overwrite never touches it (its partition value can never
+    equal a generation timestamp). Zero shuffle (coalesce of input
+    splits), rename-swap, and the quiescent-ingest contract of the other
+    compactors: run while no drain is in flight. Returns {files_in,
+    files_out, partitions_in}."""
+    import glob as _glob
+    import os as _os
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        swap_live_dir,
+    )
+
+    files_in = [
+        p
+        for p in _glob.glob(f"{store_dir}/closed/__vto=*/part-*")
+        if _os.path.isfile(p)
+    ]
+    n_parts = len(_glob.glob(f"{store_dir}/closed/__vto=*"))
+    total = sum(_os.path.getsize(p) for p in files_in)
+    n_out = max(1, -(-total // target_file_bytes))
+    (
+        spark.read.parquet(f"{store_dir}/closed")
+        .drop("__vto")
+        .coalesce(n_out)
+        .sortWithinPartitions("valid_to")
+        .write.mode("overwrite")
+        .parquet(f"{store_dir}/closed.new/__vto=__archive__")
+    )
+    swap_live_dir(store_dir, "closed")
+    files_out = len(
+        [
+            p
+            for p in _glob.glob(f"{store_dir}/closed/__vto=*/part-*")
+            if _os.path.isfile(p)
+        ]
+    )
+    return {
+        "files_in": len(files_in),
+        "files_out": files_out,
+        "partitions_in": n_parts,
+    }
+
+
 def _ts_key(s: str) -> str:
     """Normalize 'YYYY-MM-DD' and 'YYYY-MM-DD HH:MM:SS' spellings onto
     one comparable key (a bare date sorts as its midnight)."""

@@ -173,3 +173,48 @@ def test_crash_between_closed_and_current_write_converges(spark, store, tmp_path
     )
     assert len(runs) == 1 and runs[0][1] == [G2]
     assert _rows(load_scd2_store(spark, st)) == converged
+
+
+def test_archive_compaction_then_further_generations(spark, tmp_path):
+    """compact_scd2_closed merges the per-generation partitions into
+    __vto=__archive__ without changing the loaded history, and a LATER
+    generation still drains cleanly next to the archive."""
+    from migrate_cassandra_to_mysql_spark.streaming.scd2_stream import (
+        compact_scd2_closed,
+    )
+
+    src, ckpt, st = (str(tmp_path / p) for p in ("src", "ckpt", "st"))
+    _gen_df(spark, G1).unionByName(_gen_df(spark, G2)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_scd2_fold(spark, src, ckpt, st, ["k"], ["city", "tier"])
+    before = _rows(load_scd2_store(spark, st))
+    stats = compact_scd2_closed(spark, st)
+    assert stats["partitions_in"] >= 1
+    assert stats["files_out"] <= stats["files_in"]
+    vtos = {
+        os.path.basename(d) for d in glob.glob(f"{st}/closed/__vto=*")
+    }
+    assert vtos == {"__vto=__archive__"}
+    assert _rows(load_scd2_store(spark, st)) == before
+    # generation 3 drains into a fresh real-timestamp partition
+    _gen_df(spark, G3).coalesce(1).write.mode("append").parquet(src)
+    runs = stream_scd2_fold(spark, src, ckpt, st, ["k"], ["city", "tier"])
+    assert runs[0][1] == [G3]
+    vtos = {
+        os.path.basename(d) for d in glob.glob(f"{st}/closed/__vto=*")
+    }
+    assert "__vto=__archive__" in vtos and len(vtos) == 2
+    # final history equals the full batch chain
+    hist = scd2_init(
+        _gen_df(spark, G1).drop("snapshot_date"), ["k"], ["city", "tier"], G1
+    )
+    for g in (G2, G3):
+        hist = scd2_apply_increment(
+            hist,
+            _gen_df(spark, g).drop("snapshot_date"),
+            ["k"],
+            ["city", "tier"],
+            g,
+        )
+    assert _rows(load_scd2_store(spark, st)) == _rows(hist)
