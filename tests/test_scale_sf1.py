@@ -178,3 +178,72 @@ def test_zorder_rewrite_completes_at_sf1(spark, sf1_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("sf1_zorder"))
     write_zordered(li, out, "l_orderkey", "l_partkey", n_files=32)
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_streamed_scd2_store_at_sf1(spark, sf1_dir, tmp_path_factory):
+    """The streaming SCD2 store at 10x entity count (r7): two snapshot
+    generations (value updates on %10 keys, deletes on %13, inserts on
+    %100) drain through stream_scd2_fold, and the resulting store must
+    equal the batch scd2_init+apply fold EXACTLY (exceptAll both ways).
+    The properties under test at this scale: current/ rewrites stay
+    entity-bounded, closed/ lands once, and nothing broadcasts or
+    driver-materializes a scaled fact table."""
+    from migrate_cassandra_to_mysql_spark.operators.merge import (
+        scd2_apply_increment,
+        scd2_init,
+    )
+    from migrate_cassandra_to_mysql_spark.streaming.scd2_stream import (
+        load_scd2_store,
+        stream_scd2_fold,
+    )
+
+    g1t, g2t = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    root = tmp_path_factory.mktemp("scd2sf1")
+    src, ckpt, st = (str(root / p) for p in ("src", "ckpt", "store"))
+
+    o = spark.read.parquet(f"{sf1_dir}/orders.parquet")
+    key = F.col("o_orderkey")
+    s1 = o.select(
+        key.alias("file_id"),
+        F.col("o_totalprice").alias("total"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    s2 = (
+        o.where(key % 13 != 0)
+        .select(
+            key.alias("file_id"),
+            F.when(key % 10 == 0, F.col("o_totalprice") + 1000)
+            .otherwise(F.col("o_totalprice"))
+            .alias("total"),
+            F.when(key % 10 == 0, F.lit("U"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+        )
+        .unionByName(
+            o.where(key % 100 == 0).select(
+                (key + 100000000).alias("file_id"),
+                F.col("o_totalprice").alias("total"),
+                F.lit("N").alias("status"),
+            )
+        )
+    )
+    s1.withColumn("snapshot_date", F.lit(g1t)).write.mode("append").parquet(src)
+    runs1 = stream_scd2_fold(
+        spark, src, ckpt, st, ["file_id"], ["total", "status"]
+    )
+    s2.withColumn("snapshot_date", F.lit(g2t)).write.mode("append").parquet(src)
+    runs2 = stream_scd2_fold(
+        spark, src, ckpt, st, ["file_id"], ["total", "status"]
+    )
+    assert len(runs1) == 1 and len(runs2) == 1
+
+    streamed = load_scd2_store(spark, st)
+    batch = scd2_apply_increment(
+        scd2_init(s1, ["file_id"], ["total", "status"], g1t),
+        s2,
+        ["file_id"],
+        ["total", "status"],
+        g2t,
+    )
+    assert streamed.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(streamed).isEmpty()
