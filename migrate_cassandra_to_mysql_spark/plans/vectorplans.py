@@ -755,15 +755,14 @@ _JL = _jl_signs()
     oracle=f"""
 WITH m(pos, out_dim, sign) AS (
   VALUES {",".join(f"({i},{j},{s})" for i, j, s in _JL)}),
- e AS (SELECT vec_id, unnest(embedding) AS v,
+ e AS (SELECT vec_id,
+              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e9) AS BIGINT)
+                AS q,
               generate_subscripts(embedding, 1) - 1 AS pos
        FROM embeddings)
 SELECT e.vec_id, CAST(m.out_dim AS INTEGER) AS out_dim,
-       CAST(sum(CASE WHEN m.sign = 1
-                     THEN CAST(CAST(e.v AS DOUBLE) AS DECIMAL(20,9))
-                     ELSE -CAST(CAST(e.v AS DOUBLE) AS DECIMAL(20,9)) END)
-         AS DOUBLE)
-         AS proj
+       CAST(CAST(sum(CASE WHEN m.sign = 1 THEN q ELSE -q END) AS DOUBLE)
+            / 1e9 AS DOUBLE) AS proj
 FROM e JOIN m ON e.pos = m.pos
 GROUP BY e.vec_id, m.out_dim
 """,
@@ -775,24 +774,26 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode to (vec_id, pos, v), and each output dim is one
     partial-aggregated sum of signed components — map-side combine
     reduces each vector to 16 rows before the exchange, so the shuffle
-    carries out_dim/in_dim (=1/4) of the embedding volume. Products are
-    summed as exact decimals then cast to double once, keeping the
-    result independent of Spark's nondeterministic float-add order (and
-    bit-identical to the oracle). At 100 TB this is the standard ANN
-    pre-step: project, bucket/index in the low-dim space, verify in the
-    original space."""
+    carries out_dim/in_dim (=1/4) of the embedding volume. Components
+    are FLOOR-quantized to exact 1e-9 integers (the operators/kmeans.py
+    discipline), summed exactly, and divided back once — keeping the
+    result independent of Spark's float-add order AND of the engines'
+    decimal-cast tie rules: the earlier DECIMAL(20,9) cast rounded
+    exact .5e-9 ties differently in Spark (half-up) and DuckDB, which
+    surfaced as 16/32000 values off by 1e-9 at sf0.1 (floats that are
+    coarse dyadic rationals terminate exactly on the tie; floor has no
+    ties). At 100 TB this is the standard ANN pre-step: project,
+    bucket/index in the low-dim space, verify in the original space."""
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.posexplode("embedding").alias("pos", "v")
     )
     m = spark.createDataFrame(_JL, "pos INT, out_dim INT, sign INT")
-    # float -> DOUBLE -> DECIMAL on both sides: DuckDB's direct
-    # FLOAT->DECIMAL cast converts in float32 arithmetic (~7 significant
-    # digits), while Spark rounds from the double expansion — routing
-    # through DOUBLE first makes both engines round the same value.
-    dec = F.col("v").cast("double").cast("decimal(20,9)")
-    signed = F.when(F.col("sign") == 1, dec).otherwise(-dec)
+    q = F.floor(F.col("v").cast("double") * F.lit(1000000000.0))
+    signed = F.when(F.col("sign") == 1, q).otherwise(-q)
     return (
         e.join(F.broadcast(m), "pos")
         .groupBy("vec_id", "out_dim")
-        .agg(F.sum(signed).cast("double").alias("proj"))
+        .agg(
+            (F.sum(signed).cast("double") / F.lit(1e9)).alias("proj")
+        )
     )
