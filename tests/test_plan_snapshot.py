@@ -1,0 +1,44 @@
+"""Catalog-wide plan-shape regression guard: every query's physical-plan
+feature vector (shuffles, join strategies, Python evals, top-k form)
+must match the committed plan_baseline.json. A drift means a plan
+changed shape without a deliberate baseline regeneration — fail loudly
+with the per-query feature diff. Regenerate after INTENTIONAL plan
+changes with `PYTHONPATH=/root/repo python tools/plan_snapshot.py` and
+review the diff (that review is the plan audit)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def test_all_plans_match_committed_baseline(spark):
+    from tools.plan_snapshot import BASELINE, SF_DIR, snapshot
+
+    assert os.path.isfile(BASELINE), (
+        "plan_baseline.json missing — run tools/plan_snapshot.py"
+    )
+    with open(BASELINE) as f:
+        baseline = json.load(f)
+    current = snapshot(spark, SF_DIR)
+
+    missing = sorted(set(baseline) - set(current))
+    new = sorted(set(current) - set(baseline))
+    assert not missing, f"queries vanished from catalog: {missing}"
+    assert not new, (
+        f"new catalog queries not in plan baseline (regenerate): {new}"
+    )
+
+    diffs = {}
+    for name, feats in baseline.items():
+        got = current[name]
+        if got != feats:
+            diffs[name] = {
+                k: (feats[k], got[k])
+                for k in feats
+                if feats[k] != got.get(k)
+            }
+    assert not diffs, (
+        "plan shapes drifted (baseline, current): "
+        + json.dumps(diffs, indent=1, sort_keys=True)
+    )

@@ -1,0 +1,83 @@
+"""Catalog-wide physical-plan feature snapshot.
+
+tests/test_plan_shapes.py pins ~15 hand-curated plan contracts; this
+tool generalizes the guard to EVERY catalog query: it builds each plan
+at the smoke scale and extracts the stable, scale-meaningful features —
+shuffle count, join strategies, Python evaluation, top-k form — into
+`plan_baseline.json`. tests/test_plan_snapshot.py then fails loudly
+when any query's plan shape drifts (a broadcast silently becoming a
+sort-merge join, a new exchange sneaking into a map-side path, a Python
+eval appearing in a JVM path), turning "the plan I audited" into "the
+plan that is pinned".
+
+Regenerate deliberately after an intentional plan change:
+
+    PYTHONPATH=/root/repo python tools/plan_snapshot.py
+
+and commit the diff — the review of that diff IS the plan audit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASELINE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plan_baseline.json",
+)
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_features(plan: str) -> dict:
+    """The stable feature vector of a physical plan string. Counts only
+    operators whose presence/number is a scale contract; no paths, no
+    ids, no statistics — those vary run to run."""
+    return {
+        "exchanges": plan.count("Exchange hashpartitioning"),
+        "single_partition_exchanges": plan.count("Exchange SinglePartition"),
+        "range_exchanges": plan.count("Exchange rangepartitioning"),
+        "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "broadcast_nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
+        "python_eval": ("BatchEvalPython" in plan)
+        or ("ArrowEvalPython" in plan)
+        or ("MapInPandas" in plan)
+        or ("FlatMapGroupsInPandas" in plan),
+        "take_ordered": "TakeOrderedAndProject" in plan,
+        "generates": plan.count("Generate"),
+        "window_group_limit": "WindowGroupLimit" in plan,
+    }
+
+
+def snapshot(spark, sf_dir: str = SF_DIR) -> dict:
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    out: dict[str, dict] = {}
+    for name, fn in catalog.queries().items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = plan_features(plan)
+    return out
+
+
+def main() -> int:
+    from migrate_cassandra_to_mysql_spark.session import get_spark
+
+    spark = get_spark(
+        "plan-snapshot", master="local[8]", shuffle_partitions=8
+    )
+    snap = snapshot(spark)
+    with open(BASELINE, "w") as f:
+        json.dump(snap, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {BASELINE} ({len(snap)} queries)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
