@@ -192,7 +192,10 @@ PRIORITY: list[str] = [
     # their own round:
     "events_gap_fill",
     "bm25_topk_search",
-    "corpus_divergence",
+    # r7: corpus_divergence out on its green r6 row to admit the r7-new
+    # dynamic-partition-pruning showcase (runtime probe dates -> DPP
+    # subquery in the fact scan's PartitionFilters; plan-pinned):
+    "events_dpp_prune",
     "part_copurchase_pagerank",
 ]
 

@@ -924,6 +924,70 @@ def zorder_curve_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_dpp_prune",
+    oracle="""
+WITH e AS (SELECT CAST(ts AS DATE) AS event_date, event_type, value
+           FROM events),
+ dim AS (SELECT event_date FROM (
+   SELECT event_date, count(*) AS n,
+          row_number() OVER (ORDER BY count(*) DESC, event_date) AS rn
+   FROM e WHERE event_type = 'purchase' GROUP BY 1) t
+   WHERE rn <= 5)
+SELECT e.event_date, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM e JOIN dim USING (event_date)
+GROUP BY 1, 2
+""",
+)
+def events_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning showcase (new r7): the events fact is
+    laid out date-partitioned (written once per sf_dir, memoized — the
+    standard time-partitioned fact layout), and the probe dates come
+    from a RUNTIME subquery (the 5 busiest purchase days), so no static
+    filter exists at plan time — Catalyst instead injects a
+    dynamicpruning subquery into the fact scan's PartitionFilters and
+    only the 5 matching date directories are ever opened (plan-pinned in
+    tests/test_plan_shapes.py). At 100 TB with daily partitions this is
+    the difference between scanning 5 days and scanning years — and it
+    composes with the broadcast of the tiny dim side, which is reused as
+    the pruning filter for free. The oracle computes the same result
+    from the unpartitioned table: partitioning is a layout property,
+    never a semantic one."""
+    from migrate_cassandra_to_mysql_spark.plans._work import memo, workdir
+
+    ev = T(spark, sf_dir, "events")
+
+    def _build() -> str:
+        d = workdir("mc2m_dpp_")
+        ev.withColumn("event_date", F.to_date("ts")).write.mode(
+            "overwrite"
+        ).partitionBy("event_date").parquet(d)
+        return d
+
+    part_dir = memo(("events_by_date", sf_dir), _build)
+    fact = spark.read.parquet(part_dir)
+    dim = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_date"))
+        .limit(5)
+        .select("event_date")
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "orders_per_customer_listagg",
     oracle="""
 SELECT o_custkey AS client_id,

@@ -142,6 +142,23 @@ def test_bm25_single_row_broadcast_and_take_ordered(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """events_dpp_prune (r7): the probe dates are runtime-only, so the
+    fact scan must carry a dynamicpruning subquery in its
+    PartitionFilters — Catalyst prunes the date directories at execution
+    from the broadcast dim, with no static filter available."""
+    plan = _plan(spark, sf_dir, "events_dpp_prune")
+    fact_scans = [
+        l
+        for l in plan.splitlines()
+        if "FileScan parquet" in l and "mc2m_dpp_" in l
+    ]
+    assert fact_scans
+    assert any("dynamicpruning" in l for l in fact_scans), plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_rerank_broadcast_fetch_no_python(spark, sf_dir):
     """embedding_rerank_topk (r7): the ADC shortlist and the query frame
     must BROADCAST against the corpus for the exact-cosine fetch — the
