@@ -234,6 +234,13 @@ def swap_live_dir(parent_dir: str, part: str) -> None:
     live, new, bak = (
         _Path(f"{parent_dir}/{part}{sfx}") for sfx in ("", ".new", ".bak")
     )
+    if not new.exists():
+        # Validate BEFORE touching live: renaming live aside first and
+        # then discovering .new is missing would leave the store with no
+        # live dir at all (caught by tests/test_zorder_layout.py).
+        raise FileNotFoundError(
+            f"{new} does not exist — nothing to promote; live dir untouched"
+        )
     _shutil.rmtree(bak, ignore_errors=True)
     if live.exists():
         live.rename(bak)

@@ -169,3 +169,37 @@ def test_zvalue_is_a_bijection_on_the_key_square():
     for _ in range(500):
         a, b = rng.randrange(1 << 16), rng.randrange(1 << 16)
         assert unz(zvalue_py(a, b)) == (a, b)
+
+
+def test_swap_live_dir_edges(tmp_path):
+    """swap_live_dir: missing .new fails loudly; leftover .bak from a
+    crashed earlier swap is cleaned; first-ever swap (no live dir)
+    promotes .new."""
+    import pytest
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        swap_live_dir,
+    )
+
+    # first-ever swap: no live dir yet
+    (tmp_path / "part.new").mkdir()
+    (tmp_path / "part.new" / "f").write_text("v1")
+    swap_live_dir(str(tmp_path), "part")
+    assert (tmp_path / "part" / "f").read_text() == "v1"
+    assert not (tmp_path / "part.new").exists()
+
+    # normal swap with a stale .bak lying around from a crashed run
+    (tmp_path / "part.bak").mkdir()
+    (tmp_path / "part.bak" / "stale").write_text("x")
+    (tmp_path / "part.new").mkdir()
+    (tmp_path / "part.new" / "f").write_text("v2")
+    swap_live_dir(str(tmp_path), "part")
+    assert (tmp_path / "part" / "f").read_text() == "v2"
+    assert not (tmp_path / "part.bak").exists()
+
+    # missing .new: loud, AND the live dir survives untouched (the
+    # first draft renamed live aside before discovering .new was
+    # missing, leaving no live dir at all — validate-first fixed it)
+    with pytest.raises(FileNotFoundError):
+        swap_live_dir(str(tmp_path), "part")
+    assert (tmp_path / "part" / "f").read_text() == "v2"
