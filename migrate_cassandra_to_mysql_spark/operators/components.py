@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .lineage import free_local_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -100,7 +102,13 @@ def connected_components(
                 .where(F.col("n.component") < F.col("o.component"))
             )
             done = changed.isEmpty()
+            # The convergence probe was the last reader of the previous
+            # round's checkpoint — free its executor blocks NOW, keeping
+            # storage O(1) across rounds in fact (DataFrame.unpersist is
+            # a no-op on localCheckpoint blocks; see operators/lineage).
+            prev = labels
             labels = new_labels
+            free_local_checkpoint(prev)
             if done:
                 return labels
         raise RuntimeError(
@@ -267,11 +275,18 @@ def pagerank(
                     )
                     .collect()[0]["l1"]
                 )
+                prev = ranks
                 ranks = new_ranks
+                free_local_checkpoint(prev)
                 if delta is not None and delta < tol:
                     break
             else:
+                # new_ranks is already eagerly materialized, so the
+                # previous round's checkpoint blocks are dead weight —
+                # free them to keep executor storage O(1) per round.
+                prev = ranks
                 ranks = new_ranks
+                free_local_checkpoint(prev)
         return ranks
     finally:
         ed.unpersist()

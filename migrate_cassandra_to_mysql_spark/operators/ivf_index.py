@@ -124,7 +124,9 @@ def build_ivfpq_index(
     Layout under index_dir:
       cells/           n_cells rows (c_id, cv) — IVF coarse centroids
       pq/              m*n_centers rows (mi, j, cv) — PQ sub-codebooks
-      codes/cell=N/... (vec_id, codes array<int>)
+      codes/cell=N/ingest_batch=B/... (vec_id, codes array<int>) — batch
+                       build/append write B=0; streaming micro-batch B
+                       writes B+1 (uniform leaf depth across all writers)
       meta/            1 row (residual) — the encoding mode, persisted so
                        append and search can never diverge from the build
 
@@ -152,10 +154,15 @@ def build_ivfpq_index(
     spark.createDataFrame(
         [(bool(residual),)], "residual boolean"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
-    sim.ivfpq_encode(
-        embeddings, cell_centroids, centers, residual=residual
-    ).write.mode("overwrite").partitionBy("cell").parquet(
-        f"{index_dir}/codes"
+    # ingest_batch=0 keeps the batch layer at the SAME leaf depth as
+    # streamed micro-batches (streaming/index_ingest.py writes batch B
+    # under ingest_batch=B+1) — mixed depths fail partition discovery.
+    (
+        sim.ivfpq_encode(embeddings, cell_centroids, centers, residual=residual)
+        .withColumn("ingest_batch", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("cell", "ingest_batch")
+        .parquet(f"{index_dir}/codes")
     )
 
 
@@ -175,12 +182,18 @@ def append_to_ivfpq_index(
 
     spark = embeddings_new.sparkSession
     cell_centroids, centers = load_ivfpq_codebooks(spark, index_dir)
-    sim.ivfpq_encode(
-        embeddings_new,
-        cell_centroids,
-        centers,
-        residual=load_ivfpq_residual_flag(spark, index_dir),
-    ).write.mode("append").partitionBy("cell").parquet(f"{index_dir}/codes")
+    (
+        sim.ivfpq_encode(
+            embeddings_new,
+            cell_centroids,
+            centers,
+            residual=load_ivfpq_residual_flag(spark, index_dir),
+        )
+        .withColumn("ingest_batch", F.lit(0))
+        .write.mode("append")
+        .partitionBy("cell", "ingest_batch")
+        .parquet(f"{index_dir}/codes")
+    )
 
 
 def compact_codes(
@@ -188,13 +201,16 @@ def compact_codes(
     index_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
-    """Maintenance pass after N incremental appends: bin-pack each
-    codes/cell=N directory (append adds one file per batch per cell;
-    probe cost then grows with file count). Per-partition coalesce —
-    zero shuffle, cell pruning untouched — then rename-swap into place;
-    codebooks are frozen so nothing else needs refresh. The
-    append+compact == single-pass-build equivalence is pinned at the
-    QUERY level in tests/test_ivf_index.py. Returns compaction stats."""
+    """Maintenance pass after N incremental appends and/or streamed
+    batches: each codes/cell=N's ingest_batch=* partitions merge into a
+    bin-packed cell=N/ingest_batch=0 (append adds one file per batch per
+    cell and streaming one partition per micro-batch; probe cost then
+    grows with file count). Per-partition coalesce — zero shuffle, cell
+    pruning untouched — then rename-swap into place; codebooks are
+    frozen so nothing else needs refresh. The append+compact ==
+    single-pass-build equivalence is pinned at the QUERY level in
+    tests/test_ivf_index.py. Quiescent-ingest contract for streamed
+    indexes. Returns compaction stats."""
     from migrate_cassandra_to_mysql_spark.operators.layout import (
         compact_partitioned,
         swap_live_dir,
@@ -206,6 +222,7 @@ def compact_codes(
         f"{index_dir}/codes.new",
         target_file_bytes=target_file_bytes,
         sort_within_by=["vec_id"],
+        merge_sub_partitions_into="ingest_batch=0",
     )
     swap_live_dir(index_dir, "codes")
     return stats
@@ -257,8 +274,12 @@ def ivfpq_search(
     operators, so results equal similarity.ivfpq_topk row-for-row. The
     index's persisted encoding mode (meta/) selects raw or residual ADC
     automatically — a query cannot accidentally score residual codes
-    with raw query vectors."""
+    with raw query vectors. The codes read retries through a concurrent
+    compact_codes' rename-swap window (layout.read_parquet_retry)."""
     from migrate_cassandra_to_mysql_spark.operators import similarity as sim
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        read_parquet_retry,
+    )
 
     cell_centroids, centers = load_ivfpq_codebooks(spark, index_dir)
     residual = load_ivfpq_residual_flag(spark, index_dir)
@@ -276,7 +297,7 @@ def ivfpq_search(
     )
     probed = [r["q_cell"] for r in q.select("q_cell").distinct().collect()]
     codes = (
-        spark.read.parquet(f"{index_dir}/codes")
+        read_parquet_retry(spark, f"{index_dir}/codes")
         .where(F.col("cell").isin(probed))
         .select("vec_id", "codes", F.col("cell").cast("long").alias("cell"))
     )

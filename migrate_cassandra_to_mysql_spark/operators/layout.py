@@ -177,6 +177,7 @@ def compact_partitioned(
     out_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_within_by: list[str] | None = None,
+    merge_sub_partitions_into: str | None = None,
 ) -> dict:
     """compact_small_files for a hive-partitioned layout (e.g. an index's
     postings/bucket=N or codes/cell=N): each partition directory is
@@ -187,7 +188,13 @@ def compact_partitioned(
     a 100 TB deployment staggers maintenance (compact the partitions a
     day's appends touched, leave the rest untouched — the file listing
     that decides is driver-side metadata only). Returns aggregate
-    {files_in, files_out, bytes, partitions}."""
+    {files_in, files_out, bytes, partitions}.
+
+    merge_sub_partitions_into handles a second partition level that
+    should COLLAPSE rather than be preserved (the indexes' ingest_batch
+    layer): pass e.g. "ingest_batch=0" and each bucket=N/ingest_batch=*
+    merges into out_dir/bucket=N/ingest_batch=0 (the sub-partition column
+    is a directory-derived constant, so dropping it loses nothing)."""
     import glob as _glob
     import os as _os
 
@@ -199,13 +206,35 @@ def compact_partitioned(
 
     def _one(d: str) -> dict:
         name = _os.path.basename(d)
-        return compact_small_files(
-            spark,
-            d,
-            f"{out_dir}/{name}",
-            target_file_bytes=target_file_bytes,
-            sort_within_by=sort_within_by,
+        if merge_sub_partitions_into is None:
+            return compact_small_files(
+                spark,
+                d,
+                f"{out_dir}/{name}",
+                target_file_bytes=target_file_bytes,
+                sort_within_by=sort_within_by,
+            )
+        sub_col = merge_sub_partitions_into.split("=", 1)[0]
+        files_in = [
+            p
+            for p in _glob.glob(f"{d}/{sub_col}=*/part-*")
+            if _os.path.isfile(p)
+        ]
+        total = sum(_os.path.getsize(p) for p in files_in)
+        n_out = max(1, -(-total // target_file_bytes))
+        out = f"{out_dir}/{name}/{merge_sub_partitions_into}"
+        df = spark.read.parquet(d).drop(sub_col).coalesce(n_out)
+        if sort_within_by:
+            df = df.sortWithinPartitions(*sort_within_by)
+        df.write.mode("overwrite").parquet(out)
+        files_out = len(
+            [p for p in _glob.glob(f"{out}/part-*") if _os.path.isfile(p)]
         )
+        return {
+            "files_in": len(files_in),
+            "files_out": files_out,
+            "bytes": total,
+        }
 
     # Submit per-partition jobs CONCURRENTLY (Spark's scheduler multiplexes
     # them across executors): each job is tiny, so sequential submission —
@@ -222,18 +251,65 @@ def compact_partitioned(
     return agg
 
 
+def read_parquet_retry(
+    spark,
+    path: str,
+    attempts: int = 8,
+    initial_delay: float = 0.05,
+):
+    """spark.read.parquet pinned to the CURRENT live version and with a
+    bounded retry on missing-path errors — the reader side of
+    swap_live_dir's contract. Resolving the live symlink to its real
+    versioned dir BEFORE handing the path to Spark means the file
+    listing, the plan, and the execution all address one immutable
+    version: a refresh that flips the pointer mid-query cannot invalidate
+    this query's already-listed files (the previous version is retained
+    for one swap cycle). The retry covers the two remaining windows — a
+    legacy real-dir migration's one-time rename, and an index that is
+    mid-first-build. Retries ONLY path-not-found (any other analysis
+    error re-raises immediately) with exponential backoff; the last
+    attempt's error propagates, so a genuinely absent index still fails
+    loudly rather than hanging."""
+    import os as _os
+    import time as _time
+
+    for i in range(attempts):
+        try:
+            resolved = (
+                _os.path.realpath(path) if _os.path.islink(path) else path
+            )
+            return spark.read.parquet(resolved)
+        except Exception as e:  # AnalysisException: PATH_NOT_FOUND
+            msg = str(e)
+            missing = "PATH_NOT_FOUND" in msg or "does not exist" in msg
+            if not missing or i == attempts - 1:
+                raise
+            _time.sleep(min(initial_delay * (2**i), 1.0))
+
+
 def swap_live_dir(parent_dir: str, part: str) -> None:
-    """Promote `{parent_dir}/{part}.new` to `{parent_dir}/{part}` via
-    rename-aside (old -> .bak, .new -> live, delete .bak). NOT atomic: a
-    reader racing the two renames can see a missing path and should
-    retry (same contract as inverted_index._refresh_derived, which this
-    generalizes for the compaction lifecycle)."""
+    """Promote `{parent_dir}/{part}.new` to `{parent_dir}/{part}`
+    ATOMICALLY: the .new dir is renamed to a fresh versioned name
+    `{part}.v<N>` and the live name becomes a SYMLINK flipped onto it
+    with os.replace — one atomic rename on POSIX, so a concurrent reader
+    never sees a missing live path (the old two-rename scheme had a
+    reader-visible window). In-flight readers that already resolved the
+    previous version keep reading it: the immediately-previous version
+    dir is RETAINED for one swap cycle and GC'd on the next (a reader
+    must survive one concurrent refresh, not two — the read_parquet_retry
+    + realpath discipline in the serving paths pins the resolved
+    version for the query's lifetime).
+
+    One-time migration: promoting over a legacy REAL live directory (a
+    plain build write) first renames it to a version dir — that single
+    transition has the old sub-ms missing-path window, which
+    read_parquet_retry covers."""
+    import os as _os
+    import re as _re
     import shutil as _shutil
     from pathlib import Path as _Path
 
-    live, new, bak = (
-        _Path(f"{parent_dir}/{part}{sfx}") for sfx in ("", ".new", ".bak")
-    )
+    live, new = (_Path(f"{parent_dir}/{part}{s}") for s in ("", ".new"))
     if not new.exists():
         # Validate BEFORE touching live: renaming live aside first and
         # then discovering .new is missing would leave the store with no
@@ -241,8 +317,37 @@ def swap_live_dir(parent_dir: str, part: str) -> None:
         raise FileNotFoundError(
             f"{new} does not exist — nothing to promote; live dir untouched"
         )
-    _shutil.rmtree(bak, ignore_errors=True)
-    if live.exists():
-        live.rename(bak)
-    new.rename(live)
-    _shutil.rmtree(bak, ignore_errors=True)
+    parent = _Path(parent_dir)
+    vpat = _re.compile(_re.escape(part) + r"\.v(\d+)$")
+    versions = {
+        int(m.group(1)): parent / d.name
+        for d in parent.iterdir()
+        if (m := vpat.match(d.name))
+    }
+    n = max(versions, default=0) + 1
+    prev_target: str | None = None
+    if live.is_symlink():
+        prev_target = _os.readlink(live)
+    elif live.exists():
+        # Legacy real dir: adopt it as a version so in-flight readers of
+        # its (unresolved) path lose it for the shortest possible time.
+        legacy = parent / f"{part}.v{n}"
+        live.rename(legacy)
+        versions[n] = legacy
+        prev_target = legacy.name
+        n += 1
+    vdir = parent / f"{part}.v{n}"
+    new.rename(vdir)
+    versions[n] = vdir
+    tmp = parent / f".{part}.ptr.tmp"
+    if tmp.is_symlink() or tmp.exists():
+        tmp.unlink()
+    _os.symlink(vdir.name, tmp)
+    _os.replace(tmp, live)  # atomic flip
+    # GC: keep the new version and the one the flip just replaced.
+    keep = {vdir.name, prev_target}
+    for v in versions.values():
+        if v.name not in keep:
+            _shutil.rmtree(v, ignore_errors=True)
+    # stale .bak from the pre-versioned scheme
+    _shutil.rmtree(parent / f"{part}.bak", ignore_errors=True)

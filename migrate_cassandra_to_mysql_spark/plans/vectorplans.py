@@ -199,6 +199,7 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
    JOIN qd ON qd.q_id = qprobe.q_id AND qd.mi = enc.mi AND qd.j = enc.code
    WHERE enc.vec_id <> qd.q_id
    GROUP BY 1, 2, 3)
+-- ADC_CTE_END (marker: _rerank_oracle composes everything above this line)
 SELECT q_id, n_id, cell, approx_dist, CAST(rnk AS BIGINT) AS rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id
                                ORDER BY approx_dist, n_id) AS rnk
@@ -244,9 +245,21 @@ def _rerank_oracle(shortlist: int = 20, k: int = 3) -> str:
     """ADC-shortlist + exact-re-rank oracle, built on the IVFADC oracle's
     CTE chain (single source of truth for the codebook/encode/probe
     semantics): keep everything up to the `ad` scores, take the
-    per-query ADC top-`shortlist`, then exact-cosine re-rank to top-k."""
+    per-query ADC top-`shortlist`, then exact-cosine re-rank to top-k.
+
+    The split anchors on the explicit ADC_CTE_END marker comment in the
+    base oracle — splitting on final-SELECT text proved fragile (ADVICE
+    r7: a harmless rewording silently truncated the derived SQL, failing
+    only later at DuckDB parse time) — and raises HERE if the marker is
+    gone."""
     base = _ivfpq_oracle()
-    cte_part = base.split("SELECT q_id, n_id, cell, approx_dist")[0]
+    marker = "-- ADC_CTE_END"
+    if marker not in base:
+        raise ValueError(
+            "embedding_ivfpq_topk oracle lost its ADC_CTE_END marker — "
+            "_rerank_oracle can no longer compose the shared CTE chain"
+        )
+    cte_part = base.split(marker)[0]
     return (
         cte_part
         + f""",

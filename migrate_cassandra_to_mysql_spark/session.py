@@ -31,10 +31,16 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     shuffle = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    # In local mode the driver JVM IS the executor: Spark's 1g default heap
+    # has no headroom for the sf1 scale suite's localCheckpoint blocks
+    # (observed fatal ConnectionReset at -Xmx1g). Only effective for the
+    # process that creates the JVM — getOrCreate on a live session ignores it.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -12,8 +12,8 @@ Exactly-once contract — stronger than plain append: a foreachBatch
 handler can crash AFTER writing but BEFORE the checkpoint commits, and
 Structured Streaming then REPLAYS the batch. A mode('append') write would
 duplicate every posting in the replayed batch. Instead each micro-batch
-writes under its own partition — postings/(bucket, ingest_batch=<id>),
-doclens/(ingest_batch=<id>) — with DYNAMIC partition overwrite, so a
+writes under its own partition — postings/(bucket, ingest_batch=<id+1>),
+doclens/(ingest_batch=<id+1>) — with DYNAMIC partition overwrite, so a
 replay rewrites exactly its own partitions and converges to the same
 bytes (the same idempotent-replay trick the reference gets from uk_file_id
 + INSERT IGNORE, re-derived for file layouts; Delta/Iceberg get it from
@@ -22,11 +22,24 @@ so the extra ingest_batch partition column is invisible to bm25_search,
 and the derived lexicon/stats layers refresh once per drain, not per
 micro-batch.
 
-Maintenance composes: compact_ingested_postings merges each bucket's
-accumulated ingest_batch partitions back into a single ingest_batch=0
-layout (zero shuffle, rename-swap). Run it while ingest is quiescent —
-the same operational contract as any maintenance window: a replay of an
-uncommitted batch whose partitions were just merged would re-create them.
+The ingest_batch level is shared with the BATCH writers
+(build_inverted_index / append_to_inverted_index / build_ivfpq_index /
+append_to_ivfpq_index all write ingest_batch=0), so streaming onto a
+batch-built index keeps one uniform leaf depth — mixed depths are
+rejected by Spark partition discovery as 'conflicting directory
+structures'. Streaming ids are offset by +1 to keep micro-batch 0's
+dynamic overwrite from clobbering the batch layer. Legacy indexes built
+before the uniform layout (bare part-files directly under bucket=N /
+cell=N) are detected at stream start and rejected with a migration hint
+instead of failing partition discovery at the NEXT read.
+
+Maintenance composes: compact_postings / compact_codes (the operators'
+own compactors) merge each partition's accumulated ingest_batch layers
+back into a single ingest_batch=0 (zero shuffle, rename-swap). Run them
+while ingest is quiescent — the same operational contract as any
+maintenance window: a replay of an uncommitted batch whose partitions
+were just merged would re-create them. compact_ingested_postings /
+compact_ingested_codes remain as aliases of those compactors.
 """
 
 from __future__ import annotations
@@ -38,6 +51,42 @@ from migrate_cassandra_to_mysql_spark.operators import inverted_index as inv
 from migrate_cassandra_to_mysql_spark.streaming.snapshot_stream import (
     snapshot_stream,
 )
+
+
+def _validate_ingest_layout(layer_dir: str) -> None:
+    """Reject a legacy pre-uniform layout (bare part-files directly under
+    the first-level partition dirs) at stream START with a migration
+    hint — otherwise Spark partition discovery fails at the NEXT read
+    with an unactionable 'conflicting directory structures' error."""
+    import glob
+    import os
+
+    if not os.path.isdir(layer_dir):
+        return
+    # A partitioned layer must not ALSO hold leaf files at its root
+    # (legacy unpartitioned doclens/ next to new ingest_batch=N dirs).
+    if any(os.path.isfile(p) for p in glob.glob(f"{layer_dir}/part-*")):
+        raise ValueError(
+            f"{layer_dir} holds unpartitioned leaf files (legacy "
+            "pre-ingest_batch layout); streaming into it would mix leaf "
+            "depths and break partition discovery. Rebuild the index or "
+            "move the files under an ingest_batch=0 subdirectory."
+        )
+    for d in glob.glob(f"{layer_dir}/*=*"):
+        # A first-level ingest_batch dir IS the leaf level (doclens/);
+        # only bucket=/cell= dirs must nest a further ingest_batch level.
+        if os.path.basename(d).startswith("ingest_batch="):
+            continue
+        if any(
+            os.path.isfile(p) for p in glob.glob(f"{d}/part-*")
+        ):
+            raise ValueError(
+                f"{d} holds leaf files directly under the partition dir "
+                "(legacy pre-ingest_batch layout); streaming into it "
+                "would mix leaf depths and break partition discovery. "
+                "Rebuild the index (build writes ingest_batch=0 now) or "
+                "move the files under an ingest_batch=0 subdirectory."
+            )
 
 
 def stream_docs_into_inverted_index(
@@ -55,21 +104,25 @@ def stream_docs_into_inverted_index(
 
     Per micro-batch: one inversion job (the same encode_postings the
     batch paths use, so rows are bit-identical), one dynamic-overwrite
-    partitioned write per layer. Derived lexicon/stats rebuild ONCE
-    after the drain — O(index), not O(batches)."""
+    partitioned write per layer. Batch id B writes ingest_batch=B+1 —
+    0 is the batch build/append/compaction layer, which micro-batch 0's
+    dynamic overwrite must never clobber. Derived lexicon/stats rebuild
+    ONCE after the drain — O(index), not O(batches)."""
+    for layer in ("postings", "doclens"):
+        _validate_ingest_layout(f"{index_dir}/{layer}")
     processed: list[int] = []
 
     def handle(df: DataFrame, batch_id: int) -> None:
         postings, doclens = inv.encode_postings(df, n_buckets, text_col)
         (
-            postings.withColumn("ingest_batch", F.lit(batch_id))
+            postings.withColumn("ingest_batch", F.lit(batch_id + 1))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket", "ingest_batch")
             .parquet(f"{index_dir}/postings")
         )
         (
-            doclens.withColumn("ingest_batch", F.lit(batch_id))
+            doclens.withColumn("ingest_batch", F.lit(batch_id + 1))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch")
@@ -93,12 +146,13 @@ def stream_vectors_into_ivfpq_index(
     must already exist — build_ivfpq_index trains/freezes them; streaming
     only ever encodes with the frozen codebooks, the same contract as
     append_to_ivfpq_index). Each micro-batch's codes land under
-    (cell, ingest_batch=<id>) with dynamic partition overwrite — the same
-    idempotent-replay exactly-once as the document path. Returns batch
-    ids processed this run."""
+    (cell, ingest_batch=<id+1>) with dynamic partition overwrite — the
+    same idempotent-replay exactly-once and the same batch-id offset as
+    the document path. Returns batch ids processed this run."""
     from migrate_cassandra_to_mysql_spark.operators import ivf_index
     from migrate_cassandra_to_mysql_spark.operators import similarity as sim
 
+    _validate_ingest_layout(f"{index_dir}/codes")
     cell_centroids, centers = ivf_index.load_ivfpq_codebooks(
         spark, index_dir
     )
@@ -108,7 +162,7 @@ def stream_vectors_into_ivfpq_index(
     def handle(df: DataFrame, batch_id: int) -> None:
         (
             sim.ivfpq_encode(df, cell_centroids, centers, residual=residual)
-            .withColumn("ingest_batch", F.lit(batch_id))
+            .withColumn("ingest_batch", F.lit(batch_id + 1))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell", "ingest_batch")
@@ -125,55 +179,16 @@ def compact_ingested_codes(
     index_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
-    """compact_ingested_postings' twin for a streamed IVFADC index:
-    codes/cell=N/ingest_batch=* collapses into cell=N/ingest_batch=0.
-    Zero shuffle, rename-swap, quiescent-ingest contract."""
-    import concurrent.futures as _cf
-    import glob as _glob
-    import os as _os
-
-    from migrate_cassandra_to_mysql_spark.operators.layout import (
-        swap_live_dir,
+    """Alias of operators/ivf_index.compact_codes — with the uniform
+    ingest_batch layout, streamed and batch-appended indexes compact
+    through the same primitive (codes/cell=N/ingest_batch=* collapses
+    into cell=N/ingest_batch=0; zero shuffle, rename-swap,
+    quiescent-ingest contract)."""
+    from migrate_cassandra_to_mysql_spark.operators.ivf_index import (
+        compact_codes,
     )
 
-    def _one(cell_dir: str) -> dict:
-        name = _os.path.basename(cell_dir)
-        files_in = [
-            p
-            for p in _glob.glob(f"{cell_dir}/ingest_batch=*/part-*")
-            if _os.path.isfile(p)
-        ]
-        total = sum(_os.path.getsize(p) for p in files_in)
-        n_out = max(1, -(-total // target_file_bytes))
-        out = f"{index_dir}/codes.new/{name}/ingest_batch=0"
-        (
-            spark.read.parquet(cell_dir)
-            .drop("ingest_batch")
-            .coalesce(n_out)
-            .sortWithinPartitions("vec_id")
-            .write.mode("overwrite")
-            .parquet(out)
-        )
-        return {
-            "files_in": len(files_in),
-            "files_out": len(
-                [p for p in _glob.glob(f"{out}/part-*") if _os.path.isfile(p)]
-            ),
-        }
-
-    cell_dirs = sorted(
-        d
-        for d in _glob.glob(f"{index_dir}/codes/cell=*")
-        if _os.path.isdir(d)
-    )
-    agg = {"files_in": 0, "files_out": 0, "partitions": 0}
-    with _cf.ThreadPoolExecutor(max_workers=8) as ex:
-        for res in ex.map(_one, cell_dirs):
-            agg["files_in"] += res["files_in"]
-            agg["files_out"] += res["files_out"]
-            agg["partitions"] += 1
-    swap_live_dir(index_dir, "codes")
-    return agg
+    return compact_codes(spark, index_dir, target_file_bytes)
 
 
 def compact_ingested_postings(
@@ -181,65 +196,7 @@ def compact_ingested_postings(
     index_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
-    """Merge a streamed index's per-batch partitions: every
-    postings/bucket=N/ingest_batch=* collapses into bucket=N/
-    ingest_batch=0 (and doclens/ingest_batch=* likewise), bin-packed to
-    ~target-size files. Zero shuffle (per-bucket coalesce), rename-swap,
-    query results unchanged (pinned in tests). Quiescent-ingest contract:
-    see module docstring."""
-    import concurrent.futures as _cf
-    import glob as _glob
-    import os as _os
-
-    from migrate_cassandra_to_mysql_spark.operators.layout import (
-        swap_live_dir,
-    )
-
-    def _one(bucket_dir: str) -> dict:
-        name = _os.path.basename(bucket_dir)
-        files_in = [
-            p
-            for p in _glob.glob(f"{bucket_dir}/ingest_batch=*/part-*")
-            if _os.path.isfile(p)
-        ]
-        total = sum(_os.path.getsize(p) for p in files_in)
-        n_out = max(1, -(-total // target_file_bytes))
-        out = f"{index_dir}/postings.new/{name}/ingest_batch=0"
-        (
-            spark.read.parquet(bucket_dir)
-            .drop("ingest_batch")
-            .coalesce(n_out)
-            .sortWithinPartitions("tok", "doc_id")
-            .write.mode("overwrite")
-            .parquet(out)
-        )
-        return {
-            "files_in": len(files_in),
-            "files_out": len(
-                [p for p in _glob.glob(f"{out}/part-*") if _os.path.isfile(p)]
-            ),
-        }
-
-    bucket_dirs = sorted(
-        d
-        for d in _glob.glob(f"{index_dir}/postings/bucket=*")
-        if _os.path.isdir(d)
-    )
-    # Concurrent submission (layout.compact_partitioned rationale): the
-    # per-bucket jobs are tiny; threads drive submission only.
-    agg = {"files_in": 0, "files_out": 0, "partitions": 0}
-    with _cf.ThreadPoolExecutor(max_workers=8) as ex:
-        for res in ex.map(_one, bucket_dirs):
-            agg["files_in"] += res["files_in"]
-            agg["files_out"] += res["files_out"]
-            agg["partitions"] += 1
-    swap_live_dir(index_dir, "postings")
-    (
-        spark.read.parquet(f"{index_dir}/doclens")
-        .drop("ingest_batch")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/doclens.new/ingest_batch=0")
-    )
-    swap_live_dir(index_dir, "doclens")
-    return agg
+    """Alias of operators/inverted_index.compact_postings (see
+    compact_ingested_codes — one compactor per index since the layouts
+    unified)."""
+    return inv.compact_postings(spark, index_dir, target_file_bytes)

@@ -36,15 +36,46 @@ Contract: generation files must arrive in nondecreasing snapshot-date
 order (inherent to SCD2 — an older snapshot cannot be folded into a
 newer history; a late-arriving older generation is skipped by the
 watermark, loudly visible in the returned per-batch generation lists).
+
+The applied-generation high-water mark is tracked EXPLICITLY (it used
+to be inferred from max(valid_from) over current/, which never advances
+on a deletion-only or no-change generation — an older generation
+arriving after a deletion-only one would re-fold out of order and
+resurrect deleted keys, and a generation deleting every entity left the
+inferred mark None and wedged the stream):
+
+  - meta/watermark.txt — the max applied generation, written (atomic
+    tmp+rename) after each batch's data writes complete. Advances on
+    EVERY kind of generation, including deletion-only and no-change.
+  - meta/inflight.json — the exact generation list of the batch
+    currently folding, written BEFORE its data writes. On crash replay
+    it distinguishes "this generation is in-doubt, refold it"
+    (idempotent, and required for current/ to converge) from "this is
+    an out-of-order older delivery, skip it" — timestamps alone cannot
+    tell those apart inside the crash window.
+  - max(valid_from) over current/ still participates as a candidate, so
+    stores written before the meta layer existed (or with meta/ lost)
+    keep their old guarantees.
+
+Skip rule per generation g:  apply iff  g > max(meta, current-derived)
+AND (g ∈ inflight OR g > max(inflight)).  A fully-applied batch replays
+as a no-op; a torn batch (crash between the closed/ and current/
+writes, or before the meta write) refolds exactly its own in-doubt
+generations; an older generation delivered after a later one is never
+applied.
 """
 
 from __future__ import annotations
 
 import os
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from migrate_cassandra_to_mysql_spark.operators.lineage import (
+    free_local_checkpoint,
+)
 from migrate_cassandra_to_mysql_spark.operators.merge import (
     scd2_apply_increment,
     scd2_init,
@@ -52,6 +83,103 @@ from migrate_cassandra_to_mysql_spark.operators.merge import (
 from migrate_cassandra_to_mysql_spark.streaming.snapshot_stream import (
     snapshot_stream,
 )
+
+_ARCHIVE_PART = "__archive__"
+
+
+def _meta_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "meta", "watermark.txt")
+
+
+def _inflight_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "meta", "inflight.json")
+
+
+def _atomic_write(path: str, content: str) -> None:
+    """tmp + rename: a concurrent reader sees the old or the new file,
+    never a torn one."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.replace(tmp, path)
+
+
+def _read_meta_watermark(store_dir: str) -> str | None:
+    try:
+        with open(_meta_path(store_dir)) as f:
+            v = f.read().strip()
+        return v or None
+    except FileNotFoundError:
+        return None
+
+
+def _advance_meta_watermark(store_dir: str, wm: str) -> None:
+    """Monotonic: never moves the durable high-water mark backwards."""
+    cur = _read_meta_watermark(store_dir)
+    if cur is not None and _ts_key(cur) >= _ts_key(wm):
+        return
+    _atomic_write(_meta_path(store_dir), wm)
+
+
+def _write_inflight(store_dir: str, gens: list[str]) -> None:
+    import json
+
+    _atomic_write(_inflight_path(store_dir), json.dumps({"gens": gens}))
+
+
+def _read_inflight(store_dir: str) -> list[str]:
+    import json
+
+    try:
+        with open(_inflight_path(store_dir)) as f:
+            return list(json.load(f)["gens"])
+    except (FileNotFoundError, ValueError, KeyError):
+        return []
+
+
+def _closed_partition_watermark(store_dir: str) -> str | None:
+    """Max generation timestamp among closed/'s __vto partition DIRECTORY
+    names (percent-decoded) — free to compute at any history size. Used
+    only by the compactor to persist watermark evidence before archiving
+    erases the partition names; NOT a skip candidate (inside the torn
+    crash window the closed partition exists while current/ is stale, and
+    the refold must NOT be skipped). The compactor's __archive__
+    partition is not a generation."""
+    closed = os.path.join(store_dir, "closed")
+    if not os.path.isdir(closed):
+        return None
+    vals = [
+        unquote(d.split("=", 1)[1])
+        for d in os.listdir(closed)
+        if d.startswith("__vto=")
+    ]
+    vals = [v for v in vals if v != _ARCHIVE_PART]
+    return max((_ts_key(v) for v in vals), default=None)
+
+
+def applied_watermark(spark: SparkSession, store_dir: str) -> str | None:
+    """The store's applied-generation high-water mark: max of the durable
+    meta record and the current-slice-derived mark (see module
+    docstring); None only for a store that has never applied a
+    generation. Normalized via _ts_key, so directly comparable."""
+    cands: list[str] = []
+    meta = _read_meta_watermark(store_dir)
+    if meta is not None:
+        cands.append(_ts_key(meta))
+    if os.path.isdir(os.path.join(store_dir, "current")):
+        w = (
+            spark.read.parquet(f"{store_dir}/current")
+            .agg(
+                F.max(
+                    F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
+                ).alias("w")
+            )
+            .collect()[0]["w"]
+        )
+        if w is not None:
+            cands.append(_ts_key(w))
+    return max(cands, default=None)
 
 
 def load_scd2_store(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -95,22 +223,41 @@ def stream_scd2_fold(
             ).select(*snap_cols)
 
         if os.path.isdir(f"{store_dir}/current"):
-            cur = spark.read.parquet(f"{store_dir}/current")
-            # Watermark: the last generation that changed anything. Gens
-            # at/below it are already applied (or no-ops) — skip, which
-            # is what makes a fully-applied batch replay a no-op.
-            wm = cur.agg(
-                F.max(F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss"))
-                .alias("w")
-            ).collect()[0]["w"]
-            gens = [g for g in gens if _ts_key(g) > _ts_key(wm)]
-            hist = cur
+            # Skip rule (module docstring): gens at/below the applied
+            # high-water mark are already applied (or no-ops) — a
+            # fully-applied batch replays as a no-op; gens above it are
+            # applied only if they are this store's own in-doubt batch
+            # (crash replay — refold is idempotent and REQUIRED for
+            # current/ to converge) or genuinely new (above everything
+            # ever started). An older generation delivered after a
+            # later one matches neither and is skipped — re-folding it
+            # would resurrect keys the later generation deleted.
+            wm = applied_watermark(spark, store_dir)
+            if wm is not None:
+                gens = [g for g in gens if _ts_key(g) > wm]
+            inflight = {_ts_key(g) for g in _read_inflight(store_dir)}
+            if inflight:
+                started = max(inflight)
+                gens = [
+                    g
+                    for g in gens
+                    if _ts_key(g) in inflight or _ts_key(g) > started
+                ]
+            hist = spark.read.parquet(f"{store_dir}/current")
+            applied_max = gens[-1] if gens else None
+            all_applied = list(gens)
         else:
             if not gens:
                 processed.append((batch_id, []))
                 return
             first, gens = gens[0], gens[1:]
             hist = scd2_init(snap(first), key_cols, tracked_cols, t0=first)
+            applied_max = gens[-1] if gens else first
+            all_applied = [first, *gens]
+        # In-doubt record BEFORE any data write: a crash replay consults
+        # it to refold exactly these generations and nothing older.
+        if all_applied:
+            _write_inflight(store_dir, all_applied)
         for g in gens:
             hist = scd2_apply_increment(
                 hist, snap(g), key_cols, tracked_cols, t_new=g
@@ -136,6 +283,17 @@ def stream_scd2_fold(
         hist.where(F.col("is_current")).write.mode("overwrite").parquet(
             f"{store_dir}/current"
         )
+        # Both writes consumed the checkpoint — free its executor blocks
+        # so a long-running stream doesn't accumulate one batch's worth
+        # of storage per drain (DataFrame.unpersist can't release
+        # localCheckpoint blocks; see operators/lineage).
+        free_local_checkpoint(hist)
+        # Durable high-water mark LAST: every earlier crash window is
+        # covered by the data-derived candidates in applied_watermark;
+        # this write is what makes no-change generations skip on replay
+        # of LATER batches and what survives archive compaction.
+        if applied_max is not None:
+            _advance_meta_watermark(store_dir, applied_max)
         processed.append((batch_id, list(gens)))
 
     snapshot_stream(spark, source_dir, checkpoint_dir, handle)
@@ -163,6 +321,14 @@ def compact_scd2_closed(
     from migrate_cassandra_to_mysql_spark.operators.layout import (
         swap_live_dir,
     )
+
+    # Archiving folds the per-generation partitions into __archive__,
+    # which would erase the closed-layer watermark evidence a
+    # deletion-only generation left behind — persist it to meta FIRST so
+    # applied_watermark never regresses across a compaction.
+    closed_wm = _closed_partition_watermark(store_dir)
+    if closed_wm is not None:
+        _advance_meta_watermark(store_dir, closed_wm)
 
     files_in = [
         p

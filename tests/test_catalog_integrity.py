@@ -71,7 +71,9 @@ def test_priority_window_is_complete_and_curated():
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     driver_green = set()
-    for f in glob.glob(os.path.join(repo_root, "CORRECTNESS_r0*.json")):
+    # CORRECTNESS_r*.json, not r0*: rounds 10+ must keep matching (the
+    # prefix already constrains the glob — ADVICE r7)
+    for f in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         for k, v in json.load(open(f)).items():
             if v.get("rows_match") and v.get("schema_match"):
                 driver_green.add(k)

@@ -83,7 +83,9 @@ def test_crash_replay_is_idempotent(spark, sf_dir, streamed):
     idx = streamed["idx"]
     before = _search(spark, idx)
     n_before = spark.read.parquet(f"{idx}/postings").count()
-    replay_bid = streamed["batches"][1][0]
+    # the stream writes batch id B under ingest_batch=B+1 (0 is the
+    # batch-build layer) — a verbatim replay rewrites the same partition
+    replay_bid = streamed["batches"][1][0] + 1
     docs_b = T(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
     postings, doclens = inverted_index.encode_postings(docs_b)
     (
@@ -122,6 +124,50 @@ def test_compact_ingested_then_identical_answers(spark, streamed):
         p.endswith("ingest_batch=0")
         for p in glob.glob(f"{idx}/postings/bucket=*/ingest_batch=*")
     )
+
+
+def test_stream_onto_nonempty_batch_built_index(spark, sf_dir, tmp_path):
+    """ADVICE r7: streaming into an index whose postings came from a
+    NON-empty batch build used to mix leaf depths (bucket=N/part-* vs
+    bucket=N/ingest_batch=M/part-*), which partition discovery rejects.
+    With the uniform ingest_batch layout the composite index must read,
+    search, and equal a single-pass build."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    idx, full = str(tmp_path / "idx"), str(tmp_path / "full")
+    docs = T(spark, sf_dir, "documents")
+    inverted_index.build_inverted_index(
+        docs.where(F.col("doc_id") % 2 == 0), idx
+    )
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    bids = stream_docs_into_inverted_index(spark, src, ckpt, idx)
+    assert len(bids) == 1
+    inverted_index.build_inverted_index(docs, full)
+    a = _search(spark, full)
+    b = _search(spark, idx)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert (a["bm25"].to_numpy() == b["bm25"].to_numpy()).all()
+    # and batch-compaction of the composite layout keeps answers pinned
+    inverted_index.compact_postings(spark, idx)
+    c = _search(spark, idx)
+    assert b.equals(c)
+
+
+def test_stream_rejects_legacy_mixed_depth_layout(spark, sf_dir, tmp_path):
+    """A pre-uniform index (bare part-files directly under bucket=N) must
+    be rejected at stream START with a migration hint, not fail later
+    inside partition discovery."""
+    src, ckpt, idx = (str(tmp_path / p) for p in ("src", "ckpt", "idx"))
+    docs = T(spark, sf_dir, "documents").limit(50)
+    postings, _ = inverted_index.encode_postings(docs)
+    # legacy layout: no ingest_batch level
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{idx}/postings"
+    )
+    docs.coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="legacy"):
+        stream_docs_into_inverted_index(spark, src, ckpt, idx)
 
 
 class TestVectorIngest:

@@ -124,7 +124,7 @@ def test_append_then_compact_lifecycle(spark, sf_dir, tmp_path):
 
     def n_files(d):
         return len(
-            [p for p in glob.glob(f"{d}/postings/bucket=*/part-*")]
+            [p for p in glob.glob(f"{d}/postings/bucket=*/ingest_batch=*/part-*")]
         )
 
     before = n_files(inc_dir)
@@ -210,3 +210,44 @@ def test_incremental_append_equals_full_build(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{inc_dir}/lexicon").collect()
     }
     assert la == lb
+
+
+def test_search_races_refresh_without_errors(spark, sf_dir, tmp_path):
+    """VERDICT r7 ask #7: a serving search racing a concurrent derived-
+    layer refresh (atomic pointer flips of lexicon/ and stats/) must
+    never error AND always return the same (correct) answer — the flip
+    is atomic and each query pins the version it resolved."""
+    import threading
+
+    d = str(tmp_path / "raceidx")
+    docs = T(spark, sf_dir, "documents")
+    inverted_index.build_inverted_index(docs, d)
+    expected = inverted_index.bm25_search(
+        spark, d, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
+    ).toPandas()
+
+    stop = threading.Event()
+    refresh_errors: list[BaseException] = []
+
+    def refresher():
+        try:
+            while not stop.is_set():
+                inverted_index._refresh_derived(spark, d)
+        except BaseException as e:  # surfaced in the main thread
+            refresh_errors.append(e)
+
+    t = threading.Thread(target=refresher, daemon=True)
+    t.start()
+    try:
+        for _ in range(12):
+            got = inverted_index.bm25_search(
+                spark, d, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
+            ).toPandas()
+            assert list(got["doc_id"]) == list(expected["doc_id"])
+            assert (
+                got["bm25"].to_numpy() == expected["bm25"].to_numpy()
+            ).all()
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not refresh_errors, refresh_errors

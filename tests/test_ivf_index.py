@@ -157,7 +157,9 @@ def test_ivfpq_codes_scan_pruned_and_compressed(spark, sf_dir, ivfpq_dir):
     assert code_scans
     assert all("PartitionFilters: [cell" in l for l in code_scans)
     schema = spark.read.parquet(f"{ivfpq_dir}/codes").schema
-    assert [f.name for f in schema if f.name != "cell"] == ["vec_id", "codes"]
+    assert [
+        f.name for f in schema if f.name not in ("cell", "ingest_batch")
+    ] == ["vec_id", "codes"]
     # codebooks round-trip exactly
     cells, centers = ivf_index.load_ivfpq_codebooks(spark, ivfpq_dir)
     assert len(cells) == 4 and len(centers) == 4 and len(centers[0]) == 4
@@ -229,7 +231,7 @@ def test_ivfpq_append_then_compact_lifecycle(spark, sf_dir):
         )
 
     def n_files(d):
-        return len(glob.glob(f"{d}/codes/cell=*/part-*"))
+        return len(glob.glob(f"{d}/codes/cell=*/ingest_batch=*/part-*"))
 
     before = n_files(inc_dir)
     stats = ivf_index.compact_codes(spark, inc_dir)

@@ -162,11 +162,16 @@ def test_crash_between_closed_and_current_write_converges(spark, store, tmp_path
     ).parquet(src)
     stream_scd2_fold(spark, src, ckpt, st, ["k"], ["city", "tier"])
     converged = _rows(load_scd2_store(spark, st))
-    # torn state: current/ rewound to the g1 bootstrap
+    # torn state: current/ rewound to the g1 bootstrap. The meta
+    # watermark is written AFTER the data writes, so in the real crash
+    # window it still reads G1 — rewind it too (inflight, written
+    # BEFORE the data writes, correctly lists the in-doubt batch).
     g1_hist = scd2_init(
         _gen_df(spark, G1).drop("snapshot_date"), ["k"], ["city", "tier"], G1
     )
     g1_hist.write.mode("overwrite").parquet(f"{st}/current")
+    with open(f"{st}/meta/watermark.txt", "w") as f:
+        f.write(G1)
     # replay generation 2 through a FRESH checkpoint (same files)
     runs = stream_scd2_fold(
         spark, src, str(tmp_path / "ckpt2"), st, ["k"], ["city", "tier"]
@@ -218,3 +223,110 @@ def test_archive_compaction_then_further_generations(spark, tmp_path):
             g,
         )
     assert _rows(load_scd2_store(spark, st)) == _rows(hist)
+
+
+G15 = "2024-01-15 00:00:00"  # between G1 and G2
+
+
+def test_deletion_only_generation_blocks_late_older_resurrection(
+    spark, tmp_path
+):
+    """A deletion-only generation changes nothing in current/, so the old
+    current-derived watermark never advanced past it — an OLDER
+    generation delivered afterwards was re-folded out of order and
+    resurrected the deleted key. The durable meta watermark must block
+    it."""
+    src, ckpt, st = (str(tmp_path / p) for p in ("src", "ckpt", "st"))
+    g1 = spark.createDataFrame(
+        [(G1, 1, "rome", "a"), (G1, 2, "oslo", "b")],
+        "snapshot_date string, k long, city string, tier string",
+    )
+    # G2: key 2 deleted, key 1 UNCHANGED — deletion-only generation.
+    g2 = spark.createDataFrame(
+        [(G2, 1, "rome", "a")],
+        "snapshot_date string, k long, city string, tier string",
+    )
+    g1.coalesce(1).write.mode("append").parquet(src)
+    stream_scd2_fold(spark, src, ckpt, st, ["k"], ["city", "tier"])
+    g2.coalesce(1).write.mode("append").parquet(src)
+    runs = stream_scd2_fold(spark, src, ckpt, st, ["k"], ["city", "tier"])
+    assert runs == [(1, [G2])]
+    after_delete = _rows(load_scd2_store(spark, st))
+    cur_keys = {
+        r[0] for r in after_delete if r[5]
+    }  # is_current
+    assert cur_keys == {1}
+    # Late OLDER generation G1.5 re-asserting key 2: must be skipped.
+    g15 = spark.createDataFrame(
+        [(G15, 1, "rome", "a"), (G15, 2, "oslo", "b")],
+        "snapshot_date string, k long, city string, tier string",
+    )
+    g15.coalesce(1).write.mode("append").parquet(src)
+    runs = stream_scd2_fold(spark, src, ckpt, st, ["k"], ["city", "tier"])
+    assert len(runs) == 1 and runs[0][1] == []
+    assert _rows(load_scd2_store(spark, st)) == after_delete
+
+
+def test_torn_deletion_only_batch_refolds_and_converges(spark, tmp_path):
+    """Crash window for a DELETION-ONLY batch: closed/ already holds the
+    generation's partition but current/ (and the meta watermark) are
+    pre-batch. The replay must refold that exact generation — skipping
+    it would leave the deleted key current forever — while a later
+    out-of-order older delivery is still blocked."""
+    src, ckpt, st = (str(tmp_path / p) for p in ("src", "ckpt", "st"))
+    g1 = spark.createDataFrame(
+        [(G1, 1, "rome", "a"), (G1, 2, "oslo", "b")],
+        "snapshot_date string, k long, city string, tier string",
+    )
+    g2 = spark.createDataFrame(
+        [(G2, 1, "rome", "a")],
+        "snapshot_date string, k long, city string, tier string",
+    )
+    g1.coalesce(1).write.mode("append").parquet(src)
+    stream_scd2_fold(spark, src, ckpt, st, ["k"], ["city", "tier"])
+    g2.coalesce(1).write.mode("append").parquet(src)
+    stream_scd2_fold(spark, src, ckpt, st, ["k"], ["city", "tier"])
+    converged = _rows(load_scd2_store(spark, st))
+    # Rewind current/ and meta to pre-G2 (closed/__vto=G2 stays — the
+    # exact state a crash between the two data writes leaves behind;
+    # inflight.json correctly lists [G2]).
+    pre = scd2_init(
+        g1.drop("snapshot_date"), ["k"], ["city", "tier"], G1
+    )
+    pre.write.mode("overwrite").parquet(f"{st}/current")
+    with open(f"{st}/meta/watermark.txt", "w") as f:
+        f.write(G1)
+    runs = stream_scd2_fold(
+        spark, src, str(tmp_path / "ckpt2"), st, ["k"], ["city", "tier"]
+    )
+    applied = [g for _, gs in runs for g in gs]
+    assert applied == [G2]
+    assert _rows(load_scd2_store(spark, st)) == converged
+
+
+def test_applied_watermark_guards_empty_and_missing_layers(spark, tmp_path):
+    """applied_watermark must return None (not raise) on a store whose
+    current/ is EMPTY and has no meta — the state that used to wedge
+    every subsequent drain with a TypeError."""
+    from migrate_cassandra_to_mysql_spark.streaming.scd2_stream import (
+        applied_watermark,
+    )
+
+    st = str(tmp_path / "st")
+    empty = spark.createDataFrame(
+        [],
+        "k long, city string, tier string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+    empty.write.mode("overwrite").parquet(f"{st}/current")
+    assert applied_watermark(spark, st) is None
+    # and a drain over such a store applies its generations instead of
+    # crashing
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    g2 = spark.createDataFrame(
+        [(G2, 9, "kiev", "d")],
+        "snapshot_date string, k long, city string, tier string",
+    )
+    g2.coalesce(1).write.mode("append").parquet(src)
+    runs = stream_scd2_fold(spark, src, ckpt, st, ["k"], ["city", "tier"])
+    assert runs == [(0, [G2])]

@@ -203,3 +203,51 @@ def test_swap_live_dir_edges(tmp_path):
     with pytest.raises(FileNotFoundError):
         swap_live_dir(str(tmp_path), "part")
     assert (tmp_path / "part" / "f").read_text() == "v2"
+
+
+def test_swap_live_dir_versioned_pointer_flip(tmp_path):
+    """The swap is an atomic pointer flip: live becomes a symlink onto a
+    versioned dir, the immediately-previous version survives one cycle
+    (in-flight reader grace), and older versions are GC'd."""
+    import os
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        swap_live_dir,
+    )
+
+    for v in (1, 2, 3):
+        (tmp_path / "part.new").mkdir()
+        (tmp_path / "part.new" / "f").write_text(f"v{v}")
+        swap_live_dir(str(tmp_path), "part")
+        assert (tmp_path / "part" / "f").read_text() == f"v{v}"
+    live = tmp_path / "part"
+    assert live.is_symlink()
+    target = os.path.realpath(live)
+    versions = sorted(p.name for p in tmp_path.glob("part.v*"))
+    # current + previous retained, v1 GC'd
+    assert versions == ["part.v2", "part.v3"]
+    assert target.endswith("part.v3")
+    # a reader that resolved the PREVIOUS version before the flip can
+    # still read it
+    assert (tmp_path / "part.v2" / "f").read_text() == "v2"
+
+
+def test_swap_live_dir_adopts_legacy_real_dir(tmp_path):
+    """Promoting over a legacy REAL live directory (plain build write)
+    adopts it as a version, so the flip itself is still atomic."""
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        swap_live_dir,
+    )
+
+    (tmp_path / "part").mkdir()
+    (tmp_path / "part" / "f").write_text("legacy")
+    (tmp_path / "part.new").mkdir()
+    (tmp_path / "part.new" / "f").write_text("v2")
+    swap_live_dir(str(tmp_path), "part")
+    assert (tmp_path / "part").is_symlink()
+    assert (tmp_path / "part" / "f").read_text() == "v2"
+    # the legacy dir is the retained previous version
+    legacy_kept = [
+        p for p in tmp_path.glob("part.v*") if (p / "f").read_text() == "legacy"
+    ]
+    assert len(legacy_kept) == 1

@@ -50,11 +50,23 @@ def plan_features(plan: str) -> dict:
         "take_ordered": "TakeOrderedAndProject" in plan,
         "generates": plan.count("Generate"),
         "window_group_limit": "WindowGroupLimit" in plan,
+        # Runtime partition pruning is a load-bearing scale property of
+        # date-partitioned fact scans (events_dpp_prune): a plan that
+        # loses its dynamicpruning subquery reads every partition.
+        "dynamic_pruning": "dynamicpruning" in plan,
     }
 
 
 def snapshot(spark, sf_dir: str = SF_DIR) -> dict:
     from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    # Plan strings are cache-sensitive: once another suite (e.g. the
+    # oracle-parity run) has MATERIALIZED the persisted subtrees some
+    # queries cache, InMemoryTableScan subtrees inflate the stringified
+    # plan (ngram_jaccard_pruned: 6 -> 15 exchanges purely from
+    # CacheManager state). Clear the cache so features always reflect
+    # the fresh-session shapes the committed baseline pins.
+    spark.catalog.clearCache()
 
     out: dict[str, dict] = {}
     for name, fn in catalog.queries().items():
