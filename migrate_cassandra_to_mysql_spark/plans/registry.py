@@ -66,6 +66,41 @@ def register(name: str, oracle: str | None = None):
 # and the structurally-distinct TPC-H core. Registration order within
 # modules stays meaningful for everything not listed here.
 PRIORITY: list[str] = [
+    # r9 rotation (VERDICT r8 ask #2 — drive the 15-query
+    # never-driver-verified backlog to 0). All 15 incoming are
+    # parity-green (in-repo differential at sf0.001/0.01/0.1); every
+    # rotated-out query holds green driver rows for >=2 consecutive
+    # rounds (r7+r8; several r6 or earlier). Out, with the in-window
+    # coverage that retains each family:
+    #   q11/q15/q20 (TPC-H tail, green r7+r8 -> q2/q10/q16 + the
+    #     incoming q6/q14/q17/q19 + tpch_scalar_suite keep join/agg/
+    #     top-k shape breadth; q16 STAYS as the window's anti-join
+    #     shape holder), q12 (case-sum agg -> incoming q14's
+    #     case-sum-ratio is the same family's unverified shape),
+    #   salted_skew_join (bench headliner, green r1-r8 -> the incoming
+    #     skew_ab_salted/skew_ab_plain/plain_skew_join A/B trio covers
+    #     the salting family more finely; bench.py still times it),
+    #   chunk_pack_suite (green r3b-r8 -> incoming doc_chunking +
+    #     sequence_packing are its two component operators),
+    #   bpe_merge_training (sanctioned rows-only r7+r8 -> incoming
+    #     bpe_apply_fixed has a FULL oracle; trainer keeps e2e tests;
+    #     window becomes 50/50 oracled),
+    #   stratified_sample (green r7+r8 -> incoming deterministic_sample
+    #     keeps the reproducible-sampling family),
+    #   mode_and_percentile_disc / approx_distinct_stats (green r7+r8
+    #     -> corr_covar_stats stays; incoming price_histogram +
+    #     parts_catalog_profile keep distribution-stats coverage),
+    #   regexp_showcase (green r7+r8 -> incoming json_struct_extract
+    #     brings semi-structured extraction; PII regexes ride
+    #     doc_signal_suite), array_hof_showcase (green r7+r8 -> HOF
+    #     shapes ride doc_chunking/corpus_curation map-side HOFs),
+    #   unpivot_part_measures (green r7+r8 -> incoming
+    #     parts_catalog_profile profiles the same part-measure domain),
+    #   embedding_ivfpq_topk (green r6-r8 -> incoming
+    #     embedding_ivfpq_residual_topk strictly generalizes the ADC
+    #     path; ivfpq_persisted_topk + embedding_rerank_topk stay),
+    #   user_retention_cohorts (green r7+r8 -> funnel_conversion keeps
+    #     the cohort/funnel family).
     # r7 rotation (VERDICT r6 ask #1 — burn the never-driver-verified
     # backlog from 34 to <=15). Twenty swaps, the window's largest, all
     # sanctioned by the ask; every rotated-out query holds a green r6
@@ -95,33 +130,39 @@ PRIORITY: list[str] = [
     "snapshot_sanitize",
     "minhash_lsh_candidates",
     "ngram_jaccard_pruned",
-    "salted_skew_join",
+    # r9 in: the skew A/B trio (plain vs salted on the same keys plus
+    # the standalone plain join) replaces salted_skew_join's slot:
+    "skew_ab_salted",
+    "skew_ab_plain",
+    "plain_skew_join",
     "snapshot_merge_upsert",
     # r7 in: the five post-rotation late-r6 operators
     "bigram_lm_perplexity",
     "events_session_window_native",
     "zorder_curve_rollup",
     "customer_hierarchy_recursive",
-    "bpe_merge_training",
+    # r9 in: fixed-table BPE apply (full oracle) replaces the rows-only
+    # trainer's slot:
+    "bpe_apply_fixed",
     # r7 in: both persisted serving paths (the inline twins' green rows
     # don't cover the on-disk index layout)
     "ivfpq_persisted_topk",
     "bm25_persisted_topk",
-    # r7 in: TPC-H tail
-    "q11_important_parts",
-    "q15_top_supplier",
+    # r7 in (q16 retained r9 as the anti-join shape holder); r9 in:
+    # the four scalar-suite TPC-H members, individually verified
     "q16_supplier_relation_count",
-    "q20_excess_inventory_suppliers",
-    # r7 in: showcase / shape rows never driver-verified
+    "q6_forecast_revenue",
+    "q14_promo_revenue_ratio",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    # r7 in: showcase / shape rows; r9 in: json_struct_extract,
+    # parts_catalog_profile, price_histogram, deterministic_sample
     "pivot_status_by_year",
-    "unpivot_part_measures",
-    "regexp_showcase",
-    "array_hof_showcase",
-    "user_retention_cohorts",
+    "json_struct_extract",
+    "parts_catalog_profile",
+    "price_histogram",
+    "deterministic_sample",
     "events_grouping_sets",
-    "stratified_sample",
-    "mode_and_percentile_disc",
-    "approx_distinct_stats",
     # reference lifecycle (sources -> sinks -> streaming -> full job).
     # streaming_snapshot_drain / idempotent_sink_roundtrip rotated out in
     # r3b (both hold green r2 driver rows, and snapshot_job_e2e's row
@@ -132,7 +173,10 @@ PRIORITY: list[str] = [
     # checkpoint lifecycle end-to-end) to admit two of the four late-r6
     # operators below.
     "streaming_hourly_rollup",
-    "chunk_pack_suite",
+    # r9: chunk_pack_suite out on its green r3b-r8 rows; its two
+    # component operators take the slots individually:
+    "doc_chunking",
+    "sequence_packing",
     "pyds_pushdown_scan",
     "snapshot_job_e2e",
     # r5 rotation: snapshot_cdc_diff out on its green r4 row (lifecycle
@@ -159,6 +203,9 @@ PRIORITY: list[str] = [
     # r7-new serving composition (ADC shortlist + exact re-rank) — new
     # ops earn their driver row in their own round:
     "embedding_rerank_topk",
+    # r9 in: the residual-ADC generalization takes embedding_ivfpq_topk's
+    # slot (its oracle replays the per-cell residual ADC in SQL):
+    "embedding_ivfpq_residual_topk",
     # r6 rotation (VERDICT r5 ask #2 — the ROADMAP backlog executed).
     # Out on green r5 rows: simhash_near_dup, fuzzy_name_dedup,
     # random_projection, dataset_split_assignment, kmeans_clusters
@@ -167,9 +214,8 @@ PRIORITY: list[str] = [
     # q8_market_share (q2/q10 bring fresh join-heavy shapes in),
     # embedding_pq_topk (flat PQ is subsumed by the IVFADC composition
     # below — tests/test_ann_recall.py pins all-cells IVFADC == flat PQ).
-    # In: the r5-new IVFADC composition plus seven never-driver-verified
-    # rows from the rotation backlog:
-    "embedding_ivfpq_topk",
+    # In r6: the IVFADC composition (rotated out r9 for its residual
+    # generalization above) plus never-driver-verified rows:
     "events_sliding_windows",
     "moving_order_spend",
     "corr_covar_stats",
@@ -185,7 +231,6 @@ PRIORITY: list[str] = [
     "tpch_scalar_suite",
     "q2_min_cost_supplier",
     "q10_returned_items",
-    "q12_priority_case_sum",
     # late-r6: q13/q21 out on their green r5 rows (the r6 window keeps
     # q2/q10/q12 + the scalar suite for TPC-H shape diversity) to admit
     # the remaining late-r6 operators — new ops earn driver rows in
