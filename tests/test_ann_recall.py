@@ -332,3 +332,45 @@ def test_pq_trained_codebook_reduces_distortion(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["approx_dist"] >= 0 and r["n_id"] != r["q_id"]
+
+
+def test_persisted_index_serving_default_is_trained_residual(
+    spark, clustered, clustered_exact, tmp_path
+):
+    """build_ivfpq_index with NO codebooks (the serving default) must
+    persist trained residual codebooks and beat an explicit first-K
+    build on recall — the measured ladder (0.55 trained-residual vs
+    0.28 first-K @5) must hold THROUGH the persisted layout, not just
+    the inline operators. Also pins meta/residual=True for the default
+    build so later appends/searches stay residual-encoded."""
+    from migrate_cassandra_to_mysql_spark.operators import ivf_index
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        first_k_cell_centroids,
+        first_k_pq_centers,
+    )
+
+    q = clustered.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    d_default = str(tmp_path / "default_idx")
+    ivf_index.build_ivfpq_index(clustered, d_default)
+    assert ivf_index.load_ivfpq_residual_flag(spark, d_default) is True
+    d_fk = str(tmp_path / "first_k_idx")
+    ivf_index.build_ivfpq_index(
+        clustered,
+        d_fk,
+        first_k_cell_centroids(clustered, 8),
+        first_k_pq_centers(clustered, 8, 16),
+    )
+    assert ivf_index.load_ivfpq_residual_flag(spark, d_fk) is False
+    r_default = _recall_vs(
+        ivf_index.ivfpq_search(spark, d_default, q, k=_K, n_probe=2).collect(),
+        clustered_exact,
+    )
+    r_fk = _recall_vs(
+        ivf_index.ivfpq_search(spark, d_fk, q, k=_K, n_probe=2).collect(),
+        clustered_exact,
+    )
+    assert r_default >= 0.45, r_default
+    assert r_default > r_fk, (r_fk, r_default)
