@@ -206,7 +206,17 @@ def compact_postings(
     the append+compact == single-pass-build equivalence is pinned at the
     QUERY level in tests/test_inverted_index.py. Quiescent-ingest
     contract for streamed indexes: run while no drain is in flight.
-    Returns the compaction stats dict for the caller's audit log."""
+    Returns the compaction stats dict for the caller's audit log:
+    top-level files_in/files_out/bytes/partitions cover the postings
+    layer; the doclens rewrite's own counts ride under "doclens".
+
+    The doclens layer (one row per document — billions of rows at the
+    100 TB design point) bin-packs by listed bytes exactly like the
+    partitioned layers do: forcing it into one file would serialize a
+    multi-GB write through a single task."""
+    import glob as _glob
+    import os as _os
+
     from migrate_cassandra_to_mysql_spark.operators.layout import (
         compact_partitioned,
         swap_live_dir,
@@ -221,13 +231,27 @@ def compact_postings(
         merge_sub_partitions_into="ingest_batch=0",
     )
     swap_live_dir(index_dir, "postings")
+    dl_files = [
+        p
+        for p in _glob.glob(f"{index_dir}/doclens/ingest_batch=*/part-*")
+        if _os.path.isfile(p)
+    ]
+    dl_bytes = sum(_os.path.getsize(p) for p in dl_files)
+    dl_out_dir = f"{index_dir}/doclens.new/ingest_batch=0"
     (
         spark.read.parquet(f"{index_dir}/doclens")
         .drop("ingest_batch")
-        .coalesce(1)
+        .coalesce(max(1, -(-dl_bytes // target_file_bytes)))
         .write.mode("overwrite")
-        .parquet(f"{index_dir}/doclens.new/ingest_batch=0")
+        .parquet(dl_out_dir)
     )
+    stats["doclens"] = {
+        "files_in": len(dl_files),
+        "files_out": len(
+            [p for p in _glob.glob(f"{dl_out_dir}/part-*") if _os.path.isfile(p)]
+        ),
+        "bytes": dl_bytes,
+    }
     swap_live_dir(index_dir, "doclens")
     return stats
 

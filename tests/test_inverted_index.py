@@ -251,3 +251,47 @@ def test_search_races_refresh_without_errors(spark, sf_dir, tmp_path):
         stop.set()
         t.join(timeout=120)
     assert not refresh_errors, refresh_errors
+
+
+def test_doclens_compaction_bin_packs_by_bytes(spark, sf_dir, tmp_path):
+    """The doclens layer is one row per DOCUMENT — billions of rows at
+    100 TB — so compaction must bin-pack it by listed bytes like every
+    other layer, not funnel it through one task/file. With a target
+    below the layer's byte size (and read splits narrowed so the tiny
+    test files don't combine), the rewrite must emit >1 file, report
+    itself in the returned stats, and leave the content identical."""
+    docs = T(spark, sf_dir, "documents")
+    d = str(tmp_path / "idx")
+    inverted_index.build_inverted_index(docs.where(F.col("doc_id") % 4 == 0), d)
+    for gen in (1, 2, 3):
+        inverted_index.append_to_inverted_index(
+            docs.where(F.col("doc_id") % 4 == gen), d
+        )
+    before = (
+        spark.read.parquet(f"{d}/doclens")
+        .drop("ingest_batch")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    conf = spark.conf
+    old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = conf.get("spark.sql.files.openCostInBytes")
+    try:
+        conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        conf.set("spark.sql.files.openCostInBytes", "65536")
+        stats = inverted_index.compact_postings(spark, d, target_file_bytes=1)
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        conf.set("spark.sql.files.openCostInBytes", old_open)
+    assert stats["doclens"]["files_in"] == 4
+    assert stats["doclens"]["files_out"] > 1
+    assert stats["doclens"]["bytes"] > 0
+    after = (
+        spark.read.parquet(f"{d}/doclens")
+        .drop("ingest_batch")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert before.equals(after)
