@@ -287,18 +287,35 @@ def read_parquet_retry(
             _time.sleep(min(initial_delay * (2**i), 1.0))
 
 
-def swap_live_dir(parent_dir: str, part: str) -> None:
+def swap_live_dir(
+    parent_dir: str,
+    part: str,
+    gc_grace_seconds: float = 600.0,
+    lock_stale_seconds: float = 3600.0,
+) -> None:
     """Promote `{parent_dir}/{part}.new` to `{parent_dir}/{part}`
     ATOMICALLY: the .new dir is renamed to a fresh versioned name
     `{part}.v<N>` and the live name becomes a SYMLINK flipped onto it
     with os.replace — one atomic rename on POSIX, so a concurrent reader
     never sees a missing live path (the old two-rename scheme had a
     reader-visible window). In-flight readers that already resolved the
-    previous version keep reading it: the immediately-previous version
-    dir is RETAINED for one swap cycle and GC'd on the next (a reader
-    must survive one concurrent refresh, not two — the read_parquet_retry
-    + realpath discipline in the serving paths pins the resolved
-    version for the query's lifetime).
+    previous version keep reading it (the read_parquet_retry + realpath
+    discipline in the serving paths pins the resolved version for the
+    query's lifetime): the immediately-previous version dir is ALWAYS
+    retained for one swap cycle, and every superseded version survives
+    until it is at least `gc_grace_seconds` old (dir mtime) — so a
+    query's version can only disappear if the query outlives the grace
+    period, however fast refreshes happen to cycle. Size the grace above
+    the store's longest expected query; 0 restores eager prev-only GC.
+
+    SINGLE-MAINTAINER CONTRACT, enforced: concurrent promoters of the
+    same part would race the version numbering, so the swap takes an
+    O_EXCL lockfile (`.{part}.swap.lock`) for its critical section and
+    raises RuntimeError if another maintainer holds it. A lock older
+    than `lock_stale_seconds` is treated as abandoned by a crashed
+    maintainer and broken. Writers producing `.new` are outside the
+    lock's scope — the contract there is unchanged (one writer per
+    part, quiesced ingest during maintenance).
 
     One-time migration: promoting over a legacy REAL live directory (a
     plain build write) first renames it to a version dir — that single
@@ -307,6 +324,7 @@ def swap_live_dir(parent_dir: str, part: str) -> None:
     import os as _os
     import re as _re
     import shutil as _shutil
+    import time as _time
     from pathlib import Path as _Path
 
     live, new = (_Path(f"{parent_dir}/{part}{s}") for s in ("", ".new"))
@@ -318,36 +336,71 @@ def swap_live_dir(parent_dir: str, part: str) -> None:
             f"{new} does not exist — nothing to promote; live dir untouched"
         )
     parent = _Path(parent_dir)
-    vpat = _re.compile(_re.escape(part) + r"\.v(\d+)$")
-    versions = {
-        int(m.group(1)): parent / d.name
-        for d in parent.iterdir()
-        if (m := vpat.match(d.name))
-    }
-    n = max(versions, default=0) + 1
-    prev_target: str | None = None
-    if live.is_symlink():
-        prev_target = _os.readlink(live)
-    elif live.exists():
-        # Legacy real dir: adopt it as a version so in-flight readers of
-        # its (unresolved) path lose it for the shortest possible time.
-        legacy = parent / f"{part}.v{n}"
-        live.rename(legacy)
-        versions[n] = legacy
-        prev_target = legacy.name
-        n += 1
-    vdir = parent / f"{part}.v{n}"
-    new.rename(vdir)
-    versions[n] = vdir
-    tmp = parent / f".{part}.ptr.tmp"
-    if tmp.is_symlink() or tmp.exists():
-        tmp.unlink()
-    _os.symlink(vdir.name, tmp)
-    _os.replace(tmp, live)  # atomic flip
-    # GC: keep the new version and the one the flip just replaced.
-    keep = {vdir.name, prev_target}
-    for v in versions.values():
-        if v.name not in keep:
+    lock = parent / f".{part}.swap.lock"
+
+    def _acquire() -> int:
+        return _os.open(str(lock), _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+
+    try:
+        fd = _acquire()
+    except FileExistsError:
+        try:
+            age = _time.time() - lock.stat().st_mtime
+        except FileNotFoundError:
+            age = float("inf")  # holder just released; retry below
+        if age <= lock_stale_seconds:
+            raise RuntimeError(
+                f"another maintainer holds {lock} (age {age:.0f}s) — "
+                f"swap_live_dir is single-maintainer per part; serialize "
+                f"compaction/refresh jobs for {part!r} or remove the lock "
+                f"if its owner crashed"
+            )
+        lock.unlink(missing_ok=True)
+        fd = _acquire()
+    _os.write(fd, f"{_os.getpid()}\n".encode())
+    _os.close(fd)
+    try:
+        vpat = _re.compile(_re.escape(part) + r"\.v(\d+)$")
+        versions = {
+            int(m.group(1)): parent / d.name
+            for d in parent.iterdir()
+            if (m := vpat.match(d.name))
+        }
+        n = max(versions, default=0) + 1
+        prev_target: str | None = None
+        if live.is_symlink():
+            prev_target = _os.readlink(live)
+        elif live.exists():
+            # Legacy real dir: adopt it as a version so in-flight readers
+            # of its (unresolved) path lose it for the shortest possible
+            # time.
+            legacy = parent / f"{part}.v{n}"
+            live.rename(legacy)
+            versions[n] = legacy
+            prev_target = legacy.name
+            n += 1
+        vdir = parent / f"{part}.v{n}"
+        new.rename(vdir)
+        versions[n] = vdir
+        tmp = parent / f".{part}.ptr.tmp"
+        if tmp.is_symlink() or tmp.exists():
+            tmp.unlink()
+        _os.symlink(vdir.name, tmp)
+        _os.replace(tmp, live)  # atomic flip
+        # GC: keep the new version, the one the flip just replaced, and
+        # anything still inside the in-flight-reader grace period.
+        keep = {vdir.name, prev_target}
+        now = _time.time()
+        for v in versions.values():
+            if v.name in keep:
+                continue
+            try:
+                if now - v.stat().st_mtime < gc_grace_seconds:
+                    continue
+            except FileNotFoundError:
+                continue
             _shutil.rmtree(v, ignore_errors=True)
-    # stale .bak from the pre-versioned scheme
-    _shutil.rmtree(parent / f"{part}.bak", ignore_errors=True)
+        # stale .bak from the pre-versioned scheme
+        _shutil.rmtree(parent / f"{part}.bak", ignore_errors=True)
+    finally:
+        lock.unlink(missing_ok=True)

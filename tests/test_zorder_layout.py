@@ -218,7 +218,7 @@ def test_swap_live_dir_versioned_pointer_flip(tmp_path):
     for v in (1, 2, 3):
         (tmp_path / "part.new").mkdir()
         (tmp_path / "part.new" / "f").write_text(f"v{v}")
-        swap_live_dir(str(tmp_path), "part")
+        swap_live_dir(str(tmp_path), "part", gc_grace_seconds=0)
         assert (tmp_path / "part" / "f").read_text() == f"v{v}"
     live = tmp_path / "part"
     assert live.is_symlink()
@@ -251,3 +251,71 @@ def test_swap_live_dir_adopts_legacy_real_dir(tmp_path):
         p for p in tmp_path.glob("part.v*") if (p / "f").read_text() == "legacy"
     ]
     assert len(legacy_kept) == 1
+
+
+def test_swap_live_dir_grace_retains_recent_versions(tmp_path):
+    """A query that resolved version N must survive MULTIPLE concurrent
+    refresh cycles, not just one: superseded versions younger than
+    gc_grace_seconds are retained (ADVICE r8 — read_parquet_retry pins a
+    version by path, so eager prev-only GC could rmtree a long query's
+    version mid-scan when refreshes cycle fast). Aging a version past
+    the grace makes it eligible again."""
+    import os
+    import time
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        swap_live_dir,
+    )
+
+    for v in (1, 2, 3, 4):
+        (tmp_path / "part.new").mkdir()
+        (tmp_path / "part.new" / "f").write_text(f"v{v}")
+        swap_live_dir(str(tmp_path), "part", gc_grace_seconds=600)
+    versions = sorted(p.name for p in tmp_path.glob("part.v*"))
+    # all four survive: every superseded version is still inside grace
+    assert versions == ["part.v1", "part.v2", "part.v3", "part.v4"]
+    # age v1 and v2 beyond the grace; the next swap GCs exactly them
+    old = time.time() - 10_000
+    for name in ("part.v1", "part.v2"):
+        os.utime(tmp_path / name, (old, old))
+    (tmp_path / "part.new").mkdir()
+    (tmp_path / "part.new" / "f").write_text("v5")
+    swap_live_dir(str(tmp_path), "part", gc_grace_seconds=600)
+    versions = sorted(p.name for p in tmp_path.glob("part.v*"))
+    assert versions == ["part.v3", "part.v4", "part.v5"]
+    # ...but the immediately-previous version is retained even when aged
+    os.utime(tmp_path / "part.v5", (old, old))
+    (tmp_path / "part.new").mkdir()
+    (tmp_path / "part.new" / "f").write_text("v6")
+    swap_live_dir(str(tmp_path), "part", gc_grace_seconds=600)
+    assert (tmp_path / "part.v5" / "f").read_text() == "v5"
+
+
+def test_swap_live_dir_single_maintainer_lock(tmp_path):
+    """Concurrent maintainers of the same part are an error, not a race:
+    a held lock makes swap_live_dir raise loudly (VERDICT r8 ask #6),
+    the .new dir is left intact for the retry, and a crashed
+    maintainer's stale lock is broken after lock_stale_seconds."""
+    import os
+    import time
+
+    import pytest
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        swap_live_dir,
+    )
+
+    (tmp_path / "part.new").mkdir()
+    (tmp_path / "part.new" / "f").write_text("v1")
+    lock = tmp_path / ".part.swap.lock"
+    lock.write_text("12345\n")
+    with pytest.raises(RuntimeError, match="single-maintainer"):
+        swap_live_dir(str(tmp_path), "part")
+    assert (tmp_path / "part.new" / "f").read_text() == "v1"
+    assert not (tmp_path / "part").exists()
+    # stale lock (crashed maintainer): broken, swap proceeds, lock freed
+    old = time.time() - 10_000
+    os.utime(lock, (old, old))
+    swap_live_dir(str(tmp_path), "part")
+    assert (tmp_path / "part" / "f").read_text() == "v1"
+    assert not lock.exists()
