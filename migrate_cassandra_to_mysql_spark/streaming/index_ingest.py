@@ -31,7 +31,14 @@ structures'. Streaming ids are offset by +1 to keep micro-batch 0's
 dynamic overwrite from clobbering the batch layer. Legacy indexes built
 before the uniform layout (bare part-files directly under bucket=N /
 cell=N) are detected at stream start and rejected with a migration hint
-instead of failing partition discovery at the NEXT read.
+instead of failing partition discovery at the NEXT read. The offset
+change itself has a one-time upgrade window for indexes STREAMED under
+the old B-as-is mapping: a replayed uncommitted batch B would land at
+B+1 beside its old-mapping ingest_batch=B files and duplicate every
+posting after compaction. New-mapping streams drop an
+`_ingest_offset_v2` marker at start; resuming a marker-less checkpoint
+with committed batches is rejected with the drain-compact-mark
+migration recipe (_check_batch_id_offset_upgrade).
 
 Maintenance composes: compact_postings / compact_codes (the operators'
 own compactors) merge each partition's accumulated ingest_batch layers
@@ -89,6 +96,46 @@ def _validate_ingest_layout(layer_dir: str) -> None:
             )
 
 
+def _check_batch_id_offset_upgrade(
+    checkpoint_dir: str, index_dir: str
+) -> None:
+    """Guard the one-time upgrade window of the batch-id offset change
+    (ingest_batch=B -> B+1): an index STREAMED under the old mapping
+    that resumes under the new one would replay an uncommitted batch B
+    into ingest_batch=B+1 while the crashed write's ingest_batch=B files
+    remain — compaction then merges (not dedups) both copies.
+
+    New-mapping streams drop an `_ingest_offset_v2` marker in index_dir
+    at start. A pre-existing checkpoint with committed batches but no
+    marker can only mean old-mapping writes: reject with the migration
+    recipe instead of silently duplicating. Fresh indexes (no committed
+    batches) just get the marker."""
+    import glob
+    import os
+
+    marker = f"{index_dir}/_ingest_offset_v2"
+    committed = [
+        p
+        for p in glob.glob(f"{checkpoint_dir}/commits/*")
+        if os.path.basename(p).isdigit()
+    ]
+    if committed and not os.path.exists(marker):
+        raise ValueError(
+            f"{index_dir} was streamed under the pre-offset batch-id "
+            "mapping (micro-batch B wrote ingest_batch=B; it now writes "
+            "B+1), and resuming would duplicate any replayed batch. "
+            "Migrate once: (1) confirm the previous run drained fully "
+            f"(every offset in {checkpoint_dir}/offsets has a matching "
+            "commit — if not, delete the uncommitted batch's "
+            "ingest_batch partitions first), (2) run compact_postings / "
+            "compact_codes to collapse ingest_batch=* into 0, then "
+            f"(3) create the marker file {marker} and restart."
+        )
+    os.makedirs(index_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write("ingest_batch = micro-batch id + 1\n")
+
+
 def stream_docs_into_inverted_index(
     spark: SparkSession,
     source_dir: str,
@@ -110,6 +157,7 @@ def stream_docs_into_inverted_index(
     ONCE after the drain — O(index), not O(batches)."""
     for layer in ("postings", "doclens"):
         _validate_ingest_layout(f"{index_dir}/{layer}")
+    _check_batch_id_offset_upgrade(checkpoint_dir, index_dir)
     processed: list[int] = []
 
     def handle(df: DataFrame, batch_id: int) -> None:
@@ -153,6 +201,7 @@ def stream_vectors_into_ivfpq_index(
     from migrate_cassandra_to_mysql_spark.operators import similarity as sim
 
     _validate_ingest_layout(f"{index_dir}/codes")
+    _check_batch_id_offset_upgrade(checkpoint_dir, index_dir)
     cell_centroids, centers = ivf_index.load_ivfpq_codebooks(
         spark, index_dir
     )

@@ -275,3 +275,40 @@ class TestVectorIngest:
             )
         )
         assert before == after
+
+
+def test_batch_id_offset_upgrade_guard(tmp_path, streamed):
+    """The one-time upgrade window of the B -> B+1 batch-id offset
+    (ADVICE r8): resuming a checkpoint that has committed batches
+    against an index WITHOUT the new-mapping marker means the index was
+    streamed under the old mapping — a replayed batch would duplicate
+    its old files. The guard raises the migration recipe; fresh indexes
+    and marked indexes pass and (re)gain the marker."""
+    from migrate_cassandra_to_mysql_spark.streaming.index_ingest import (
+        _check_batch_id_offset_upgrade,
+    )
+
+    # a real streamed index carries the marker after its drains
+    assert glob.glob(f"{streamed['idx']}/_ingest_offset_v2")
+
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    # fresh index, no committed batches: passes, writes the marker
+    _check_batch_id_offset_upgrade(ckpt, idx)
+    import os
+
+    marker = f"{idx}/_ingest_offset_v2"
+    assert os.path.exists(marker)
+    # committed batches + marker: a normal new-mapping resume, passes
+    os.makedirs(f"{ckpt}/commits", exist_ok=True)
+    open(f"{ckpt}/commits/0", "w").close()
+    _check_batch_id_offset_upgrade(ckpt, idx)
+    # committed batches + NO marker: old-mapping index, rejected loudly
+    os.unlink(marker)
+    with pytest.raises(ValueError, match="pre-offset"):
+        _check_batch_id_offset_upgrade(ckpt, idx)
+    # non-batch files in commits/ (e.g. .tmp) don't count as commits
+    os.unlink(f"{ckpt}/commits/0")
+    open(f"{ckpt}/commits/.0.tmp", "w").close()
+    _check_batch_id_offset_upgrade(ckpt, idx)
+    assert os.path.exists(marker)
