@@ -158,6 +158,43 @@ def _closed_partition_watermark(store_dir: str) -> str | None:
     return max((_ts_key(v) for v in vals), default=None)
 
 
+def _checkpoint_has_uncommitted(checkpoint_dir: str) -> bool:
+    """True iff the stream checkpoint recorded an offset batch with no
+    matching commit — i.e. the next start() will REPLAY a batch."""
+
+    def _ids(sub: str) -> set[int]:
+        d = os.path.join(checkpoint_dir, sub)
+        if not os.path.isdir(d):
+            return set()
+        return {int(n) for n in os.listdir(d) if n.isdigit()}
+
+    return bool(_ids("offsets") - _ids("commits"))
+
+
+def _seed_meta_from_closed(store_dir: str, checkpoint_dir: str) -> None:
+    """One-time upgrade for stores written BEFORE the meta layer: if the
+    last pre-meta generation was deletion-only, the current-derived
+    watermark sits below it (deletions add no current rows), so a late
+    older generation could still re-fold and resurrect deleted keys
+    (ADVICE r8). The closed layer's __vto partition names DO record that
+    generation (it closed the deleted rows), so seed meta/watermark.txt
+    from them — but ONLY when meta/inflight.json is absent AND the
+    checkpoint has no batch to replay: inside a torn crash window the
+    in-doubt generation's closed partition exists while current/ is
+    stale, and seeding would skip the refold current/ needs. A store
+    with any meta record already made this decision with full
+    information and is left alone."""
+    if _read_meta_watermark(store_dir) is not None:
+        return
+    if os.path.exists(_inflight_path(store_dir)):
+        return
+    if _checkpoint_has_uncommitted(checkpoint_dir):
+        return
+    wm = _closed_partition_watermark(store_dir)
+    if wm is not None:
+        _advance_meta_watermark(store_dir, wm)
+
+
 def applied_watermark(spark: SparkSession, store_dir: str) -> str | None:
     """The store's applied-generation high-water mark: max of the durable
     meta record and the current-slice-derived mark (see module
@@ -208,6 +245,7 @@ def stream_scd2_fold(
     sized (generations, not rows). The first batch ever bootstraps the
     store with scd2_init on its earliest generation. Returns
     [(batch_id, [generations actually applied]), ...] for this run."""
+    _seed_meta_from_closed(store_dir, checkpoint_dir)
     processed: list[tuple[int, list[str]]] = []
 
     def handle(df: DataFrame, batch_id: int) -> None:

@@ -330,3 +330,84 @@ def test_applied_watermark_guards_empty_and_missing_layers(spark, tmp_path):
     g2.coalesce(1).write.mode("append").parquet(src)
     runs = stream_scd2_fold(spark, src, ckpt, st, ["k"], ["city", "tier"])
     assert runs == [(0, [G2])]
+
+
+def test_pre_meta_store_seeds_watermark_from_closed(spark, tmp_path):
+    """One-time upgrade for stores written before the meta layer
+    (ADVICE r8): after a deletion-only generation, such a store has no
+    durable watermark and its current-derived mark sits below the
+    deletion — a late older generation would resurrect the deleted key.
+    Stream start must seed meta from the closed layer's __vto partition
+    names (which DO record the deletion generation) when there is no
+    inflight record and no batch to replay."""
+    import shutil
+
+    src, ckpt, st = (str(tmp_path / p) for p in ("src", "ckpt", "st"))
+    g1 = spark.createDataFrame(
+        [(G1, 1, "rome", "a"), (G1, 2, "oslo", "b")],
+        "snapshot_date string, k long, city string, tier string",
+    )
+    g2 = spark.createDataFrame(
+        [(G2, 1, "rome", "a")],
+        "snapshot_date string, k long, city string, tier string",
+    )
+    g1.coalesce(1).write.mode("append").parquet(src)
+    stream_scd2_fold(spark, src, ckpt, st, ["k"], ["city", "tier"])
+    g2.coalesce(1).write.mode("append").parquet(src)
+    stream_scd2_fold(spark, src, ckpt, st, ["k"], ["city", "tier"])
+    after_delete = _rows(load_scd2_store(spark, st))
+    # simulate a store written before the meta layer existed
+    shutil.rmtree(f"{st}/meta")
+    g15 = spark.createDataFrame(
+        [(G15, 1, "rome", "a"), (G15, 2, "oslo", "b")],
+        "snapshot_date string, k long, city string, tier string",
+    )
+    g15.coalesce(1).write.mode("append").parquet(src)
+    runs = stream_scd2_fold(spark, src, ckpt, st, ["k"], ["city", "tier"])
+    assert len(runs) == 1 and runs[0][1] == []
+    assert _rows(load_scd2_store(spark, st)) == after_delete
+    from migrate_cassandra_to_mysql_spark.streaming.scd2_stream import (
+        _read_meta_watermark,
+        _ts_key,
+    )
+
+    assert _ts_key(_read_meta_watermark(st)) >= _ts_key(G2)
+
+
+def test_meta_seeding_declines_inside_crash_or_replay_windows(tmp_path):
+    """_seed_meta_from_closed must NOT seed when the evidence is
+    ambiguous: an inflight record or an uncommitted checkpoint batch
+    means the newest closed partition may be a torn write whose refold
+    current/ still needs — seeding would skip it."""
+    import json
+
+    from migrate_cassandra_to_mysql_spark.streaming.scd2_stream import (
+        _read_meta_watermark,
+        _seed_meta_from_closed,
+        _ts_key,
+    )
+
+    st, ckpt = str(tmp_path / "st"), str(tmp_path / "ckpt")
+    os.makedirs(f"{st}/closed/__vto={G2.replace(' ', '%20')}")
+    # uncommitted batch in the checkpoint: decline
+    os.makedirs(f"{ckpt}/offsets")
+    os.makedirs(f"{ckpt}/commits")
+    open(f"{ckpt}/offsets/0", "w").close()
+    _seed_meta_from_closed(st, ckpt)
+    assert _read_meta_watermark(st) is None
+    # committed checkpoint but an inflight record: decline
+    open(f"{ckpt}/commits/0", "w").close()
+    os.makedirs(f"{st}/meta", exist_ok=True)
+    with open(f"{st}/meta/inflight.json", "w") as f:
+        json.dump({"gens": [G2]}, f)
+    _seed_meta_from_closed(st, ckpt)
+    assert _read_meta_watermark(st) is None
+    # clean state: seeds from the closed partition names
+    os.unlink(f"{st}/meta/inflight.json")
+    _seed_meta_from_closed(st, ckpt)
+    assert _ts_key(_read_meta_watermark(st)) == _ts_key(G2)
+    # an existing meta record is never overwritten by seeding
+    with open(f"{st}/meta/watermark.txt", "w") as f:
+        f.write(G3)
+    _seed_meta_from_closed(st, ckpt)
+    assert _read_meta_watermark(st) == G3
