@@ -568,3 +568,61 @@ def simhash_band_candidates(
         .where(F.col("hamming") <= max_hamming)
         .drop("sa", "sb")
     )
+
+
+def dup_ngram_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplication map (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", §3 EXACTSUBSTR re-shaped
+    for DataFrames): every maximal per-document token span whose
+    k-grams all occur in >= min_docs distinct documents. Document-level
+    dedup (Jaccard/MinHash above) misses partially-copied boilerplate —
+    the spans this emits are the cut list for substring-level cleaning:
+    (doc_id, span_start, span_end, span_tokens, n_grams), token
+    positions 0-based, span_end exclusive.
+
+    Scale shape (100 TB): k-gram keys shuffle as 16-byte md5 digests,
+    never the text; corpus-frequent grams come from one partial-agg
+    count-distinct; membership is a shuffled LEFT SEMI join on the
+    digest (a boilerplate gram hot in millions of docs is ONE key on
+    the build side — the probe stays per-position); span merging is the
+    classic gaps-and-islands window, per-doc partitions, and Catalyst
+    reuses the window's doc_id exchange for the final groupBy. Nothing
+    is ever all-pairs.
+    """
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size(toks) >= {k} THEN "
+                f"transform(sequence(0, size(toks) - {k}), i -> "
+                f" struct(i AS pos, md5(concat_ws(' ', slice(toks, i + 1, {k})))"
+                f"        AS gh))"
+                f" ELSE array() END"
+            ).alias("pg"),
+        )
+        .select("doc_id", F.explode("pg").alias("p"))
+        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.gh").alias("gh"))
+    )
+    frequent = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    hits = grams.join(frequent, "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + k).cast("long").alias("span_end"),
+        (F.max("pos") + k - F.min("pos")).cast("long").alias("span_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+    ).drop("grp")

@@ -156,8 +156,12 @@ PRIORITY: list[str] = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     # r7 in: showcase / shape rows; r9 in: json_struct_extract,
-    # parts_catalog_profile, price_histogram, deterministic_sample
-    "pivot_status_by_year",
+    # parts_catalog_profile, price_histogram, deterministic_sample.
+    # r9 (mid-round): pivot_status_by_year out on its green r7+r8 rows
+    # (events_grouping_sets keeps the reshaping family) to admit the
+    # r9-NEW substring-level dedup — new ops earn their driver row in
+    # their own round:
+    "dup_ngram_spans",
     "json_struct_extract",
     "parts_catalog_profile",
     "price_histogram",

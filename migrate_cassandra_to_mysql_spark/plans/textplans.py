@@ -1631,3 +1631,48 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
     )
 
+
+
+@register(
+    "dup_ngram_spans",
+    oracle=f"""
+WITH base AS ({_INJECT_SQL}),
+ t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM base),
+ g AS (SELECT doc_id,
+              unnest(CASE WHEN len(toks) >= 5
+                          THEN range(0, len(toks) - 4) ELSE [] END) AS pos,
+              unnest(CASE WHEN len(toks) >= 5 THEN
+                list_transform(range(0, len(toks) - 4),
+                  i -> md5(array_to_string(toks[i+1:i+5], ' ')))
+              ELSE [] END) AS gh
+       FROM t),
+ f AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+ hits AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gh)),
+ isl AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS grp
+         FROM hits)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 5 AS BIGINT) AS span_end,
+       CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl
+GROUP BY doc_id, grp
+""",
+)
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication map (new r9): maximal per-document
+    token spans whose 5-grams all recur in >= 2 distinct documents —
+    the EXACTSUBSTR cut list of Lee et al. 2022, which document-level
+    Jaccard/MinHash dedup cannot produce for partially-copied
+    boilerplate. Runs over the same injected-duplicates base as the
+    Jaccard rows so the span signal is guaranteed at every SF.
+    Scale shape: md5-digest gram keys (16 bytes on the wire, never
+    text), one partial-agg count-distinct for corpus-frequent grams, a
+    LEFT SEMI membership join (hot boilerplate grams are single build
+    keys, no pair blowup), then gaps-and-islands span merging whose
+    doc_id window exchange Catalyst reuses for the final groupBy
+    (operators/dedup.dup_ngram_spans)."""
+    base = _inject_dups_spark(T(spark, sf_dir, "documents", spread=True))
+    return dedup.dup_ngram_spans(base, k=5, min_docs=2)

@@ -192,3 +192,34 @@ def test_simhash_band_candidates_rejects_bad_bands(spark, sf_dir):
         simhash_band_candidates(
             T(spark, sf_dir, "documents"), n_bands=5
         )
+
+
+def test_dup_ngram_spans_merges_islands_exactly(spark):
+    """Hand-built corpus pinning the substring-dedup semantics: shared
+    6-token runs yield two frequent 5-gram positions that merge into ONE
+    maximal span per doc; a doc containing two disjoint shared runs
+    yields two separate spans; a doc with no corpus-frequent grams
+    yields nothing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x x a b c d e f y y"),
+            (3, "p q r s t u"),
+            (5, "a b c d e f Z p q r s t u"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]): (
+            r["span_tokens"],
+            r["n_grams"],
+        )
+        for r in dedup.dup_ngram_spans(docs, k=5, min_docs=2).collect()
+    }
+    assert got == {
+        (1, 0, 6): (6, 2),   # "a b c d e f" shared with docs 2 and 5
+        (2, 2, 8): (6, 2),
+        (3, 0, 6): (6, 2),   # "p q r s t u" shared with doc 5
+        (5, 0, 6): (6, 2),   # doc 5: two DISJOINT shared runs ->
+        (5, 7, 13): (6, 2),  # two separate spans, not one
+    }
