@@ -409,3 +409,51 @@ def ivf_search(
         cand.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
     )
+
+
+def ivfpq_search_rerank(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    shortlist: int = 20,
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """The full production serving composition over the PERSISTED index:
+    ADC shortlist from the on-disk codes (probe-pruned, m bytes per
+    candidate — ivfpq_search above) + exact-cosine re-rank of only the
+    shortlisted candidates' full vectors from `corpus`. This is the
+    persisted twin of similarity.ivfpq_rerank_topk (equality pinned by
+    test) and the end-to-end recall rung the clustered fixture measures
+    at 0.94 with the trained-residual serving default.
+
+    Scale shape: the shortlist (queries x shortlist rows) BROADCASTS
+    against the corpus scan for the vector fetch — the corpus never
+    shuffles, and at 100 TB the fetch reads only the rows a Bloom/DPP
+    filter on vec_id admits; the final exact top-k windows over
+    queries x shortlist rows. The corpus stays a caller-supplied frame
+    because the index stores codes only — 64x smaller than vectors,
+    which is the point of the layout."""
+    from migrate_cassandra_to_mysql_spark.functions.vectors import cosine as _cos
+
+    short = ivfpq_search(
+        spark, index_dir, queries, k=shortlist, n_probe=n_probe
+    ).select("q_id", "n_id")
+    vecs = corpus.select(
+        F.col("vec_id").alias("n_id"),
+        F.col(embedding_col).cast("array<double>").alias("nv"),
+    )
+    fetched = F.broadcast(short).join(vecs, "n_id")
+    scored = fetched.join(
+        F.broadcast(queries.select("q_id", "qv")), "q_id"
+    ).select(
+        "q_id",
+        "n_id",
+        F.round(_cos(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).where(F.col("rnk") <= k)

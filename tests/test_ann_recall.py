@@ -374,3 +374,16 @@ def test_persisted_index_serving_default_is_trained_residual(
     )
     assert r_default >= 0.45, r_default
     assert r_default > r_fk, (r_fk, r_default)
+    # ...and the full serving composition (persisted ADC shortlist +
+    # exact re-rank against the corpus) recovers near-exact recall over
+    # the default-built index — the ladder's measured 0.94 rung, now
+    # pinned THROUGH the persisted layout
+    r_rerank = _recall_vs(
+        ivf_index.ivfpq_search_rerank(
+            spark, d_default, q, corpus=clustered, k=_K, n_probe=2,
+            shortlist=30,
+        ).collect(),
+        clustered_exact,
+    )
+    assert r_rerank >= 0.85, r_rerank
+    assert r_rerank > r_default, (r_default, r_rerank)

@@ -316,3 +316,33 @@ def test_persisted_residual_index_matches_inline(spark):
     )
     assert got == want
     emb.unpersist()
+
+
+def test_persisted_rerank_equals_inline_composition(spark, sf_dir, ivfpq_dir):
+    """Served shortlist+re-rank == the inline ivfpq_rerank_topk operator
+    row for row (same codebooks, same queries, same shortlist) — the
+    full serving composition must be persistence-free in semantics."""
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        ivfpq_rerank_topk,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    got = sorted(
+        (r["q_id"], r["n_id"], r["cos_sim"], r["rnk"])
+        for r in ivf_index.ivfpq_search_rerank(
+            spark,
+            ivfpq_dir,
+            _queries(spark, sf_dir),
+            corpus=emb,
+            k=3,
+            n_probe=2,
+            shortlist=20,
+        ).collect()
+    )
+    want = sorted(
+        (r["q_id"], r["n_id"], r["cos_sim"], r["rnk"])
+        for r in ivfpq_rerank_topk(
+            emb, query_mod=100, k=3, n_probe=2, shortlist=20
+        ).collect()
+    )
+    assert got == want
