@@ -578,8 +578,10 @@ def dup_ngram_spans(
 ) -> DataFrame:
     """Substring-level duplication map (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better", §3 EXACTSUBSTR re-shaped
-    for DataFrames): every maximal per-document token span whose
-    k-grams all occur in >= min_docs distinct documents. Document-level
+    for DataFrames): maximal NON-overlapping per-document token spans
+    covered by k-grams that occur in >= min_docs distinct documents
+    (positions whose k-token windows overlap or touch merge into one
+    span). Document-level
     dedup (Jaccard/MinHash above) misses partially-copied boilerplate —
     the spans this emits are the cut list for substring-level cleaning:
     (doc_id, span_start, span_end, span_tokens, n_grams), token
@@ -618,8 +620,24 @@ def dup_ngram_spans(
         .select("gh")
     )
     hits = grams.join(frequent, "gh", "left_semi")
+    # Island rule: two frequent positions p < q belong to one span iff
+    # their k-token windows overlap or touch (q - p <= k) — the emitted
+    # spans are maximal NON-overlapping token ranges, the contract a cut
+    # list needs (strictly-consecutive-only merging would emit
+    # overlapping spans for frequent grams 2..k-1 positions apart and a
+    # naive consumer would double-cut the overlap).
     w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    isl = hits.withColumn(
+        "new_run",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "grp",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
     return isl.groupBy("doc_id", "grp").agg(
         F.min("pos").cast("long").alias("span_start"),
         (F.max("pos") + k).cast("long").alias("span_end"),

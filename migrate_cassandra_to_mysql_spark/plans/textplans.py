@@ -1648,10 +1648,15 @@ WITH base AS ({_INJECT_SQL}),
        FROM t),
  f AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
  hits AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gh)),
+ lagged AS (SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER
+                          (PARTITION BY doc_id ORDER BY pos) <= 5
+                        THEN 0 ELSE 1 END AS new_run
+            FROM hits),
  isl AS (SELECT doc_id, pos,
-                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                  AS grp
-         FROM hits)
+                sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+         FROM lagged)
 SELECT doc_id,
        CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + 5 AS BIGINT) AS span_end,

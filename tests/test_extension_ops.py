@@ -198,14 +198,22 @@ def test_dup_ngram_spans_merges_islands_exactly(spark):
     """Hand-built corpus pinning the substring-dedup semantics: shared
     6-token runs yield two frequent 5-gram positions that merge into ONE
     maximal span per doc; a doc containing two disjoint shared runs
-    yields two separate spans; a doc with no corpus-frequent grams
-    yields nothing."""
+    yields two separate spans; frequent positions 2..k-1 apart (whose
+    token windows OVERLAP) merge into one non-overlapping span even
+    though the gram between them is not frequent; a doc with no
+    corpus-frequent grams yields nothing."""
     docs = spark.createDataFrame(
         [
             (1, "a b c d e f g h"),
             (2, "x x a b c d e f y y"),
             (3, "p q r s t u"),
             (5, "a b c d e f Z p q r s t u"),
+            # overlap-merge trio: doc 9's pos 0 ("m n o p q", shared
+            # with 7) and pos 2 ("o p q r s", shared with 8) have
+            # overlapping token windows; pos 1 is unique to doc 9
+            (7, "m n o p q z z"),
+            (8, "z o p q r s z"),
+            (9, "m n o p q r s"),
         ],
         "doc_id long, text string",
     )
@@ -222,4 +230,7 @@ def test_dup_ngram_spans_merges_islands_exactly(spark):
         (3, 0, 6): (6, 2),   # "p q r s t u" shared with doc 5
         (5, 0, 6): (6, 2),   # doc 5: two DISJOINT shared runs ->
         (5, 7, 13): (6, 2),  # two separate spans, not one
+        (7, 0, 5): (5, 1),
+        (8, 1, 6): (5, 1),
+        (9, 0, 7): (7, 2),   # overlapping windows -> ONE merged span
     }

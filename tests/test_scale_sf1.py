@@ -247,3 +247,32 @@ def test_streamed_scd2_store_at_sf1(spark, sf1_dir, tmp_path_factory):
     )
     assert streamed.exceptAll(batch).isEmpty()
     assert batch.exceptAll(streamed).isEmpty()
+
+
+def test_dup_ngram_spans_completes_at_sf1(spark, sf1_dir):
+    """Substring-level dedup at 10x corpus: the gram stream shuffles as
+    md5 digests, the frequent-gram build is a partial-agg
+    count-distinct, and membership is a semi-join — none of which may
+    buffer per-gram text or collect anything driver-side. Completion
+    plus structural invariants: spans are non-overlapping and
+    non-touching per doc (that is the island rule), every span is at
+    least k tokens, and n_grams fits inside the span."""
+    from pyspark.sql import Window as W
+
+    df = catalog.queries()["dup_ngram_spans"](spark, sf1_dir)
+    df.write.format("noop").mode("overwrite").save()
+    n = df.count()
+    assert n > 0
+    assert df.where(F.col("span_tokens") != F.col("span_end") - F.col("span_start")).count() == 0
+    assert df.where(F.col("span_tokens") < 5).count() == 0
+    assert df.where(
+        (F.col("n_grams") < 1)
+        | (F.col("n_grams") > F.col("span_tokens") - 4)
+    ).count() == 0
+    w = W.partitionBy("doc_id").orderBy("span_start")
+    overlapping = (
+        df.withColumn("nxt", F.lead("span_start").over(w))
+        .where(F.col("nxt") <= F.col("span_end"))
+        .count()
+    )
+    assert overlapping == 0
