@@ -206,7 +206,11 @@ PRIORITY: list[str] = [
     # r7: embedding_near_dup out on its green r2-r6 rows to admit the
     # r7-new serving composition (ADC shortlist + exact re-rank) — new
     # ops earn their driver row in their own round:
-    "embedding_rerank_topk",
+    # r9 (mid-round): embedding_rerank_topk out on its green r7+r8 rows
+    # for its r9-NEW persisted twin — the same oracle and semantics but
+    # end-to-end through the on-disk index (shortlist from persisted
+    # codes + corpus fetch), strictly more serving coverage:
+    "ivfpq_persisted_rerank_topk",
     # r9 in: the residual-ADC generalization takes embedding_ivfpq_topk's
     # slot (its oracle replays the per-cell residual ADC in SQL):
     "embedding_ivfpq_residual_topk",

@@ -810,3 +810,44 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(signed).cast("double") / F.lit(1e9)).alias("proj")
         )
     )
+
+
+@register("ivfpq_persisted_rerank_topk", oracle=_rerank_oracle())
+def ivfpq_persisted_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index form of embedding_rerank_topk (same oracle —
+    the served composition must be semantics-preserving, new r9): the
+    ADC shortlist comes from the ON-DISK codes (probed cells only, via
+    parquet PartitionFilters), and only the shortlisted candidates'
+    full vectors are fetched from the corpus for the exact-cosine
+    re-rank (operators/ivf_index.ivfpq_search_rerank). This is the
+    complete 100 TB serving path end to end: compressed probe-pruned
+    index read -> broadcastable shortlist -> corpus fetch that never
+    shuffles the corpus -> queries x shortlist top-k window. Shares the
+    memoized index build with ivfpq_persisted_topk (one build serves
+    both rows, as in production)."""
+    from migrate_cassandra_to_mysql_spark.operators import ivf_index
+    from migrate_cassandra_to_mysql_spark.plans._work import memo, workdir
+
+    emb = T(spark, sf_dir, "embeddings")
+    cells = memo(
+        ("ivfpq_cells", sf_dir),
+        lambda: similarity.first_k_cell_centroids(emb, 4),
+    )
+    centers = memo(
+        ("pq_centers", sf_dir),
+        lambda: similarity.first_k_pq_centers(emb, 4, 4),
+    )
+
+    def _build() -> str:
+        d = workdir("mc2m_ivfpq_")
+        ivf_index.build_ivfpq_index(emb, d, cells, centers)
+        return d
+
+    index_dir = memo(("ivfpq_index", sf_dir), _build)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return ivf_index.ivfpq_search_rerank(
+        spark, index_dir, queries, corpus=emb, k=3, n_probe=2, shortlist=20
+    )
