@@ -276,3 +276,40 @@ def test_dup_ngram_spans_completes_at_sf1(spark, sf1_dir):
         .count()
     )
     assert overlapping == 0
+
+
+def test_persisted_ivfpq_default_build_and_rerank_at_sf1(
+    spark, sf1_dir, tmp_path_factory
+):
+    """The r9 serving default, end to end at 10x corpus: build the
+    persisted IVFADC index with NO caller codebooks (k-means cells +
+    residual-trained PQ — the train-once cost a 100 TB deployment pays
+    exactly once), then serve both the code-only search and the full
+    shortlist+exact-re-rank composition from it. Completion under
+    default driver memory + rank-contiguous output per query IS the
+    assertion; the corpus side of the re-rank must never shuffle (the
+    shortlist broadcasts), or the fetch would blow the budget the
+    other sf1 plans establish."""
+    from migrate_cassandra_to_mysql_spark.operators import ivf_index
+
+    emb = spark.read.parquet(f"{sf1_dir}/embeddings.parquet")
+    src_n = T(spark, _SRC_SF, "embeddings").count()
+    d = str(tmp_path_factory.mktemp("sf1_ivfpq"))
+    ivf_index.build_ivfpq_index(emb, d, n_cells=4, m=4, n_centers=4)
+    assert ivf_index.load_ivfpq_residual_flag(spark, d) is True
+    queries = emb.where(F.col("vec_id") % src_n == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    rows = ivf_index.ivfpq_search_rerank(
+        spark, d, queries, corpus=emb, k=3, n_probe=2, shortlist=20
+    ).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert len(per_q) >= 2
+    for q, rs in per_q.items():
+        assert sorted(r["rnk"] for r in rs) == list(range(1, len(rs) + 1))
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert sims == sorted(sims, reverse=True), q
