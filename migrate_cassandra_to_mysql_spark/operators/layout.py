@@ -263,8 +263,11 @@ def read_parquet_retry(
     versioned dir BEFORE handing the path to Spark means the file
     listing, the plan, and the execution all address one immutable
     version: a refresh that flips the pointer mid-query cannot invalidate
-    this query's already-listed files (the previous version is retained
-    for one swap cycle). The retry covers the two remaining windows — a
+    this query's already-listed files (the previous version is always
+    retained one swap cycle, and every superseded version survives until
+    it is gc_grace_seconds old — so the pinned version only disappears
+    if the query outlives the grace, regardless of how fast refreshes
+    cycle). The retry covers the two remaining windows — a
     legacy real-dir migration's one-time rename, and an index that is
     mid-first-build. Retries ONLY path-not-found (any other analysis
     error re-raises immediately) with exponential backoff; the last
