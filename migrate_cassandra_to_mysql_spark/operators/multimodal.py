@@ -192,3 +192,148 @@ def decode_assets(df_with_payload: DataFrame) -> DataFrame:
             )
 
     return df_with_payload.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def _parse_header(payload: bytes) -> tuple[str, int | None, int | None, bytes]:
+    """(format, width, height, body) via the same sniffing rules as
+    _decode_bytes; 'unknown' + full payload as body for anything else."""
+    if (
+        len(payload) >= 24
+        and payload[:8] == _PNG_SIG
+        and payload[12:16] == b"IHDR"
+    ):
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", w, h, payload[PNG_HEADER_LEN:]
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 9 <= len(payload) and payload[pos] == 0xFF:
+            marker = payload[pos + 1]
+            seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+            if 0xC0 <= marker <= 0xC3:
+                h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                return "jpeg", w, h, payload[pos + 2 + seg_len :]
+            pos += 2 + seg_len
+    return "unknown", None, None, payload
+
+
+def _png_header_bytes(width: int, height: int) -> bytes:
+    import zlib
+
+    ihdr = b"IHDR" + struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    return (
+        _PNG_SIG
+        + struct.pack(">I", 13)
+        + ihdr
+        + struct.pack(">I", zlib.crc32(ihdr) & 0xFFFFFFFF)
+    )
+
+
+def _jpeg_header_bytes(width: int, height: int) -> bytes:
+    return (
+        b"\xff\xd8\xff\xc0\x00\x11\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, payload binary"
+)
+
+
+def resize_assets(
+    df_with_payload: DataFrame, target_width: int, target_height: int
+) -> DataFrame:
+    """Arrow-batched resize over the binary asset column: parse the
+    container header, emit a new VALID header (CRC-correct PNG IHDR /
+    SOF0) carrying the target dimensions, and resample the body to the
+    area-scaled length by deterministic index striding — the stand-in
+    for the pixel resample (swap the body handling for PIL/ffmpeg in
+    production; the schema, Arrow batching, header rebuild, and
+    partition sizing carry over unchanged). Unknown containers pass
+    through untouched rather than raising — a poison payload must not
+    kill the stage. Output payloads re-decode to the target dims via
+    the same sniffing rules (pinned by test)."""
+
+    def _resize_one(payload: bytes) -> tuple[str, int | None, int | None, bytes]:
+        fmt, w, h, body = _parse_header(payload)
+        if fmt == "unknown" or not w or not h:
+            return fmt, w, h, payload
+        ratio = (target_width * target_height) / (w * h)
+        n_out = max(1, int(len(body) * ratio)) if body else 0
+        resampled = (
+            bytes(body[(i * len(body)) // n_out] for i in range(n_out))
+            if body
+            else b""
+        )
+        header = (
+            _png_header_bytes(target_width, target_height)
+            if fmt == "png"
+            else _jpeg_header_bytes(target_width, target_height)
+        )
+        return fmt, target_width, target_height, header + resampled
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["payload"].map(_resize_one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": parsed.map(lambda t: t[0]),
+                    "width": parsed.map(lambda t: t[1]),
+                    "height": parsed.map(lambda t: t[2]),
+                    "payload": parsed.map(lambda t: t[3]),
+                }
+            )
+
+    return df_with_payload.mapInPandas(do, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "doc_id bigint, frame_idx int, ts_ms bigint, n_frame_bytes int, "
+    "frame binary"
+)
+
+
+def sample_frames(
+    df_with_payload: DataFrame,
+    frame_bytes: int = 256,
+    stride: int = 4,
+    fps: int = 30,
+) -> DataFrame:
+    """Arrow-batched frame sampling for video-as-binary: the body splits
+    into fixed-size pseudo-frames and every stride-th frame becomes its
+    OWN OUTPUT ROW — the 1->N fan-out shape real video sampling needs,
+    which is why this is mapInPandas (row-count-changing) and not a
+    scalar UDF. ts_ms derives from the frame index at `fps`. The frame
+    split is the deterministic stand-in for a container demuxer (swap
+    for ffmpeg in production); schema, fan-out, and batch handling are
+    the real thing. Unknown containers contribute zero rows. At corpus
+    scale the fan-out multiplies row counts, not bytes read — sampled
+    frames reference sliced payload bytes, and downstream feature
+    extraction stays columnar over the exploded rows."""
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "ts_ms": [],
+                "n_frame_bytes": [],
+                "frame": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, _, _, body = _parse_header(payload)
+                if fmt == "unknown":
+                    continue
+                n_frames = (len(body) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    chunk = body[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["ts_ms"].append(fi * 1000 // fps)
+                    out["n_frame_bytes"].append(len(chunk))
+                    out["frame"].append(chunk)
+            yield pd.DataFrame(out)
+
+    return df_with_payload.mapInPandas(do, schema=FRAMES_SCHEMA)

@@ -234,3 +234,71 @@ def test_dup_ngram_spans_merges_islands_exactly(spark):
         (8, 1, 6): (5, 1),
         (9, 0, 7): (7, 2),   # overlapping windows -> ONE merged span
     }
+
+
+def test_resize_assets_rebuilds_valid_headers(spark, sf_dir):
+    """Resize must emit payloads whose container headers RE-DECODE to
+    the target dimensions under the same sniffing rules (CRC-valid PNG
+    IHDR / SOF0), resample the body to the area-scaled length, stay
+    deterministic, and pass unknown containers through untouched."""
+    docs = T(spark, sf_dir, "documents").limit(20)
+    assets = multimodal.attach_binary_payload(docs)
+    resized = multimodal.resize_assets(assets, 64, 48)
+    out = multimodal.decode_assets(
+        resized.select("doc_id", "payload")
+    ).collect()
+    assert out
+    for r in out:
+        assert r["format"] in ("png", "jpeg"), r
+        assert (r["width"], r["height"]) == (64, 48), r
+    # determinism: byte-identical across runs
+    a = {r["doc_id"]: bytes(r["payload"]) for r in resized.collect()}
+    b = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in multimodal.resize_assets(assets, 64, 48).collect()
+    }
+    assert a == b
+    # area-ratio body sizing: upscale grows the body, downscale shrinks
+    orig = {r["doc_id"]: bytes(r["payload"]) for r in assets.collect()}
+    for doc_id, payload in a.items():
+        fmt, w, h, body = multimodal._parse_header(payload)
+        ofmt, ow, oh, obody = multimodal._parse_header(orig[doc_id])
+        ratio = (64 * 48) / (ow * oh)
+        assert len(body) == max(1, int(len(obody) * ratio)), doc_id
+    # poison payload: degrades, never raises
+    poison = spark.createDataFrame(
+        [(99, bytearray(b"not an image"))], "doc_id long, payload binary"
+    )
+    rows = multimodal.resize_assets(poison, 64, 48).collect()
+    assert rows[0]["format"] == "unknown"
+    assert bytes(rows[0]["payload"]) == b"not an image"
+
+
+def test_sample_frames_fans_out_rows(spark, sf_dir):
+    """Frame sampling is a 1->N row fan-out through Arrow: every
+    stride-th fixed-size pseudo-frame becomes its own row with a
+    monotone fps-derived timestamp; unknown containers contribute
+    nothing; the sampled frames tile the body at the stride."""
+    docs = T(spark, sf_dir, "documents").limit(10)
+    assets = multimodal.attach_binary_payload(docs)
+    frames = multimodal.sample_frames(
+        assets, frame_bytes=64, stride=3, fps=30
+    ).collect()
+    assert frames
+    bodies = {
+        r["doc_id"]: multimodal._parse_header(bytes(r["payload"]))[3]
+        for r in assets.collect()
+    }
+    by_doc: dict = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        body = bodies[doc_id]
+        n_frames = (len(body) + 63) // 64
+        want_idx = list(range(0, n_frames, 3))
+        rs.sort(key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rs] == want_idx
+        for r in rs:
+            assert r["ts_ms"] == r["frame_idx"] * 1000 // 30
+            assert bytes(r["frame"]) == body[r["frame_idx"] * 64 : (r["frame_idx"] + 1) * 64]
+            assert r["n_frame_bytes"] == len(bytes(r["frame"]))
