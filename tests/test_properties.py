@@ -91,3 +91,49 @@ def test_upsert_sql_never_updates_key_columns(cols, n_keys):
         for k in keys:
             assert f"{k}=VALUES({k})" not in update_clause
             assert f"{k}=excluded.{k}" not in update_clause
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=300)
+def test_multimodal_parsers_never_raise_on_arbitrary_bytes(data):
+    """The container sniffers run inside mapInPandas stages at corpus
+    scale — a poison byte-string must degrade (format='unknown' / empty
+    output), never raise. Fuzz the decode, header-parse, resize, and
+    frame-split kernels over arbitrary bytes, including prefixes that
+    START like valid containers."""
+    from migrate_cassandra_to_mysql_spark.operators import multimodal as mm
+
+    for payload in (
+        data,
+        mm._PNG_SIG + data,
+        b"\xff\xd8" + data,
+        mm._PNG_SIG + b"\x00\x00\x00\x0d" + b"IHDR" + data,
+    ):
+        out = mm._decode_bytes(payload)
+        assert out["n_bytes"] == len(payload)
+        assert out["format"] in ("png", "jpeg", "unknown")
+        fmt, w, h, body = mm._parse_header(payload)
+        assert fmt in ("png", "jpeg", "unknown")
+        assert (w is None) == (fmt == "unknown")
+        if fmt == "unknown":
+            assert body == payload
+
+
+@given(
+    st.integers(min_value=1, max_value=640),
+    st.integers(min_value=1, max_value=480),
+)
+@settings(max_examples=100)
+def test_multimodal_header_builders_roundtrip_any_dims(w, h):
+    """Python-side header builders (the resize path) must produce bytes
+    the sniffing rules parse back to exactly the input dimensions, for
+    any dimensions in range — PNG with a valid CRC, JPEG via SOF0."""
+    from migrate_cassandra_to_mysql_spark.operators import multimodal as mm
+
+    for header, want_fmt in (
+        (mm._png_header_bytes(w, h), "png"),
+        (mm._jpeg_header_bytes(w, h), "jpeg"),
+    ):
+        fmt, pw, ph, body = mm._parse_header(header + b"BODY")
+        assert (fmt, pw, ph) == (want_fmt, w, h)
+        assert body == b"BODY"

@@ -1,7 +1,11 @@
-"""Property-based tests (hypothesis) for the SCD2 incremental fold — the
-invariants the streaming store's exactly-once convergence rests on, for
-ANY generation sequence (random key subsets, values, deletes and
-re-inserts), not just the fixed cases in test_snapshot_diff:
+"""Spark-side property-based tests (hypothesis): distributed operators
+checked against independently-written pure-Python derivations for ANY
+random input (tests/test_properties.py keeps the pure-kernel ones).
+
+SCD2 incremental fold — the invariants the streaming store's
+exactly-once convergence rests on, for ANY generation sequence (random
+key subsets, values, deletes and re-inserts), not just the fixed cases
+in test_snapshot_diff:
 
   1. current slice == the last generation, value-exact;
   2. per-key version intervals partition the key's timeline: strictly
@@ -124,3 +128,87 @@ def test_scd2_fold_invariants_for_any_generation_sequence(spark, gens):
         t_new=_GDATES[len(gens)],
     )
     assert _rows(noop) == rows
+
+
+# --- dup_ngram_spans randomized reference (same hypothesis discipline) --
+
+
+def _spans_reference(corpus, k=3, min_docs=2):
+    """Pure-Python re-derivation of operators/dedup.dup_ngram_spans."""
+    grams: dict = {}
+    per_doc: dict = {}
+    for doc_id, text in corpus:
+        toks = text.split()
+        pgs = [
+            (i, " ".join(toks[i : i + k]))
+            for i in range(max(len(toks) - k + 1, 0))
+        ]
+        per_doc[doc_id] = pgs
+        for _, g in pgs:
+            grams.setdefault(g, set()).add(doc_id)
+    frequent = {g for g, docs in grams.items() if len(docs) >= min_docs}
+    out = set()
+    for doc_id, pgs in per_doc.items():
+        hits = sorted(i for i, g in pgs if g in frequent)
+        if not hits:
+            continue
+        start = prev = hits[0]
+        n = 1
+        for p in hits[1:]:
+            if p - prev <= k:
+                prev = p
+                n += 1
+            else:
+                out.add((doc_id, start, prev + k, prev + k - start, n))
+                start = prev = p
+                n = 1
+        out.add((doc_id, start, prev + k, prev + k - start, n))
+    return out
+
+
+@st.composite
+def _corpus(draw):
+    n_docs = draw(st.integers(min_value=2, max_value=6))
+    vocab = ["a", "b", "c", "d"]
+    return [
+        (
+            i,
+            " ".join(
+                draw(
+                    st.lists(
+                        st.sampled_from(vocab), min_size=0, max_size=12
+                    )
+                )
+            ),
+        )
+        for i in range(1, n_docs + 1)
+    ]
+
+
+@given(corpus=_corpus())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dup_ngram_spans_matches_python_reference(spark, corpus):
+    """Random tiny corpora over a 4-token vocabulary (dense duplication
+    by construction): the operator's spans must EQUAL an independently
+    written pure-Python derivation — frequent-gram selection, overlap
+    merging, and all column arithmetic, for any input."""
+    from migrate_cassandra_to_mysql_spark.operators.dedup import (
+        dup_ngram_spans,
+    )
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (
+            r["doc_id"],
+            r["span_start"],
+            r["span_end"],
+            r["span_tokens"],
+            r["n_grams"],
+        )
+        for r in dup_ngram_spans(docs, k=3, min_docs=2).collect()
+    }
+    assert got == _spans_reference(corpus, k=3, min_docs=2)
