@@ -346,3 +346,31 @@ def test_persisted_rerank_equals_inline_composition(spark, sf_dir, ivfpq_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_default_build_is_deterministic(spark, sf_dir, tmp_path):
+    """Two serving-default builds (trained codebooks) over the same
+    corpus must persist IDENTICAL cells, PQ codebooks, codes, and meta —
+    the train-once layout must be reproducible for idempotent replays
+    and cross-environment parity (quantized-exact k-means means no
+    float-order nondeterminism)."""
+    emb = T(spark, sf_dir, "embeddings")
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    ivf_index.build_ivfpq_index(emb, d1, n_cells=4, m=4, n_centers=4)
+    ivf_index.build_ivfpq_index(emb, d2, n_cells=4, m=4, n_centers=4)
+    assert ivf_index.load_ivfpq_codebooks(
+        spark, d1
+    ) == ivf_index.load_ivfpq_codebooks(spark, d2)
+    assert ivf_index.load_ivfpq_residual_flag(spark, d1) is True
+    assert ivf_index.load_ivfpq_residual_flag(
+        spark, d1
+    ) == ivf_index.load_ivfpq_residual_flag(spark, d2)
+    a = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{d1}/codes").collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{d2}/codes").collect()
+    )
+    assert a == b
