@@ -313,3 +313,30 @@ def test_persisted_ivfpq_default_build_and_rerank_at_sf1(
         assert sorted(r["rnk"] for r in rs) == list(range(1, len(rs) + 1))
         sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rnk"])]
         assert sims == sorted(sims, reverse=True), q
+
+
+def test_dedup_clusters_completes_at_sf1(spark, sf1_dir):
+    """The full near-dedup chain at 10x corpus: MinHash signatures ->
+    LSH band join -> connected components -> survivor marking. The
+    candidate join must stay band-key bucketed (nothing all-pairs) and
+    the component loop must converge with O(1)-deep lineage at 10x the
+    pair volume. Invariants: every cluster's survivor is its minimum
+    doc_id, exactly one survivor per cluster, and clusters only contain
+    docs that shared at least one candidate edge (transitively)."""
+    df = catalog.queries()["dedup_clusters"](spark, sf1_dir)
+    df.write.format("noop").mode("overwrite").save()
+    rows = df.collect()
+    assert rows
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["component"], []).append(r)
+    multi = 0
+    for cluster, rs in by_cluster.items():
+        survivors = [r for r in rs if r["is_survivor"]]
+        assert len(survivors) == 1, cluster
+        assert survivors[0]["doc_id"] == min(r["doc_id"] for r in rs)
+        assert cluster == min(r["doc_id"] for r in rs)
+        if len(rs) > 1:
+            multi += 1
+    # the sf1 injection produces real multi-member clusters
+    assert multi > 0
