@@ -340,3 +340,44 @@ def test_dedup_clusters_completes_at_sf1(spark, sf1_dir):
             multi += 1
     # the sf1 injection produces real multi-member clusters
     assert multi > 0
+
+
+def test_streamed_index_ingest_at_sf1(spark, sf1_dir, tmp_path_factory):
+    """Streaming ingestion at 10x corpus: drain the scaled documents
+    into the inverted index in TWO micro-batches (half the corpus
+    each), compact the accumulated ingest_batch layers, and the served
+    results must equal a single-pass batch build over the same corpus —
+    the stream->replay->compact == build equivalence, proven at the
+    scale where a buffered inversion or an unpartitioned rewrite would
+    blow the budget the batch test establishes."""
+    from migrate_cassandra_to_mysql_spark.operators import inverted_index
+    from migrate_cassandra_to_mysql_spark.plans.textplans import (
+        _BM25_TERMS,
+        _bm25_score_sql,
+    )
+    from migrate_cassandra_to_mysql_spark.streaming.index_ingest import (
+        stream_docs_into_inverted_index,
+    )
+
+    root = tmp_path_factory.mktemp("sf1_ingest")
+    src, ckpt, idx = (str(root / p) for p in ("src", "ckpt", "idx"))
+    docs = spark.read.parquet(f"{sf1_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for gen in (0, 1):
+        docs.where(F.col("doc_id") % 2 == gen).write.mode("append").parquet(
+            src
+        )
+        bids = stream_docs_into_inverted_index(spark, src, ckpt, idx)
+        assert len(bids) == 1
+    inverted_index.compact_postings(spark, idx)
+    full = str(root / "full")
+    inverted_index.build_inverted_index(docs, full)
+    a = inverted_index.bm25_search(
+        spark, idx, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
+    ).toPandas()
+    b = inverted_index.bm25_search(
+        spark, full, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
+    ).toPandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert (a["bm25"].to_numpy() == b["bm25"].to_numpy()).all()
