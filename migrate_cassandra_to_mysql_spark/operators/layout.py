@@ -265,9 +265,10 @@ def read_parquet_retry(
     version: a refresh that flips the pointer mid-query cannot invalidate
     this query's already-listed files (the previous version is always
     retained one swap cycle, and every superseded version survives until
-    it is gc_grace_seconds old — so the pinned version only disappears
-    if the query outlives the grace, regardless of how fast refreshes
-    cycle). The retry covers the two remaining windows — a
+    gc_grace_seconds AFTER it was superseded — the flip touches the
+    replaced version dir, so the pinned version only disappears if the
+    query outlives the grace, regardless of how long the version was
+    live or how fast refreshes cycle). The retry covers the two remaining windows — a
     legacy real-dir migration's one-time rename, and an index that is
     mid-first-build. Retries ONLY path-not-found (any other analysis
     error re-raises immediately) with exponential backoff; the last
@@ -306,10 +307,14 @@ def swap_live_dir(
     discipline in the serving paths pins the resolved version for the
     query's lifetime): the immediately-previous version dir is ALWAYS
     retained for one swap cycle, and every superseded version survives
-    until it is at least `gc_grace_seconds` old (dir mtime) — so a
-    query's version can only disappear if the query outlives the grace
-    period, however fast refreshes happen to cycle. Size the grace above
-    the store's longest expected query; 0 restores eager prev-only GC.
+    until at least `gc_grace_seconds` AFTER IT WAS SUPERSEDED — the flip
+    touches (os.utime) the just-superseded version dir so the grace
+    clock starts at supersession, not at build time (a version that
+    stayed live for hours is still protected for the full grace once it
+    is replaced). A query's version can therefore only disappear if the
+    query outlives the grace period, however fast refreshes happen to
+    cycle. Size the grace above the store's longest expected query; 0
+    restores eager prev-only GC.
 
     SINGLE-MAINTAINER CONTRACT, enforced: concurrent promoters of the
     same part would race the version numbering, so the swap takes an
@@ -344,6 +349,14 @@ def swap_live_dir(
     def _acquire() -> int:
         return _os.open(str(lock), _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
 
+    def _busy_error(age: float) -> RuntimeError:
+        return RuntimeError(
+            f"another maintainer holds {lock} (age {age:.0f}s) — "
+            f"swap_live_dir is single-maintainer per part; serialize "
+            f"compaction/refresh jobs for {part!r} or remove the lock "
+            f"if its owner crashed"
+        )
+
     try:
         fd = _acquire()
     except FileExistsError:
@@ -352,16 +365,36 @@ def swap_live_dir(
         except FileNotFoundError:
             age = float("inf")  # holder just released; retry below
         if age <= lock_stale_seconds:
-            raise RuntimeError(
-                f"another maintainer holds {lock} (age {age:.0f}s) — "
-                f"swap_live_dir is single-maintainer per part; serialize "
-                f"compaction/refresh jobs for {part!r} or remove the lock "
-                f"if its owner crashed"
-            )
-        lock.unlink(missing_ok=True)
-        fd = _acquire()
+            raise _busy_error(age)
+        # Break the stale lock by ATOMIC RENAME, not unlink: unlink would
+        # race a peer that broke the same stale lock and re-acquired a
+        # fresh one between our stat() and unlink() — we would delete the
+        # peer's fresh lock and both maintainers would enter the critical
+        # section. rename moves only whatever inode currently sits at the
+        # lock path; if a peer already broke it our rename raises
+        # FileNotFoundError, and if the peer also re-acquired, our
+        # re-acquire below loses LOUDLY with the single-maintainer error
+        # instead of leaking a bare FileExistsError.
+        broken = (
+            parent
+            / f".{part}.swap.lock.broken.{_os.getpid()}.{_time.time_ns()}"
+        )
+        try:
+            _os.rename(lock, broken)
+        except FileNotFoundError:
+            pass  # a peer broke it first; fall through to re-acquire
+        else:
+            broken.unlink(missing_ok=True)
+        try:
+            fd = _acquire()
+        except FileExistsError:
+            raise _busy_error(0.0)
     _os.write(fd, f"{_os.getpid()}\n".encode())
     _os.close(fd)
+    try:
+        lock_ino = lock.stat().st_ino
+    except FileNotFoundError:  # pragma: no cover - only after a break
+        lock_ino = -1
     try:
         vpat = _re.compile(_re.escape(part) + r"\.v(\d+)$")
         versions = {
@@ -390,6 +423,16 @@ def swap_live_dir(
             tmp.unlink()
         _os.symlink(vdir.name, tmp)
         _os.replace(tmp, live)  # atomic flip
+        if prev_target is not None:
+            # Start the GC grace clock at SUPERSESSION, not build time:
+            # without this, a version that stayed live longer than the
+            # grace would be GC-eligible the moment it is two flips old,
+            # and a reader that pinned it just before two fast refreshes
+            # could lose its files mid-scan (ADVICE r9).
+            try:
+                _os.utime(parent / prev_target)
+            except FileNotFoundError:
+                pass
         # GC: keep the new version, the one the flip just replaced, and
         # anything still inside the in-flight-reader grace period.
         keep = {vdir.name, prev_target}
@@ -406,4 +449,13 @@ def swap_live_dir(
         # stale .bak from the pre-versioned scheme
         _shutil.rmtree(parent / f"{part}.bak", ignore_errors=True)
     finally:
-        lock.unlink(missing_ok=True)
+        # Release only OUR lock: if this maintainer somehow held the
+        # critical section past lock_stale_seconds, a peer may have
+        # broken our lock and acquired a fresh one at the same path —
+        # blindly unlinking would remove the peer's lock. The inode
+        # check confines the unlink to the file we created.
+        try:
+            if lock.stat().st_ino == lock_ino:
+                lock.unlink(missing_ok=True)
+        except FileNotFoundError:
+            pass

@@ -319,3 +319,79 @@ def test_swap_live_dir_single_maintainer_lock(tmp_path):
     swap_live_dir(str(tmp_path), "part")
     assert (tmp_path / "part" / "f").read_text() == "v1"
     assert not lock.exists()
+
+
+def test_swap_live_dir_grace_clock_starts_at_supersession(tmp_path):
+    """A version that stayed live LONGER than gc_grace_seconds must still
+    get a full grace period once superseded (ADVICE r9): the flip touches
+    the replaced version dir, so GC eligibility is measured from
+    supersession time, not build time. Two fast successive refreshes must
+    not strand a reader that pinned the long-lived version seconds
+    earlier."""
+    import os
+    import time
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        swap_live_dir,
+    )
+
+    (tmp_path / "part.new").mkdir()
+    (tmp_path / "part.new" / "f").write_text("v1")
+    swap_live_dir(str(tmp_path), "part", gc_grace_seconds=600)
+    # v1 was built hours ago and stayed live the whole time
+    old = time.time() - 10_000
+    os.utime(tmp_path / "part.v1", (old, old))
+    # two fast successive refreshes
+    for v in (2, 3):
+        (tmp_path / "part.new").mkdir()
+        (tmp_path / "part.new" / "f").write_text(f"v{v}")
+        swap_live_dir(str(tmp_path), "part", gc_grace_seconds=600)
+    # v1 is two flips old and its BUILD mtime is ancient — but it was
+    # superseded seconds ago, so it must survive the full grace
+    assert (tmp_path / "part.v1" / "f").read_text() == "v1"
+
+
+def test_swap_live_dir_stale_lock_break_loses_race_loudly(
+    tmp_path, monkeypatch
+):
+    """Breaking a stale lock is an atomic RENAME of the stale inode, not
+    an unlink (ADVICE r9): if a peer broke the same stale lock and
+    re-acquired a fresh one first, this maintainer must (a) leave the
+    peer's fresh lock in place and (b) lose with the single-maintainer
+    RuntimeError, never a bare FileExistsError."""
+    import os
+    import time
+
+    import pytest
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        swap_live_dir,
+    )
+
+    (tmp_path / "part.new").mkdir()
+    (tmp_path / "part.new" / "f").write_text("v1")
+    lock = tmp_path / ".part.swap.lock"
+    lock.write_text("stale\n")
+    old = time.time() - 10_000
+    os.utime(lock, (old, old))
+
+    real_rename = os.rename
+
+    def rename_peer_won(src, dst):
+        if os.fspath(src) == str(lock):
+            # simulate the losing interleaving: the peer already renamed
+            # the stale lock away and re-acquired a FRESH lock at the
+            # same path before our rename ran
+            lock.unlink()
+            lock.write_text("peer\n")
+            raise FileNotFoundError(src)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", rename_peer_won)
+    with pytest.raises(RuntimeError, match="single-maintainer"):
+        swap_live_dir(str(tmp_path), "part")
+    # the peer's fresh lock is untouched and no .broken temp leaked
+    assert lock.read_text() == "peer\n"
+    assert list(tmp_path.glob("*.broken.*")) == []
+    # .new left intact for the retry
+    assert (tmp_path / "part.new" / "f").read_text() == "v1"
