@@ -36,9 +36,13 @@ change itself has a one-time upgrade window for indexes STREAMED under
 the old B-as-is mapping: a replayed uncommitted batch B would land at
 B+1 beside its old-mapping ingest_batch=B files and duplicate every
 posting after compaction. New-mapping streams drop an
-`_ingest_offset_v2` marker at start; resuming a marker-less checkpoint
-with committed batches is rejected with the drain-compact-mark
-migration recipe (_check_batch_id_offset_upgrade).
+`_ingest_offset_v2` marker at start, stamped with the checkpoint
+identity that earned it; marker-less resumes with committed batches,
+crashed-before-first-commit old-mapping states (uncommitted offsets
+whose ingest_batch partitions already exist), unmarked indexes holding
+ingest_batch>=1 partitions, and markers stamped by a DIFFERENT
+checkpoint are all rejected with the drain-compact-mark migration
+recipe (_check_batch_id_offset_upgrade).
 
 Maintenance composes: compact_postings / compact_codes (the operators'
 own compactors) merge each partition's accumulated ingest_batch layers
@@ -106,34 +110,130 @@ def _check_batch_id_offset_upgrade(
     remain — compaction then merges (not dedups) both copies.
 
     New-mapping streams drop an `_ingest_offset_v2` marker in index_dir
-    at start. A pre-existing checkpoint with committed batches but no
-    marker can only mean old-mapping writes: reject with the migration
-    recipe instead of silently duplicating. Fresh indexes (no committed
-    batches) just get the marker."""
+    at start, stamped with the CHECKPOINT IDENTITY (realpath) it was
+    established under, so a different checkpoint cannot inherit a marker
+    it never earned (ADVICE r9: starting an old-mapping index once with
+    a fresh checkpoint used to mint a marker that the original
+    old-mapping checkpoint then rode straight through the guard).
+
+    Rejections, each with the migration recipe:
+    - marker absent + committed batches: old-mapping writes for sure.
+    - marker absent + UNcommitted offsets whose `ingest_batch=<B>`
+      partitions already exist on disk: the old-mapping
+      crashed-before-first-commit case (VERDICT r9 #1) — offsets
+      written, files landed at ingest_batch=B under the old mapping,
+      commits still empty. Replaying B into ingest_batch=B+1 would
+      leave both copies for compaction to merge.
+    - marker absent + a FRESH checkpoint + `ingest_batch>=1` partitions
+      on disk: the index was streamed by some OTHER (old-mapping)
+      checkpoint; minting a marker here would both enable inheritance
+      and let the new stream's batch B clobber old batch B+1 files.
+    - marker present but stamped with a DIFFERENT checkpoint identity,
+      and this checkpoint has history (offsets or commits): that
+      history predates the marker — reject instead of replay.
+
+    Fresh indexes (no history anywhere) just get the marker; a fresh
+    checkpoint over a marked index adopts the marker (re-stream); a
+    legacy identity-less marker (written before r10) is stamped with
+    the first checkpoint that resumes under it."""
     import glob
     import os
 
     marker = f"{index_dir}/_ingest_offset_v2"
-    committed = [
-        p
-        for p in glob.glob(f"{checkpoint_dir}/commits/*")
-        if os.path.basename(p).isdigit()
-    ]
-    if committed and not os.path.exists(marker):
-        raise ValueError(
-            f"{index_dir} was streamed under the pre-offset batch-id "
-            "mapping (micro-batch B wrote ingest_batch=B; it now writes "
-            "B+1), and resuming would duplicate any replayed batch. "
-            "Migrate once: (1) confirm the previous run drained fully "
-            f"(every offset in {checkpoint_dir}/offsets has a matching "
-            "commit — if not, delete the uncommitted batch's "
-            "ingest_batch partitions first), (2) run compact_postings / "
-            "compact_codes to collapse ingest_batch=* into 0, then "
-            f"(3) create the marker file {marker} and restart."
+    ckpt_id = os.path.realpath(checkpoint_dir)
+
+    def _ids(sub: str) -> list[int]:
+        return sorted(
+            int(os.path.basename(p))
+            for p in glob.glob(f"{checkpoint_dir}/{sub}/*")
+            if os.path.basename(p).isdigit()
         )
+
+    committed = _ids("commits")
+    offsets = _ids("offsets")
+
+    def _batch_dirs(pat: str) -> list[str]:
+        # layer-level (doclens/ingest_batch=N) and bucket/cell-nested
+        # (postings/bucket=K/ingest_batch=N) — no leaf-file walking.
+        return glob.glob(f"{index_dir}/*/ingest_batch={pat}") + glob.glob(
+            f"{index_dir}/*/*=*/ingest_batch={pat}"
+        )
+
+    recipe = (
+        "Migrate once: (1) confirm the previous run drained fully "
+        f"(every offset in {checkpoint_dir}/offsets has a matching "
+        "commit — if not, delete the uncommitted batch's "
+        "ingest_batch partitions first), (2) run compact_postings / "
+        "compact_codes to collapse ingest_batch=* into 0, then "
+        f"(3) create the marker file {marker} and restart."
+    )
+    if os.path.exists(marker):
+        recorded = None
+        with open(marker) as f:
+            for line in f:
+                if line.startswith("checkpoint = "):
+                    recorded = line.split(" = ", 1)[1].strip()
+        if (
+            recorded is not None
+            and recorded != ckpt_id
+            and (offsets or committed)
+        ):
+            raise ValueError(
+                f"{marker} was established under a different checkpoint "
+                f"({recorded}), but {checkpoint_dir} already has "
+                "offsets/commits that predate it — its batches were "
+                "written under the pre-offset batch-id mapping "
+                "(micro-batch B wrote ingest_batch=B; it now writes "
+                "B+1), and resuming would duplicate any replayed "
+                f"batch. {recipe}"
+            )
+        # same checkpoint, a fresh re-stream checkpoint, or a legacy
+        # identity-less marker: (re)stamp below.
+    else:
+        if committed:
+            raise ValueError(
+                f"{index_dir} was streamed under the pre-offset "
+                "batch-id mapping (micro-batch B wrote ingest_batch=B; "
+                "it now writes B+1), and resuming would duplicate any "
+                f"replayed batch. {recipe}"
+            )
+        stranded = [
+            b
+            for b in offsets
+            if b not in set(committed) and _batch_dirs(str(b))
+        ]
+        if stranded:
+            raise ValueError(
+                f"{checkpoint_dir} crashed before its first commit "
+                f"under the pre-offset batch-id mapping: offsets "
+                f"{stranded} have no commit but their ingest_batch "
+                "partitions already exist on disk. Replaying batch B "
+                "into ingest_batch=B+1 would leave the crashed write's "
+                "ingest_batch=B files behind for compaction to merge "
+                f"as duplicates. Delete {', '.join(d for b in stranded for d in _batch_dirs(str(b)))} "
+                f"first (the batch will be re-ingested), or: {recipe}"
+            )
+        # With no marker and no commits, NO ingest_batch>=1 partition can
+        # be legitimate (new-mapping streams always carry a marker, and
+        # this checkpoint never committed) — they belong to some other
+        # old-mapping checkpoint.
+        streamed = [
+            d for d in _batch_dirs("*") if int(d.rsplit("=", 1)[1]) >= 1
+        ]
+        if streamed:
+            raise ValueError(
+                f"{index_dir} contains streamed ingest_batch "
+                "partitions but no _ingest_offset_v2 marker — it "
+                "was streamed by a different (pre-offset-mapping) "
+                "checkpoint. Starting a fresh stream here would "
+                "mint a marker that checkpoint could inherit, and "
+                "this stream's batch B would clobber the old "
+                f"stream's ingest_batch=B+1 files. {recipe}"
+            )
     os.makedirs(index_dir, exist_ok=True)
     with open(marker, "w") as f:
         f.write("ingest_batch = micro-batch id + 1\n")
+        f.write(f"checkpoint = {ckpt_id}\n")
 
 
 def stream_docs_into_inverted_index(

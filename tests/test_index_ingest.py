@@ -312,3 +312,91 @@ def test_batch_id_offset_upgrade_guard(tmp_path, streamed):
     open(f"{ckpt}/commits/.0.tmp", "w").close()
     _check_batch_id_offset_upgrade(ckpt, idx)
     assert os.path.exists(marker)
+
+
+def test_upgrade_guard_crashed_before_first_commit(tmp_path):
+    """The r9 sliver (VERDICT r9 #1): an old-mapping stream that crashed
+    before its FIRST commit leaves offsets written, files at
+    ingest_batch=<B>, commits empty. The guard must reject that state
+    (replaying B into ingest_batch=B+1 would leave both copies for
+    compaction to merge) while a genuinely fresh index with the same
+    checkpoint shape still starts clean."""
+    import os
+
+    from migrate_cassandra_to_mysql_spark.streaming.index_ingest import (
+        _check_batch_id_offset_upgrade,
+    )
+
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(f"{ckpt}/offsets", exist_ok=True)
+    open(f"{ckpt}/offsets/0", "w").close()
+    # files the crashed old-mapping batch 0 wrote (layer-level AND
+    # bucket-nested layouts)
+    os.makedirs(f"{idx}/doclens/ingest_batch=0", exist_ok=True)
+    os.makedirs(f"{idx}/postings/bucket=3/ingest_batch=0", exist_ok=True)
+    with pytest.raises(ValueError, match="crashed before its first commit"):
+        _check_batch_id_offset_upgrade(ckpt, idx)
+    assert not os.path.exists(f"{idx}/_ingest_offset_v2")
+    # same checkpoint shape, but no stranded partitions: clean start
+    fresh = str(tmp_path / "fresh_idx")
+    _check_batch_id_offset_upgrade(ckpt, fresh)
+    assert os.path.exists(f"{fresh}/_ingest_offset_v2")
+
+
+def test_upgrade_guard_rejects_unmarked_streamed_index(tmp_path):
+    """A fresh checkpoint over an index that already holds
+    ingest_batch>=1 partitions but NO marker (ADVICE r9): the index was
+    streamed by some other old-mapping checkpoint — minting a marker
+    here would enable inheritance and clobbering. ingest_batch=0 alone
+    (a plain batch build) stays startable."""
+    import os
+
+    from migrate_cassandra_to_mysql_spark.streaming.index_ingest import (
+        _check_batch_id_offset_upgrade,
+    )
+
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(f"{idx}/postings/bucket=0/ingest_batch=0", exist_ok=True)
+    os.makedirs(f"{idx}/postings/bucket=0/ingest_batch=2", exist_ok=True)
+    with pytest.raises(ValueError, match="no _ingest_offset_v2 marker"):
+        _check_batch_id_offset_upgrade(ckpt, idx)
+    # batch-build layer only (ingest_batch=0): fine
+    idx2 = str(tmp_path / "idx2")
+    os.makedirs(f"{idx2}/postings/bucket=0/ingest_batch=0", exist_ok=True)
+    _check_batch_id_offset_upgrade(ckpt, idx2)
+    assert os.path.exists(f"{idx2}/_ingest_offset_v2")
+
+
+def test_upgrade_guard_marker_records_checkpoint_identity(tmp_path):
+    """The marker is stamped with the checkpoint that earned it (ADVICE
+    r9): a DIFFERENT checkpoint with history cannot inherit it; a fresh
+    re-stream checkpoint adopts it; a legacy identity-less marker is
+    stamped on first resume."""
+    import os
+
+    from migrate_cassandra_to_mysql_spark.streaming.index_ingest import (
+        _check_batch_id_offset_upgrade,
+    )
+
+    idx = str(tmp_path / "idx")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    ckpt_b = str(tmp_path / "ckpt_b")
+    _check_batch_id_offset_upgrade(ckpt_a, idx)
+    marker = f"{idx}/_ingest_offset_v2"
+    assert os.path.realpath(ckpt_a) in open(marker).read()
+    # ckpt_b has old commits: would replay under the new mapping — reject
+    os.makedirs(f"{ckpt_b}/commits", exist_ok=True)
+    open(f"{ckpt_b}/commits/0", "w").close()
+    with pytest.raises(ValueError, match="different checkpoint"):
+        _check_batch_id_offset_upgrade(ckpt_b, idx)
+    # a FRESH checkpoint (no offsets/commits) adopts the marker
+    ckpt_c = str(tmp_path / "ckpt_c")
+    _check_batch_id_offset_upgrade(ckpt_c, idx)
+    assert os.path.realpath(ckpt_c) in open(marker).read()
+    # legacy identity-less marker: stamped by the resuming checkpoint
+    with open(marker, "w") as f:
+        f.write("ingest_batch = micro-batch id + 1\n")
+    _check_batch_id_offset_upgrade(ckpt_b, idx)
+    assert os.path.realpath(ckpt_b) in open(marker).read()
