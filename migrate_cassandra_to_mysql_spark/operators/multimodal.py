@@ -241,37 +241,92 @@ RESIZED_SCHEMA = (
 )
 
 
-def resize_assets(
-    df_with_payload: DataFrame, target_width: int, target_height: int
-) -> DataFrame:
-    """Arrow-batched resize over the binary asset column: parse the
-    container header, emit a new VALID header (CRC-correct PNG IHDR /
-    SOF0) carrying the target dimensions, and resample the body to the
-    area-scaled length by deterministic index striding — the stand-in
-    for the pixel resample (swap the body handling for PIL/ffmpeg in
-    production; the schema, Arrow batching, header rebuild, and
-    partition sizing carry over unchanged). Unknown containers pass
-    through untouched rather than raising — a poison payload must not
-    kill the stage. Output payloads re-decode to the target dims via
-    the same sniffing rules (pinned by test)."""
+def _pil_resize_bytes(
+    payload: bytes, fmt: str, target_width: int, target_height: int
+) -> bytes | None:
+    """Real pixel resample via PIL, when (a) PIL is importable and (b)
+    the payload actually decodes as an image. Returns None on either
+    miss so the caller can fall back to the deterministic byte-resample
+    stub — a poison payload must degrade, never kill the stage."""
+    try:
+        from PIL import Image  # noqa: PLC0415 - worker-side soft dep
+    except ImportError:
+        return None
+    import io
 
-    def _resize_one(payload: bytes) -> tuple[str, int | None, int | None, bytes]:
-        fmt, w, h, body = _parse_header(payload)
-        if fmt == "unknown" or not w or not h:
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            out = img.resize((target_width, target_height))
+            buf = io.BytesIO()
+            out.save(buf, format="PNG" if fmt == "png" else "JPEG")
+            return buf.getvalue()
+    except Exception:
+        return None
+
+
+def _resize_payload(
+    payload: bytes,
+    target_width: int,
+    target_height: int,
+    kernel: str = "auto",
+) -> tuple[str, int | None, int | None, bytes]:
+    """One payload through the resize kernel. kernel='auto' tries the
+    real PIL pixel path first and falls back to the stub; 'stub' pins
+    the deterministic byte-resample (the reproducible test path);
+    'pil' requires the real path and passes the payload through
+    untouched when it cannot decode."""
+    fmt, w, h, body = _parse_header(payload)
+    if fmt == "unknown" or not w or not h:
+        return fmt, w, h, payload
+    if kernel in ("auto", "pil"):
+        real = _pil_resize_bytes(payload, fmt, target_width, target_height)
+        if real is not None:
+            return fmt, target_width, target_height, real
+        if kernel == "pil":
             return fmt, w, h, payload
-        ratio = (target_width * target_height) / (w * h)
-        n_out = max(1, int(len(body) * ratio)) if body else 0
-        resampled = (
-            bytes(body[(i * len(body)) // n_out] for i in range(n_out))
-            if body
-            else b""
-        )
-        header = (
-            _png_header_bytes(target_width, target_height)
-            if fmt == "png"
-            else _jpeg_header_bytes(target_width, target_height)
-        )
-        return fmt, target_width, target_height, header + resampled
+    ratio = (target_width * target_height) / (w * h)
+    n_out = max(1, int(len(body) * ratio)) if body else 0
+    resampled = (
+        bytes(body[(i * len(body)) // n_out] for i in range(n_out))
+        if body
+        else b""
+    )
+    header = (
+        _png_header_bytes(target_width, target_height)
+        if fmt == "png"
+        else _jpeg_header_bytes(target_width, target_height)
+    )
+    return fmt, target_width, target_height, header + resampled
+
+
+def resize_assets(
+    df_with_payload: DataFrame,
+    target_width: int,
+    target_height: int,
+    kernel: str = "auto",
+) -> DataFrame:
+    """Arrow-batched resize over the binary asset column. kernel='auto'
+    (default) uses a REAL pixel resample via PIL whenever PIL is
+    importable on the workers AND the payload decodes as an image,
+    re-encoding to the source container format; otherwise — PIL absent
+    (this sandbox has none) or a synthetic/poison payload — it falls
+    back to the deterministic stand-in: parse the container header,
+    emit a new VALID header (CRC-correct PNG IHDR / SOF0) carrying the
+    target dimensions, and resample the body to the area-scaled length
+    by index striding. kernel='stub' pins the deterministic path
+    (reproducible tests); kernel='pil' demands the real path and passes
+    undecodable payloads through untouched. The schema, Arrow batching,
+    header rebuild, and partition sizing are identical across kernels.
+    Unknown containers pass through untouched rather than raising — a
+    poison payload must not kill the stage. Output payloads re-decode
+    to the target dims via the same sniffing rules (pinned by test)."""
+    if kernel not in ("auto", "pil", "stub"):
+        raise ValueError(f"unknown resize kernel {kernel!r}")
+
+    def _resize_one(
+        payload: bytes,
+    ) -> tuple[str, int | None, int | None, bytes]:
+        return _resize_payload(payload, target_width, target_height, kernel)
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

