@@ -101,20 +101,32 @@ def build_inverted_index(
     """Invert the corpus into the on-disk layout above. One corpus-scan
     job (tokenize → explode → partial-agg tf) plus a doclens pass over
     the same tokenized frame, then lexicon and stats are cheap
-    aggregations over the already-persisted layers."""
+    aggregations over the already-persisted layers.
+
+    Both data layers are written to `.new` and promoted through
+    layout.swap_live_dir, so the live names are VERSIONED SYMLINKS from
+    the very first build — a later compact_postings flips the pointer
+    instead of renaming a real dir out from under an in-flight reader
+    (the mid-execution FILE_NOT_EXIST the sf1 serving soak caught)."""
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        swap_live_dir,
+    )
+
     postings, doclens = encode_postings(docs, n_buckets, text_col)
     (
         postings.withColumn("ingest_batch", F.lit(0))
         .write.mode("overwrite")
         .partitionBy("bucket", "ingest_batch")
-        .parquet(f"{index_dir}/postings")
+        .parquet(f"{index_dir}/postings.new")
     )
     (
         doclens.withColumn("ingest_batch", F.lit(0))
         .write.mode("overwrite")
         .partitionBy("ingest_batch")
-        .parquet(f"{index_dir}/doclens")
+        .parquet(f"{index_dir}/doclens.new")
     )
+    for part in ("postings", "doclens"):
+        swap_live_dir(index_dir, part)
     # lexicon (per-term df) derives from postings; stats (n_docs/sum_dl)
     # from doclens — so build and incremental append share one refresh
     # path and NULL/empty-text docs still count toward n_docs.
@@ -137,20 +149,30 @@ def append_to_inverted_index(
     is O(index), not O(corpus), and at 100 TB both are a tiny fraction of
     the posting volume (vocabulary-sized and 1 row). Callers must ensure
     doc_ids in docs_new are not already indexed (same contract as any
-    append-only ingest)."""
+    append-only ingest).
+
+    Appends write INTO the current live version dir (layout.ensure_live_dir
+    resolves the versioned symlink; a legacy real-dir store is adopted as
+    v1 on first touch): files only ever APPEAR under a live version, so a
+    concurrent reader that pinned the resolved version keeps a stable file
+    listing for its whole query."""
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        ensure_live_dir,
+    )
+
     spark = docs_new.sparkSession
     postings, doclens = encode_postings(docs_new, n_buckets, text_col)
     (
         postings.withColumn("ingest_batch", F.lit(0))
         .write.mode("append")
         .partitionBy("bucket", "ingest_batch")
-        .parquet(f"{index_dir}/postings")
+        .parquet(ensure_live_dir(index_dir, "postings"))
     )
     (
         doclens.withColumn("ingest_batch", F.lit(0))
         .write.mode("append")
         .partitionBy("ingest_batch")
-        .parquet(f"{index_dir}/doclens")
+        .parquet(ensure_live_dir(index_dir, "doclens"))
     )
     _refresh_derived(spark, index_dir)
 

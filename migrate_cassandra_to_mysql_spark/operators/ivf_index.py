@@ -194,13 +194,23 @@ def build_ivfpq_index(
     # ingest_batch=0 keeps the batch layer at the SAME leaf depth as
     # streamed micro-batches (streaming/index_ingest.py writes batch B
     # under ingest_batch=B+1) — mixed depths fail partition discovery.
+    # Written to .new and promoted, so codes/ is a versioned symlink from
+    # the first build and a later compact_codes flips the pointer instead
+    # of renaming a real dir out from under an in-flight reader
+    # (cells/pq/meta are frozen after build — never swapped — so they
+    # stay plain dirs).
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        swap_live_dir,
+    )
+
     (
         sim.ivfpq_encode(embeddings, cell_centroids, centers, residual=residual)
         .withColumn("ingest_batch", F.lit(0))
         .write.mode("overwrite")
         .partitionBy("cell", "ingest_batch")
-        .parquet(f"{index_dir}/codes")
+        .parquet(f"{index_dir}/codes.new")
     )
+    swap_live_dir(index_dir, "codes")
 
 
 def append_to_ivfpq_index(
@@ -216,6 +226,9 @@ def append_to_ivfpq_index(
     whose distribution drifts get re-encoded individually (rewrite one
     cell=N directory), never the whole index."""
     from migrate_cassandra_to_mysql_spark.operators import similarity as sim
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        ensure_live_dir,
+    )
 
     spark = embeddings_new.sparkSession
     cell_centroids, centers = load_ivfpq_codebooks(spark, index_dir)
@@ -229,7 +242,9 @@ def append_to_ivfpq_index(
         .withColumn("ingest_batch", F.lit(0))
         .write.mode("append")
         .partitionBy("cell", "ingest_batch")
-        .parquet(f"{index_dir}/codes")
+        # INTO the current live version dir (files only ever appear under
+        # a pinned version; see append_to_inverted_index).
+        .parquet(ensure_live_dir(index_dir, "codes"))
     )
 
 

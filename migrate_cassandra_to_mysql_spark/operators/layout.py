@@ -291,6 +291,158 @@ def read_parquet_retry(
             _time.sleep(min(initial_delay * (2**i), 1.0))
 
 
+def _maintainer_lock(parent_dir: str, part: str, lock_stale_seconds: float):
+    """O_EXCL single-maintainer lockfile (`.{part}.swap.lock`) guarding
+    version mutations of `{parent_dir}/{part}` — swap_live_dir promotions
+    and ensure_live_dir's one-time live-dir adoption share it so the two
+    cannot race each other. Raises RuntimeError if another maintainer
+    holds the lock; a lock older than `lock_stale_seconds` is treated as
+    abandoned by a crashed maintainer and broken (by ATOMIC RENAME, so
+    two breakers cannot both enter — see inline comments). Context
+    manager; releases only the lock inode it created."""
+    import contextlib as _contextlib
+    import os as _os
+    import time as _time
+    from pathlib import Path as _Path
+
+    parent = _Path(parent_dir)
+    lock = parent / f".{part}.swap.lock"
+
+    def _acquire() -> int:
+        return _os.open(str(lock), _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+
+    def _busy_error(age: float) -> RuntimeError:
+        return RuntimeError(
+            f"another maintainer holds {lock} (age {age:.0f}s) — "
+            f"swap_live_dir is single-maintainer per part; serialize "
+            f"compaction/refresh jobs for {part!r} or remove the lock "
+            f"if its owner crashed"
+        )
+
+    @_contextlib.contextmanager
+    def _held():
+        try:
+            fd = _acquire()
+        except FileExistsError:
+            try:
+                age = _time.time() - lock.stat().st_mtime
+            except FileNotFoundError:
+                age = float("inf")  # holder just released; retry below
+            if age <= lock_stale_seconds:
+                raise _busy_error(age)
+            # Break the stale lock by ATOMIC RENAME, not unlink: unlink
+            # would race a peer that broke the same stale lock and
+            # re-acquired a fresh one between our stat() and unlink() — we
+            # would delete the peer's fresh lock and both maintainers
+            # would enter the critical section. rename moves only whatever
+            # inode currently sits at the lock path; if a peer already
+            # broke it our rename raises FileNotFoundError, and if the
+            # peer also re-acquired, our re-acquire below loses LOUDLY
+            # with the single-maintainer error instead of leaking a bare
+            # FileExistsError.
+            broken = (
+                parent
+                / f".{part}.swap.lock.broken.{_os.getpid()}.{_time.time_ns()}"
+            )
+            try:
+                _os.rename(lock, broken)
+            except FileNotFoundError:
+                pass  # a peer broke it first; fall through to re-acquire
+            else:
+                broken.unlink(missing_ok=True)
+            try:
+                fd = _acquire()
+            except FileExistsError:
+                raise _busy_error(0.0)
+        _os.write(fd, f"{_os.getpid()}\n".encode())
+        _os.close(fd)
+        try:
+            lock_ino = lock.stat().st_ino
+        except FileNotFoundError:  # pragma: no cover - only after a break
+            lock_ino = -1
+        try:
+            yield
+        finally:
+            # Release only OUR lock: if this maintainer somehow held the
+            # critical section past lock_stale_seconds, a peer may have
+            # broken our lock and acquired a fresh one at the same path —
+            # blindly unlinking would remove the peer's lock. The inode
+            # check confines the unlink to the file we created.
+            try:
+                if lock.stat().st_ino == lock_ino:
+                    lock.unlink(missing_ok=True)
+            except FileNotFoundError:
+                pass
+
+    return _held()
+
+
+def ensure_live_dir(
+    parent_dir: str,
+    part: str,
+    lock_stale_seconds: float = 3600.0,
+) -> str:
+    """Guarantee `{parent_dir}/{part}` is a VERSIONED live symlink and
+    return the real (versioned) directory appends must write into.
+
+    This is the writer-side half of the swap_live_dir/read_parquet_retry
+    contract for APPEND-ONLY layers (index postings/doclens/codes):
+    appends land inside the current version dir — files only ever APPEAR
+    under a live version, so a reader that pinned the resolved version
+    keeps a stable file listing for its whole query; a compactor later
+    promotes a NEW version and the pinned one survives the GC grace.
+    Without this, a first build/ingest leaves the live name a REAL
+    directory, and the first compaction's one-time legacy migration
+    renames it out from under any in-flight reader MID-EXECUTION — a
+    FILE_NOT_EXIST failure read_parquet_retry's plan-time retry cannot
+    cover (caught by the sf1 serving soak, round 10).
+
+    Three cases:
+    - live is already a symlink: resolve and return it (no lock taken).
+    - live missing: create an empty `{part}.v<N>` + flip the symlink —
+      a brand-new index is versioned from its FIRST file.
+    - live is a legacy REAL dir: adopt it as a version via the same
+      rename+symlink one-time migration swap_live_dir performs (sub-ms
+      alias window for unpinned readers, covered by read_parquet_retry's
+      plan-time retry).
+    The two mutating cases take the part's maintainer lock."""
+    import os as _os
+    import re as _re
+    from pathlib import Path as _Path
+
+    live = _Path(f"{parent_dir}/{part}")
+    if live.is_symlink():
+        return _os.path.realpath(live)
+    _os.makedirs(parent_dir, exist_ok=True)
+    parent = _Path(parent_dir)
+    with _maintainer_lock(parent_dir, part, lock_stale_seconds):
+        if live.is_symlink():  # lost an adoption race; the winner's flip
+            return _os.path.realpath(live)
+        vpat = _re.compile(_re.escape(part) + r"\.v(\d+)$")
+        n = (
+            max(
+                (
+                    int(m.group(1))
+                    for d in parent.iterdir()
+                    if (m := vpat.match(d.name))
+                ),
+                default=0,
+            )
+            + 1
+        )
+        vdir = parent / f"{part}.v{n}"
+        if live.exists():
+            live.rename(vdir)  # legacy adoption (one-time alias window)
+        else:
+            vdir.mkdir()
+        tmp = parent / f".{part}.ptr.tmp"
+        if tmp.is_symlink() or tmp.exists():
+            tmp.unlink()
+        _os.symlink(vdir.name, tmp)
+        _os.replace(tmp, live)  # atomic flip
+        return str(vdir)
+
+
 def swap_live_dir(
     parent_dir: str,
     part: str,
@@ -344,58 +496,7 @@ def swap_live_dir(
             f"{new} does not exist — nothing to promote; live dir untouched"
         )
     parent = _Path(parent_dir)
-    lock = parent / f".{part}.swap.lock"
-
-    def _acquire() -> int:
-        return _os.open(str(lock), _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
-
-    def _busy_error(age: float) -> RuntimeError:
-        return RuntimeError(
-            f"another maintainer holds {lock} (age {age:.0f}s) — "
-            f"swap_live_dir is single-maintainer per part; serialize "
-            f"compaction/refresh jobs for {part!r} or remove the lock "
-            f"if its owner crashed"
-        )
-
-    try:
-        fd = _acquire()
-    except FileExistsError:
-        try:
-            age = _time.time() - lock.stat().st_mtime
-        except FileNotFoundError:
-            age = float("inf")  # holder just released; retry below
-        if age <= lock_stale_seconds:
-            raise _busy_error(age)
-        # Break the stale lock by ATOMIC RENAME, not unlink: unlink would
-        # race a peer that broke the same stale lock and re-acquired a
-        # fresh one between our stat() and unlink() — we would delete the
-        # peer's fresh lock and both maintainers would enter the critical
-        # section. rename moves only whatever inode currently sits at the
-        # lock path; if a peer already broke it our rename raises
-        # FileNotFoundError, and if the peer also re-acquired, our
-        # re-acquire below loses LOUDLY with the single-maintainer error
-        # instead of leaking a bare FileExistsError.
-        broken = (
-            parent
-            / f".{part}.swap.lock.broken.{_os.getpid()}.{_time.time_ns()}"
-        )
-        try:
-            _os.rename(lock, broken)
-        except FileNotFoundError:
-            pass  # a peer broke it first; fall through to re-acquire
-        else:
-            broken.unlink(missing_ok=True)
-        try:
-            fd = _acquire()
-        except FileExistsError:
-            raise _busy_error(0.0)
-    _os.write(fd, f"{_os.getpid()}\n".encode())
-    _os.close(fd)
-    try:
-        lock_ino = lock.stat().st_ino
-    except FileNotFoundError:  # pragma: no cover - only after a break
-        lock_ino = -1
-    try:
+    with _maintainer_lock(parent_dir, part, lock_stale_seconds):
         vpat = _re.compile(_re.escape(part) + r"\.v(\d+)$")
         versions = {
             int(m.group(1)): parent / d.name
@@ -448,14 +549,3 @@ def swap_live_dir(
             _shutil.rmtree(v, ignore_errors=True)
         # stale .bak from the pre-versioned scheme
         _shutil.rmtree(parent / f"{part}.bak", ignore_errors=True)
-    finally:
-        # Release only OUR lock: if this maintainer somehow held the
-        # critical section past lock_stale_seconds, a peer may have
-        # broken our lock and acquired a fresh one at the same path —
-        # blindly unlinking would remove the peer's lock. The inode
-        # check confines the unlink to the file we created.
-        try:
-            if lock.stat().st_ino == lock_ino:
-                lock.unlink(missing_ok=True)
-        except FileNotFoundError:
-            pass

@@ -261,20 +261,29 @@ def stream_docs_into_inverted_index(
     processed: list[int] = []
 
     def handle(df: DataFrame, batch_id: int) -> None:
+        # ensure_live_dir: micro-batches write INTO the current live
+        # version dir (versioned symlink from the FIRST batch), so a
+        # concurrent bm25 reader pinned to the resolved version keeps a
+        # stable file listing — replay's dynamic overwrite rewrites only
+        # this batch's own ingest_batch partitions inside that version.
+        from migrate_cassandra_to_mysql_spark.operators.layout import (
+            ensure_live_dir,
+        )
+
         postings, doclens = inv.encode_postings(df, n_buckets, text_col)
         (
             postings.withColumn("ingest_batch", F.lit(batch_id + 1))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket", "ingest_batch")
-            .parquet(f"{index_dir}/postings")
+            .parquet(ensure_live_dir(index_dir, "postings"))
         )
         (
             doclens.withColumn("ingest_batch", F.lit(batch_id + 1))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch")
-            .parquet(f"{index_dir}/doclens")
+            .parquet(ensure_live_dir(index_dir, "doclens"))
         )
         processed.append(batch_id)
 
@@ -309,13 +318,18 @@ def stream_vectors_into_ivfpq_index(
     processed: list[int] = []
 
     def handle(df: DataFrame, batch_id: int) -> None:
+        from migrate_cassandra_to_mysql_spark.operators.layout import (
+            ensure_live_dir,
+        )
+
         (
             sim.ivfpq_encode(df, cell_centroids, centers, residual=residual)
             .withColumn("ingest_batch", F.lit(batch_id + 1))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("cell", "ingest_batch")
-            .parquet(f"{index_dir}/codes")
+            # INTO the current live version (see the document path above).
+            .parquet(ensure_live_dir(index_dir, "codes"))
         )
         processed.append(batch_id)
 

@@ -295,3 +295,16 @@ def test_doclens_compaction_bin_packs_by_bytes(spark, sf_dir, tmp_path):
         .reset_index(drop=True)
     )
     assert before.equals(after)
+
+
+def test_data_layers_are_versioned_from_first_build(spark, index_dir):
+    """Every replaceable layer is a versioned symlink from the FIRST
+    build (layout.ensure_live_dir / .new+swap discipline) — so the first
+    compaction flips a pointer instead of renaming a real dir out from
+    under an in-flight reader mid-execution (the FILE_NOT_EXIST mode the
+    sf1 serving soak caught in round 10)."""
+    import os
+
+    for layer in ("postings", "doclens", "lexicon", "stats"):
+        assert os.path.islink(f"{index_dir}/{layer}"), layer
+        assert os.path.isdir(os.path.realpath(f"{index_dir}/{layer}")), layer

@@ -395,3 +395,65 @@ def test_swap_live_dir_stale_lock_break_loses_race_loudly(
     assert list(tmp_path.glob("*.broken.*")) == []
     # .new left intact for the retry
     assert (tmp_path / "part.new" / "f").read_text() == "v1"
+
+
+def test_ensure_live_dir_fresh_legacy_and_fastpath(tmp_path):
+    """ensure_live_dir is the writer half of the pinned-version contract
+    for append-only layers: fresh name -> empty v1 + symlink; legacy REAL
+    dir -> adopted as a version (content preserved); already-a-symlink ->
+    fast-path resolve, same target, no new version minted."""
+    import os
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        ensure_live_dir,
+        swap_live_dir,
+    )
+
+    # fresh: versioned from the first file
+    tgt = ensure_live_dir(str(tmp_path), "codes")
+    assert tgt.endswith("codes.v1") and os.path.isdir(tgt)
+    assert (tmp_path / "codes").is_symlink()
+    # fast path: same version, nothing new minted
+    assert ensure_live_dir(str(tmp_path), "codes") == tgt
+    assert sorted(p.name for p in tmp_path.glob("codes.v*")) == ["codes.v1"]
+
+    # legacy real dir: adopted, content preserved, alias resolves
+    (tmp_path / "postings").mkdir()
+    (tmp_path / "postings" / "f").write_text("legacy")
+    tgt = ensure_live_dir(str(tmp_path), "postings")
+    assert tgt.endswith("postings.v1")
+    assert (tmp_path / "postings").is_symlink()
+    assert (tmp_path / "postings" / "f").read_text() == "legacy"
+
+    # an append into the returned dir lands under the SAME version a
+    # reader pinned (no flip), and a later swap supersedes it cleanly
+    (tmp_path / "postings" / "g").write_text("appended")
+    assert ensure_live_dir(str(tmp_path), "postings") == tgt
+    (tmp_path / "postings.new").mkdir()
+    (tmp_path / "postings.new" / "f").write_text("compacted")
+    swap_live_dir(str(tmp_path), "postings")
+    # pinned reader keeps the superseded version (one-cycle retention)
+    assert (tmp_path / "postings.v1" / "g").read_text() == "appended"
+    assert (tmp_path / "postings" / "f").read_text() == "compacted"
+
+
+def test_ensure_live_dir_mutation_respects_maintainer_lock(tmp_path):
+    """The two mutating cases (fresh init, legacy adoption) serialize
+    behind the part's maintainer lock; the symlink fast path does not
+    touch the lock at all."""
+    import pytest
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        ensure_live_dir,
+    )
+
+    lock = tmp_path / ".postings.swap.lock"
+    lock.write_text("held\n")
+    (tmp_path / "postings").mkdir()
+    with pytest.raises(RuntimeError, match="single-maintainer"):
+        ensure_live_dir(str(tmp_path), "postings")
+    lock.unlink()
+    tgt = ensure_live_dir(str(tmp_path), "postings")
+    # fast path works even while a maintainer holds the lock
+    lock.write_text("held\n")
+    assert ensure_live_dir(str(tmp_path), "postings") == tgt
