@@ -55,6 +55,10 @@ from migrate_cassandra_to_mysql_spark.functions.hashing import md5_token_bucket
 
 DEFAULT_BUCKETS = 32
 
+# The index's replaceable data layers, in the order maintenance touches
+# them; the set a cross-layer snapshot manifest must pin together.
+LAYERS = ("postings", "doclens", "lexicon", "stats")
+
 
 def term_bucket(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
     """Python twin of md5_token_bucket for literal query terms: first 4
@@ -185,8 +189,16 @@ def _refresh_derived(spark: SparkSession, index_dir: str) -> None:
     name is a symlink; the previous version is retained for one cycle),
     so a concurrent bm25_search never sees a missing path and an
     in-flight query keeps its already-resolved version (the
-    read_parquet_retry + realpath discipline on the serving side)."""
+    read_parquet_retry + realpath discipline on the serving side).
+
+    After BOTH swaps, ONE cross-layer snapshot manifest is committed
+    (layout.commit_live_snapshot): each flip is atomic per layer, but a
+    reader landing between the lexicon and stats swaps would otherwise
+    pair a new lexicon with old stats — bm25_search resolves all its
+    layers from one manifest read, so it sees the whole refresh or none
+    of it."""
     from migrate_cassandra_to_mysql_spark.operators.layout import (
+        commit_live_snapshot,
         swap_live_dir,
     )
 
@@ -210,6 +222,7 @@ def _refresh_derived(spark: SparkSession, index_dir: str) -> None:
     )
     for part in ("lexicon", "stats"):
         swap_live_dir(index_dir, part)
+    commit_live_snapshot(index_dir, LAYERS)
 
 
 def compact_postings(
@@ -240,6 +253,7 @@ def compact_postings(
     import os as _os
 
     from migrate_cassandra_to_mysql_spark.operators.layout import (
+        commit_live_snapshot,
         compact_partitioned,
         swap_live_dir,
     )
@@ -275,6 +289,10 @@ def compact_postings(
         "bytes": dl_bytes,
     }
     swap_live_dir(index_dir, "doclens")
+    # One manifest commit AFTER both swaps: readers flip from the old
+    # consistent set to the new one atomically (content-identical here,
+    # but the uniform commit point keeps the reader contract simple).
+    commit_live_snapshot(index_dir, LAYERS)
     return stats
 
 
@@ -297,12 +315,17 @@ def bm25_search(
     (the sole data shuffle) is sized by matching docs; TakeOrdered ends
     the plan.
 
-    Reads retry through the rename-swap window (layout.read_parquet_retry
-    — a concurrent _refresh_derived/compact_postings briefly unlinks the
-    live dirs; VERDICT r7 ask #7 made the documented 'readers should
-    retry' contract real)."""
+    Reads resolve ALL layers from ONE cross-layer snapshot manifest
+    (layout.resolve_live_snapshot — committed by maintenance after all
+    its layer swaps), so a query can never pair a new lexicon with old
+    stats however unluckily it lands inside a refresh; pre-manifest
+    stores fall back to per-layer live-symlink pinning. Each resolved
+    path then retries through the rename-swap window
+    (layout.read_parquet_retry; VERDICT r7 ask #7 made the documented
+    'readers should retry' contract real)."""
     from migrate_cassandra_to_mysql_spark.operators.layout import (
         read_parquet_retry,
+        resolve_live_snapshot,
     )
 
     terms = list(terms)
@@ -313,19 +336,20 @@ def bm25_search(
 
         score_sql = _bm25_score_sql(len(terms))
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    layer = resolve_live_snapshot(index_dir, LAYERS)
     postings = (
-        read_parquet_retry(spark, f"{index_dir}/postings")
+        read_parquet_retry(spark, layer["postings"])
         .where(F.col("bucket").isin(buckets))
         .where(F.col("tok").isin(terms))
         .select("doc_id", "dl", "tok", "tf")
     )
     lexicon = (
-        read_parquet_retry(spark, f"{index_dir}/lexicon")
+        read_parquet_retry(spark, layer["lexicon"])
         .where(F.col("bucket").isin(buckets))
         .where(F.col("tok").isin(terms))
         .select("tok", "df")
     )
-    stats = read_parquet_retry(spark, f"{index_dir}/stats")
+    stats = read_parquet_retry(spark, layer["stats"])
     pivoted = (
         postings.join(F.broadcast(lexicon), "tok")
         .groupBy("doc_id")

@@ -443,6 +443,79 @@ def ensure_live_dir(
         return str(vdir)
 
 
+_SNAPSHOT_NAME = "_snapshot.json"
+
+
+def commit_live_snapshot(parent_dir: str, parts: "Sequence[str]") -> None:
+    """Atomically record the CURRENT live version of each part in
+    `{parent_dir}/_snapshot.json` (write-temp + os.replace). This is the
+    cross-layer consistency half of the versioned-layout contract: each
+    swap_live_dir flip is atomic PER LAYER, but a store whose layers must
+    agree (an inverted index's postings/lexicon/stats) needs readers to
+    see them move TOGETHER — a maintainer therefore performs all its
+    layer swaps first and commits ONE manifest at the end, and readers
+    resolve every layer from one manifest read
+    (resolve_live_snapshot). A reader can then never pair a new lexicon
+    with old stats, however unluckily it lands between two swaps;
+    until the commit, readers keep the previous consistent set (whose
+    version dirs the swaps retain — prev + GC grace)."""
+    import json as _json
+    import os as _os
+
+    snap: dict[str, str] = {}
+    for part in parts:
+        live = _os.path.join(parent_dir, part)
+        if _os.path.islink(live):
+            snap[part] = _os.readlink(live)  # relative version-dir name
+        elif _os.path.isdir(live):
+            snap[part] = part  # legacy real dir: self-referential pin
+        else:
+            raise FileNotFoundError(
+                f"{live} has no live dir to snapshot — promote it first"
+            )
+    tmp = _os.path.join(parent_dir, _SNAPSHOT_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        _json.dump({"layers": snap}, f)
+    _os.replace(tmp, _os.path.join(parent_dir, _SNAPSHOT_NAME))
+
+
+def resolve_live_snapshot(
+    parent_dir: str, parts: "Sequence[str]"
+) -> dict[str, str]:
+    """One atomic read of `{parent_dir}/_snapshot.json` -> {part:
+    version-dir path}, the reader half of commit_live_snapshot's
+    cross-layer contract. Falls back to live-symlink resolution — still
+    per-layer-atomic, just not cross-layer — when the manifest is
+    absent (pre-manifest store), incomplete (a layer added since), or
+    references a version dir that no longer exists (a crashed
+    maintainer's stale manifest after GC: self-heal to the current
+    pointers instead of failing every read)."""
+    import json as _json
+    import os as _os
+
+    def _fallback() -> dict[str, str]:
+        return {
+            p: _os.path.realpath(_os.path.join(parent_dir, p))
+            for p in parts
+        }
+
+    try:
+        with open(_os.path.join(parent_dir, _SNAPSHOT_NAME)) as f:
+            layers = _json.load(f)["layers"]
+    except (FileNotFoundError, ValueError, KeyError):
+        return _fallback()
+    out: dict[str, str] = {}
+    for p in parts:
+        v = layers.get(p)
+        if v is None:
+            return _fallback()
+        d = _os.path.join(parent_dir, v)
+        if not _os.path.isdir(d):
+            return _fallback()
+        out[p] = d
+    return out
+
+
 def swap_live_dir(
     parent_dir: str,
     part: str,

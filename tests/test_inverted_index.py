@@ -308,3 +308,48 @@ def test_data_layers_are_versioned_from_first_build(spark, index_dir):
     for layer in ("postings", "doclens", "lexicon", "stats"):
         assert os.path.islink(f"{index_dir}/{layer}"), layer
         assert os.path.isdir(os.path.realpath(f"{index_dir}/{layer}")), layer
+
+
+def test_bm25_reads_are_snapshot_consistent_across_layer_swaps(
+    spark, sf_dir, tmp_path_factory
+):
+    """Cross-layer atomicity: a maintainer that has swapped ONE derived
+    layer but not yet committed the snapshot manifest must be invisible —
+    bm25_search resolves all layers from the manifest, so it keeps the
+    previous consistent set instead of pairing the new lexicon with old
+    stats. After the commit, reads flip to the new set atomically."""
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        commit_live_snapshot,
+        read_parquet_retry,
+        swap_live_dir,
+    )
+
+    d = str(tmp_path_factory.mktemp("invidx_snap"))
+    inverted_index.build_inverted_index(T(spark, sf_dir, "documents"), d)
+
+    def serve():
+        return inverted_index.bm25_search(
+            spark, d, _BM25_TERMS, k=10, score_sql=_bm25_score_sql()
+        ).toPandas()
+
+    before = serve()
+
+    # mid-refresh state: a lexicon whose dfs would visibly change every
+    # idf is swapped in, but the manifest is NOT yet committed
+    (
+        read_parquet_retry(spark, f"{d}/lexicon")
+        .withColumn("df", (F.col("df") * 1000).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{d}/lexicon.new")
+    )
+    swap_live_dir(d, "lexicon")
+    mid = serve()
+    assert list(mid["doc_id"]) == list(before["doc_id"])
+    assert (mid["bm25"].to_numpy() == before["bm25"].to_numpy()).all()
+
+    # commit: readers flip to the new (distorted) lexicon — proving the
+    # manifest, not the live symlink, is what bm25_search resolves
+    commit_live_snapshot(d, inverted_index.LAYERS)
+    after = serve()
+    assert (after["bm25"].to_numpy() != before["bm25"].to_numpy()).any()

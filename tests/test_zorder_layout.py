@@ -457,3 +457,69 @@ def test_ensure_live_dir_mutation_respects_maintainer_lock(tmp_path):
     # fast path works even while a maintainer holds the lock
     lock.write_text("held\n")
     assert ensure_live_dir(str(tmp_path), "postings") == tgt
+
+
+def test_live_snapshot_commit_and_resolve(tmp_path):
+    """commit_live_snapshot / resolve_live_snapshot: one atomic manifest
+    pins a cross-layer-consistent version set — a layer swapped AFTER the
+    commit stays invisible to readers until the NEXT commit; stale or
+    absent manifests fall back to live-symlink resolution."""
+    import os
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        commit_live_snapshot,
+        resolve_live_snapshot,
+        swap_live_dir,
+    )
+
+    parts = ("lexicon", "stats")
+    for p in parts:
+        (tmp_path / f"{p}.new").mkdir()
+        (tmp_path / f"{p}.new" / "f").write_text(f"{p}-v1")
+        swap_live_dir(str(tmp_path), p)
+    # no manifest yet: fallback == live symlinks
+    r = resolve_live_snapshot(str(tmp_path), parts)
+    assert r == {p: os.path.realpath(tmp_path / p) for p in parts}
+
+    commit_live_snapshot(str(tmp_path), parts)
+    r1 = resolve_live_snapshot(str(tmp_path), parts)
+    assert all(r1[p].endswith(f"{p}.v1") for p in parts)
+
+    # a maintainer mid-refresh: lexicon swapped to v2, stats NOT yet,
+    # manifest NOT yet committed -> readers still get the OLD consistent
+    # pair (v1+v1), never the mixed (v2 lexicon, v1 stats) state the
+    # live symlinks currently show
+    (tmp_path / "lexicon.new").mkdir()
+    (tmp_path / "lexicon.new" / "f").write_text("lexicon-v2")
+    swap_live_dir(str(tmp_path), "lexicon")
+    assert os.path.realpath(tmp_path / "lexicon").endswith("lexicon.v2")
+    assert resolve_live_snapshot(str(tmp_path), parts) == r1
+
+    # refresh completes: stats swap + ONE commit -> readers flip to the
+    # new consistent pair
+    (tmp_path / "stats.new").mkdir()
+    (tmp_path / "stats.new" / "f").write_text("stats-v2")
+    swap_live_dir(str(tmp_path), "stats")
+    commit_live_snapshot(str(tmp_path), parts)
+    r2 = resolve_live_snapshot(str(tmp_path), parts)
+    assert all(r2[p].endswith(f"{p}.v2") for p in parts)
+
+    # stale manifest (references a version dir GC has since removed —
+    # fabricated directly, since live GC only ever removes versions
+    # BELOW the current one and the numbering stays monotonic):
+    # self-heal to the current live pointers instead of failing reads
+    import json
+
+    (tmp_path / "_snapshot.json").write_text(
+        json.dumps(
+            {"layers": {"lexicon": "lexicon.v99", "stats": "stats.v2"}}
+        )
+    )
+    healed = resolve_live_snapshot(str(tmp_path), parts)
+    assert healed["lexicon"].endswith("lexicon.v2")
+    assert healed["stats"].endswith("stats.v2")
+
+    # a layer missing from the manifest (added since): fallback too
+    commit_live_snapshot(str(tmp_path), ("lexicon",))
+    r3 = resolve_live_snapshot(str(tmp_path), parts)
+    assert r3 == {p: os.path.realpath(tmp_path / p) for p in parts}
