@@ -644,3 +644,108 @@ def dup_ngram_spans(
         (F.max("pos") + k - F.min("pos")).cast("long").alias("span_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_grams"),
     ).drop("grp")
+
+
+def incremental_lsh_dedup(
+    docs_new: DataFrame,
+    docs_old: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Asymmetric near-dedup of an INCOMING batch against an INDEXED
+    corpus — the daily-ingest twin of lsh_candidates (which surfaces
+    pairs WITHIN one corpus). Reference scope: the reference tool has no
+    dedup at all; this is part of the training-data-pipeline extension
+    surface (SURVEY.md §6).
+
+    Returns one row per incoming document that has a near-duplicate
+    among the indexed documents: (doc_id, dup_of, jac_ppm) where dup_of
+    is the best match (highest exact Jaccard, ties to the lowest old
+    id) and jac_ppm = floor(|A∩B| * 1e6 / |A∪B|) — Jaccard in exact
+    integer parts-per-million, so ranking and the >=0.5 keep-threshold
+    (2*inter >= union) never touch float rounding (cross-engine
+    determinism; see the registry docstring's DECIMAL/floor rules).
+
+    Scale shape, in stages:
+    1. MinHash signatures for both sides via the shared map-side
+       construction (minhash_signatures — only n_hashes longs per doc
+       cross the wire). At 100 TB the indexed side's signature/band
+       table is a PRECOMPUTED artifact (~1e-4 of corpus bytes, append
+       it on ingest like the inverted index's postings); computing it
+       inline here keeps the catalog query self-contained.
+    2. Candidate generation is a band-key EQUI-JOIN of the incoming
+       side's band rows against the indexed side's — n_bands small rows
+       per incoming doc probe the corpus band table; nothing all-pairs,
+       and the shuffle is sized by band rows, not text.
+    3. Exact verification touches ONLY LSH-surviving pairs: the two
+       shingle-set arrays join in by doc id and intersect per pair
+       JVM-side (array_intersect inside codegen) — no shingle explode,
+       no posting list, because the candidate set is already
+       near-dup-sized.
+    4. One window (partition by incoming id) picks the best match —
+       the exchange is sized by surviving candidates.
+    """
+    n_bands = n_hashes // band_size
+
+    def band_rows(docs: DataFrame, id_alias: str) -> DataFrame:
+        sig = minhash_signatures(docs, text_col, k, n_hashes)
+        keys = [
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{b * band_size + i}") for i in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
+        return sig.select(
+            F.col("doc_id").alias(id_alias),
+            F.posexplode(F.array(*keys)).alias("band", "band_key"),
+        )
+
+    cand = (
+        band_rows(docs_new, "new_id")
+        .join(band_rows(docs_old, "old_id"), ["band", "band_key"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh_new = shingle_sets(docs_new, text_col, k).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("shset").alias("sh_a"),
+        F.size("shset").cast("long").alias("na"),
+    )
+    sh_old = shingle_sets(docs_old, text_col, k).select(
+        F.col("doc_id").alias("old_id"),
+        F.col("shset").alias("sh_b"),
+        F.size("shset").cast("long").alias("nb"),
+    )
+    scored = (
+        cand.join(sh_new, "new_id")
+        .join(sh_old, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("long")
+            .alias("inter"),
+            (F.col("na") + F.col("nb")).alias("sum_n"),
+        )
+        .withColumn("un", F.col("sum_n") - F.col("inter"))
+        .where(F.col("inter") * 2 >= F.col("un"))
+        .withColumn(
+            "jac_ppm",
+            F.expr("CAST((inter * CAST(1000000 AS BIGINT)) DIV un AS BIGINT)"),
+        )
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("jac_ppm"), F.asc("old_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("old_id").alias("dup_of"),
+            "jac_ppm",
+        )
+    )

@@ -128,7 +128,14 @@ PRIORITY: list[str] = [
     #     (-> bm25_topk_search + bm25_persisted_topk).
     # bench headliners retained in-window:
     "snapshot_sanitize",
-    "minhash_lsh_candidates",
+    # r10: minhash_lsh_candidates out on its green r1-r9 rows (bench.py
+    # still times it cold+warm) to admit the r10-NEW incremental
+    # (asymmetric) dedup — new ops earn their driver row in their own
+    # round. The incoming row embeds the identical minhash signature +
+    # banding construction as its candidate stage, and the dedup family
+    # keeps ngram_jaccard_pruned, dup_ngram_spans and dedup_clusters
+    # in-window:
+    "incremental_dedup_lsh",
     "ngram_jaccard_pruned",
     # r9 in: the skew A/B trio (plain vs salted on the same keys plus
     # the standalone plain join) replaces salted_skew_join's slot:

@@ -883,6 +883,77 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2)
 
 
+_INC_SIG_COLS = ", ".join(
+    f"min(substring(m, {4 * h + 1}, 4)) AS mh{h}" for h in range(8)
+)
+_INC_BANDS = "\n   UNION ALL ".join(
+    f"SELECT doc_id, side, {b} AS b, mh{2 * b} || '|' || mh{2 * b + 1} "
+    f"AS band_key FROM sig"
+    for b in range(4)
+)
+
+
+@register(
+    "incremental_dedup_lsh",
+    oracle=f"""
+WITH inc AS (SELECT doc_id + 1000000 AS doc_id,
+                    text || ' qz17 qz18 qz19' AS text
+             FROM documents WHERE doc_id % 25 = 0),
+ t AS (SELECT doc_id, {_TOKS_SQL} AS toks, 1 AS side FROM inc
+       UNION ALL
+       SELECT doc_id, {_TOKS_SQL} AS toks, 0 AS side FROM documents),
+ s AS (SELECT doc_id, side,
+              CASE WHEN len(toks) >= 3 THEN
+                list_distinct(list_transform(range(0, len(toks) - 2),
+                  i -> array_to_string(toks[i+1:i+3], ' ')))
+              ELSE [] END AS shset
+       FROM t),
+ m AS (SELECT doc_id, side, md5(unnest(shset)) AS m FROM s),
+ sig AS (SELECT doc_id, side, {_INC_SIG_COLS} FROM m GROUP BY 1, 2),
+ bands AS (
+   {_INC_BANDS}),
+ cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+          FROM bands n JOIN bands o ON n.b = o.b
+                                   AND n.band_key = o.band_key
+          WHERE n.side = 1 AND o.side = 0),
+ sc AS (SELECT c.new_id, c.old_id,
+               CAST(len(list_intersect(a.shset, b.shset)) AS BIGINT)
+                 AS inter,
+               CAST(len(a.shset) + len(b.shset) AS BIGINT) AS sum_n
+        FROM cand c
+        JOIN s a ON a.side = 1 AND a.doc_id = c.new_id
+        JOIN s b ON b.side = 0 AND b.doc_id = c.old_id),
+ j AS (SELECT new_id, old_id, inter, sum_n - inter AS un FROM sc
+       WHERE inter * 2 >= sum_n - inter),
+ r AS (SELECT new_id, old_id,
+              CAST(inter * 1000000 // un AS BIGINT) AS jac_ppm,
+              row_number() OVER (PARTITION BY new_id
+                                 ORDER BY inter * 1000000 // un DESC,
+                                          old_id) AS rnk
+       FROM j)
+SELECT new_id AS doc_id, old_id AS dup_of, jac_ppm FROM r WHERE rnk = 1
+""",
+)
+def incremental_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (asymmetric) near-dedup — dedup an INCOMING batch
+    against the already-INDEXED corpus, the daily-ingest decision every
+    training-data pipeline makes before appending new crawl data. The
+    incoming batch is a deterministic 4% resample of the corpus with a
+    3-token suffix (so matches are NEAR-duplicates, jac < 1, not byte
+    copies). Candidates come from an asymmetric band-key equi-join of
+    the incoming side's MinHash bands against the corpus band table
+    (operators/dedup.incremental_lsh_dedup — nothing all-pairs), exact
+    Jaccard verifies only LSH survivors via per-pair array intersection,
+    and jaccard is reported as floor-ppm BIGINT so ranking and the 0.5
+    threshold are exact integer math on both engines."""
+    docs = T(spark, sf_dir, "documents")
+    incoming = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qz17 qz18 qz19")).alias("text"),
+    )
+    return dedup.incremental_lsh_dedup(incoming, docs)
+
+
 @register(
     "repetition_signals",
     oracle="""
