@@ -622,3 +622,207 @@ def swap_live_dir(
             _shutil.rmtree(v, ignore_errors=True)
         # stale .bak from the pre-versioned scheme
         _shutil.rmtree(parent / f"{part}.bak", ignore_errors=True)
+
+
+def doctor_live_store(
+    parent_dir: str,
+    repair: bool = False,
+    gc_grace_seconds: float = 600.0,
+    lock_stale_seconds: float = 3600.0,
+) -> list[dict]:
+    """fsck for a versioned live-dir store (an inverted/IVFPQ index dir,
+    or any parent managed by swap_live_dir/ensure_live_dir): detect —
+    and with repair=True, fix — the debris an interrupted maintainer can
+    leave behind. Run it as an offline/quiescent maintenance pass (it
+    takes each part's maintainer lock for repairs, so it cannot race a
+    live maintainer; serving readers are safe throughout because every
+    repair preserves the live pointer's target).
+
+    Managed parts are DISCOVERED conservatively: a name participates
+    only if it has `{part}.v<N>` version dirs, a `{part}.new` staging
+    dir, or a live symlink. Frozen plain-dir layers (an IVFPQ index's
+    cells/pq/meta) never match and are never touched.
+
+    Findings (list of {part, kind, path, action} dicts; action is
+    "repaired" or "reported"):
+    - stranded_new: `{part}.new` left by a maintainer that crashed
+      before promoting. Repair: remove (the writer re-creates it).
+    - active_lock: a maintainer lock younger than lock_stale_seconds —
+      reported only, and ALL repairs for that part are skipped (the
+      owner may be alive; re-run after it finishes or goes stale).
+    - stale_lock: a lock older than lock_stale_seconds. Repair: remove.
+    - broken_symlink: live points at a version that no longer exists.
+      Repair: atomically repoint to the highest surviving version
+      (readers' retry absorbs the moment); reported-only if no version
+      survives (the store needs a rebuild).
+    - legacy_real_dir: live is a REAL dir while versioned state also
+      exists for the part (a writer predating the versioned scheme
+      touched a migrated store). Repair: adopt via ensure_live_dir.
+    - orphan_version: a version dir that is not the current target, not
+      the immediately-previous version (always retained one cycle), not
+      referenced by the snapshot manifest, and older than
+      gc_grace_seconds — exactly what swap-time GC would have removed
+      had the maintainer survived to its next flip. Repair: remove.
+    - stale_manifest: _snapshot.json references a version dir that no
+      longer exists (readers already self-heal past it via fallback).
+      Repair: re-commit the manifest from the current live pointers.
+    - debris: leftover `.{part}.ptr.tmp` / broken-lock temp files.
+      Repair: remove.
+    """
+    import json as _json
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    import time as _time
+    from pathlib import Path as _Path
+
+    parent = _Path(parent_dir)
+    findings: list[dict] = []
+
+    def note(part: str, kind: str, path: _Path, repaired: bool) -> None:
+        findings.append(
+            {
+                "part": part,
+                "kind": kind,
+                "path": str(path),
+                "action": "repaired" if repaired else "reported",
+            }
+        )
+
+    vpat = _re.compile(r"^(?P<part>.+)\.v(?P<n>\d+)$")
+    versions: dict[str, dict[int, _Path]] = {}
+    parts: set[str] = set()
+    for e in parent.iterdir():
+        m = vpat.match(e.name)
+        if m and e.is_dir() and not e.is_symlink():
+            parts.add(m.group("part"))
+            versions.setdefault(m.group("part"), {})[int(m.group("n"))] = e
+        elif e.name.endswith(".new") and e.is_dir():
+            parts.add(e.name[: -len(".new")])
+        elif e.is_symlink():
+            parts.add(e.name)
+
+    manifest_path = parent / _SNAPSHOT_NAME
+    manifest_layers: dict[str, str] = {}
+    if manifest_path.exists():
+        try:
+            with open(manifest_path) as f:
+                manifest_layers = _json.load(f)["layers"]
+        except (ValueError, KeyError):
+            manifest_layers = {}
+            note("_snapshot", "stale_manifest", manifest_path, False)
+
+    now = _time.time()
+    manifest_stale = False
+    for part in sorted(parts):
+        live = parent / part
+        lock = parent / f".{part}.swap.lock"
+        lock_age = None
+        if lock.exists():
+            lock_age = now - lock.stat().st_mtime
+            if lock_age <= lock_stale_seconds:
+                note(part, "active_lock", lock, False)
+                continue  # a live maintainer may own this part
+
+        def fix(kind: str, path: _Path, repair_fn) -> None:
+            if repair:
+                with _maintainer_lock(parent_dir, part, lock_stale_seconds):
+                    repair_fn()
+            note(part, kind, path, repair)
+
+        if lock_age is not None:
+            fix("stale_lock", lock, lambda: None)  # break = the lock
+            # _maintainer_lock already broke + released it during the
+            # repair acquisition; in report mode it stays for the owner.
+        for tmp in (parent / f".{part}.ptr.tmp",) + tuple(
+            parent.glob(f".{part}.swap.lock.broken.*")
+        ):
+            if tmp.is_symlink() or tmp.exists():
+                fix("debris", tmp, lambda t=tmp: t.unlink())
+        new = parent / f"{part}.new"
+        if new.exists():
+            fix(
+                "stranded_new",
+                new,
+                lambda n=new: _shutil.rmtree(n, ignore_errors=True),
+            )
+        part_versions = versions.get(part, {})
+        if live.is_symlink():
+            target = _os.readlink(live)
+            if not (parent / target).exists():
+                if part_versions:
+                    best = part_versions[max(part_versions)]
+
+                    def repoint(b=best, lv=live):
+                        tmp = parent / f".{lv.name}.ptr.tmp"
+                        if tmp.is_symlink() or tmp.exists():
+                            tmp.unlink()
+                        _os.symlink(b.name, tmp)
+                        _os.replace(tmp, lv)
+
+                    fix("broken_symlink", live, repoint)
+                else:
+                    note(part, "broken_symlink", live, False)
+        elif live.exists() and part_versions:
+            if repair:
+                ensure_live_dir(parent_dir, part, lock_stale_seconds)
+            note(part, "legacy_real_dir", live, repair)
+        elif not live.exists() and part_versions:
+            # versions with no live pointer at all (manually deleted):
+            # repoint to the highest surviving version
+            best = part_versions[max(part_versions)]
+
+            def relink(b=best, lv=live):
+                tmp = parent / f".{lv.name}.ptr.tmp"
+                if tmp.is_symlink() or tmp.exists():
+                    tmp.unlink()
+                _os.symlink(b.name, tmp)
+                _os.replace(tmp, lv)
+
+            fix("missing_live", live, relink)
+        # orphan versions: re-read the pointer (repairs above may have
+        # changed it)
+        current = (
+            _os.path.basename(_os.path.realpath(live))
+            if live.exists() or live.is_symlink()
+            else None
+        )
+        keep = {current} | set(manifest_layers.values())
+        ns = sorted(versions.get(part, {}))
+        if ns:
+            # the highest version is NEVER an orphan: it is either live
+            # or the only rebuild seed left
+            keep.add(f"{part}.v{max(ns)}")
+        if current in {f"{part}.v{n}" for n in ns} and len(ns) >= 2:
+            cur_n = int(current.rsplit(".v", 1)[1])
+            prev = [n for n in ns if n < cur_n]
+            if prev:
+                keep.add(f"{part}.v{max(prev)}")  # always-retained prev
+        for n in ns:
+            v = parent / f"{part}.v{n}"
+            if v.name in keep:
+                continue
+            try:
+                if now - v.stat().st_mtime < gc_grace_seconds:
+                    continue
+            except FileNotFoundError:
+                continue
+            fix(
+                "orphan_version",
+                v,
+                lambda vv=v: _shutil.rmtree(vv, ignore_errors=True),
+            )
+
+    for lname, vname in manifest_layers.items():
+        if not (parent / vname).is_dir():
+            manifest_stale = True
+            note(lname, "stale_manifest", manifest_path, repair)
+    if manifest_stale and repair:
+        alive = [
+            ln
+            for ln in manifest_layers
+            if (parent / ln).exists() or (parent / ln).is_symlink()
+        ]
+        if alive:
+            commit_live_snapshot(parent_dir, alive)
+    return findings

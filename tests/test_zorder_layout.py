@@ -523,3 +523,111 @@ def test_live_snapshot_commit_and_resolve(tmp_path):
     commit_live_snapshot(str(tmp_path), ("lexicon",))
     r3 = resolve_live_snapshot(str(tmp_path), parts)
     assert r3 == {p: os.path.realpath(tmp_path / p) for p in parts}
+
+
+def test_doctor_live_store_detects_and_repairs(tmp_path):
+    """doctor_live_store: each pathology an interrupted maintainer can
+    leave is detected in report mode and fixed in repair mode — without
+    ever moving a live pointer away from its current target or touching
+    frozen plain-dir layers."""
+    import json
+    import os
+    import time
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        commit_live_snapshot,
+        doctor_live_store,
+        swap_live_dir,
+    )
+
+    # a healthy two-layer store with history
+    for part in ("postings", "stats"):
+        for v in (1, 2):
+            (tmp_path / f"{part}.new").mkdir()
+            (tmp_path / f"{part}.new" / "f").write_text(f"{part}-v{v}")
+            swap_live_dir(str(tmp_path), part, gc_grace_seconds=9999)
+    commit_live_snapshot(str(tmp_path), ("postings", "stats"))
+    # a frozen plain-dir layer the doctor must never touch
+    (tmp_path / "cells").mkdir()
+    (tmp_path / "cells" / "f").write_text("frozen")
+
+    assert doctor_live_store(str(tmp_path)) == []
+
+    # pathologies:
+    (tmp_path / "postings.new").mkdir()  # stranded staging
+    lock = tmp_path / ".stats.swap.lock"
+    lock.write_text("dead\n")  # stale lock (aged below)
+    os.utime(lock, (time.time() - 7200, time.time() - 7200))
+    # orphan version: out of grace, below prev
+    orphan = tmp_path / "postings.v0"
+    orphan.mkdir()
+    (orphan / "f").write_text("ancient")
+    os.utime(orphan, (time.time() - 7200, time.time() - 7200))
+    # pointer temp debris
+    (tmp_path / ".postings.ptr.tmp").symlink_to("postings.v2")
+
+    report = doctor_live_store(str(tmp_path), gc_grace_seconds=600)
+    kinds = {(f["part"], f["kind"]): f["action"] for f in report}
+    assert kinds[("postings", "stranded_new")] == "reported"
+    assert kinds[("stats", "stale_lock")] == "reported"
+    assert kinds[("postings", "orphan_version")] == "reported"
+    assert kinds[("postings", "debris")] == "reported"
+    # report mode changed nothing
+    assert (tmp_path / "postings.new").exists()
+    assert lock.exists()
+    assert orphan.exists()
+
+    fixed = doctor_live_store(
+        str(tmp_path), repair=True, gc_grace_seconds=600
+    )
+    assert all(f["action"] == "repaired" for f in fixed)
+    assert not (tmp_path / "postings.new").exists()
+    assert not lock.exists()
+    assert not orphan.exists()
+    assert not (tmp_path / ".postings.ptr.tmp").is_symlink()
+    # live pointers untouched; frozen layer untouched
+    assert (tmp_path / "postings" / "f").read_text() == "postings-v2"
+    assert (tmp_path / "stats" / "f").read_text() == "stats-v2"
+    assert (tmp_path / "cells" / "f").read_text() == "frozen"
+    # current + prev versions retained
+    assert (tmp_path / "postings.v1").exists()
+    assert (tmp_path / "postings.v2").exists()
+    assert doctor_live_store(str(tmp_path)) == []
+
+    # an ACTIVE lock parks that part's repairs entirely
+    lock.write_text("alive\n")
+    report = doctor_live_store(str(tmp_path))
+    assert [(f["part"], f["kind"], f["action"]) for f in report] == [
+        ("stats", "active_lock", "reported")
+    ]
+    lock.unlink()
+
+    # broken live symlink: repoint to the highest surviving version
+    os.unlink(tmp_path / "stats")
+    os.symlink("stats.v99", tmp_path / "stats")
+    fixed = doctor_live_store(str(tmp_path), repair=True)
+    assert ("stats", "broken_symlink") in {
+        (f["part"], f["kind"]) for f in fixed
+    }
+    assert (tmp_path / "stats" / "f").read_text() == "stats-v2"
+
+    # missing live pointer entirely: relinked to the highest version
+    os.unlink(tmp_path / "stats")
+    fixed = doctor_live_store(str(tmp_path), repair=True)
+    assert ("stats", "missing_live") in {
+        (f["part"], f["kind"]) for f in fixed
+    }
+    assert (tmp_path / "stats" / "f").read_text() == "stats-v2"
+
+    # stale manifest (references a vanished version): re-committed from
+    # the current live pointers
+    (tmp_path / "_snapshot.json").write_text(
+        json.dumps({"layers": {"postings": "postings.v77", "stats": "stats.v2"}})
+    )
+    fixed = doctor_live_store(str(tmp_path), repair=True)
+    assert ("postings", "stale_manifest") in {
+        (f["part"], f["kind"]) for f in fixed
+    }
+    healed = json.loads((tmp_path / "_snapshot.json").read_text())["layers"]
+    assert healed == {"postings": "postings.v2", "stats": "stats.v2"}
+    assert doctor_live_store(str(tmp_path)) == []
