@@ -164,6 +164,8 @@ def main() -> None:
         ("dup_ngram_spans", "dup_ngram_spans"),
         ("ivfpq_persisted_rerank_topk", "ivfpq_persisted_rerank_build_and_serve"),
         ("ivfpq_persisted_rerank_topk", "ivfpq_persisted_rerank_serve"),
+        # r10: asymmetric incoming-batch dedup (band join + exact verify)
+        ("incremental_dedup_lsh", "incremental_dedup_lsh"),
     ):
         if nm in qs:
             t0 = time.perf_counter()
