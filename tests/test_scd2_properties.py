@@ -212,3 +212,121 @@ def test_dup_ngram_spans_matches_python_reference(spark, corpus):
         for r in dup_ngram_spans(docs, k=3, min_docs=2).collect()
     }
     assert got == _spans_reference(corpus, k=3, min_docs=2)
+
+
+# --- incremental_lsh_dedup randomized reference (same discipline) ------
+
+
+def _inc_dedup_reference(new_docs, old_docs, k=3, n_hashes=8, band_size=2):
+    """Pure-Python re-derivation of operators/dedup.incremental_lsh_dedup:
+    md5-slice MinHash lanes, banding, asymmetric candidate join, exact
+    Jaccard in floor-ppm, best-match ranking."""
+    import hashlib
+
+    def shset(text):
+        toks = text.split()
+        if len(toks) < k:
+            return set()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    def bands(ss):
+        lanes = [
+            min(
+                int(hashlib.md5(s.encode()).hexdigest()[4 * h : 4 * h + 4], 16)
+                for s in ss
+            )
+            for h in range(n_hashes)
+        ]
+        return {
+            (b, tuple(lanes[b * band_size : (b + 1) * band_size]))
+            for b in range(n_hashes // band_size)
+        }
+
+    old = {d: shset(t) for d, t in old_docs}
+    new = {d: shset(t) for d, t in new_docs}
+    old_b = {d: bands(ss) for d, ss in old.items() if ss}
+    new_b = {d: bands(ss) for d, ss in new.items() if ss}
+    out = set()
+    for nd, nb in new_b.items():
+        scored = []
+        for od, ob in old_b.items():
+            if not (nb & ob):
+                continue
+            inter = len(new[nd] & old[od])
+            un = len(new[nd]) + len(old[od]) - inter
+            if 2 * inter >= un:
+                scored.append((-((inter * 1000000) // un), od))
+        if scored:
+            neg_ppm, od = min(scored)
+            out.add((nd, od, -neg_ppm))
+    return out
+
+
+@st.composite
+def _two_corpora(draw):
+    vocab = ["a", "b", "c", "d"]
+    n_old = draw(st.integers(min_value=2, max_value=5))
+    old = [
+        (
+            i,
+            " ".join(
+                draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=10))
+            ),
+        )
+        for i in range(1, n_old + 1)
+    ]
+    # incoming: some perturbed copies of indexed docs (guaranteed near
+    # matches), some fresh random docs
+    new = []
+    nid = 101
+    for d, t in old:
+        if draw(st.booleans()):
+            new.append((nid, (t + " " + draw(st.sampled_from(vocab))).strip()))
+            nid += 1
+    for _ in range(draw(st.integers(min_value=0, max_value=2))):
+        new.append(
+            (
+                nid,
+                " ".join(
+                    draw(
+                        st.lists(
+                            st.sampled_from(vocab), min_size=0, max_size=10
+                        )
+                    )
+                ),
+            )
+        )
+        nid += 1
+    return new, old
+
+
+@given(corpora=_two_corpora())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_lsh_dedup_matches_python_reference(spark, corpora):
+    """Random incoming/indexed corpora over a 4-token vocabulary (dense
+    near-duplication by construction): the operator's best-match rows
+    must EQUAL an independently written pure-Python derivation of the
+    whole chain — MinHash lanes, banding, the asymmetric candidate join,
+    exact floor-ppm Jaccard, the 0.5 threshold, and the ranking
+    tie-break — for any input, including empty/short docs on either
+    side."""
+    from migrate_cassandra_to_mysql_spark.operators.dedup import (
+        incremental_lsh_dedup,
+    )
+
+    new_docs, old_docs = corpora
+    schema = "doc_id long, text string"
+    got = {
+        (r["doc_id"], r["dup_of"], r["jac_ppm"])
+        for r in incremental_lsh_dedup(
+            spark.createDataFrame(new_docs or [(None, None)], schema).where(
+                "doc_id IS NOT NULL"
+            ),
+            spark.createDataFrame(old_docs, schema),
+        ).collect()
+    }
+    assert got == _inc_dedup_reference(new_docs, old_docs)
