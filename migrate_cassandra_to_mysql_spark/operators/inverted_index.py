@@ -181,6 +181,67 @@ def append_to_inverted_index(
     _refresh_derived(spark, index_dir)
 
 
+def _manifest_layers(index_dir: str) -> tuple[str, ...]:
+    """The snapshot-manifest layer set: the four core layers, plus the
+    optional tombstone layer once the index has seen its first
+    delete_docs (a manifest that omits `deletes` on a store that HAS the
+    layer would make readers fall back to per-layer pinning — still
+    safe, just not cross-layer-atomic)."""
+    import os as _os
+
+    d = f"{index_dir}/deletes"
+    if _os.path.islink(d) or _os.path.isdir(d):
+        return LAYERS + ("deletes",)
+    return LAYERS
+
+
+def _load_deletes(spark: SparkSession, index_dir: str):
+    """The tombstone frame (doc_id) if the deletes layer exists and holds
+    any rows, else None. Deletion-sized — always broadcast-joined."""
+    import os as _os
+
+    d = f"{index_dir}/deletes"
+    if not (_os.path.islink(d) or _os.path.isdir(d)):
+        return None
+    deletes = spark.read.parquet(d).select("doc_id")
+    if deletes.isEmpty():
+        return None
+    return deletes
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> None:
+    """Delete documents from the persisted index — the right-to-be-
+    forgotten / takedown path a long-lived training-data index needs.
+    Tombstone design (the Iceberg/Delta equality-delete shape, rebuilt
+    on open parquet): the doc_ids append to a tiny versioned `deletes`
+    layer; serving anti-joins it broadcast-side; the derived layers
+    (df / n_docs / sum_dl) are refreshed EXCLUDING tombstoned docs
+    immediately, so served scores equal an index rebuilt without them
+    (pinned by test); the next compact_postings physically purges the
+    posting/doclens rows and resets the tombstone layer. Cost now:
+    O(tombstones) + the derived refresh — never a corpus rewrite; the
+    physical rewrite rides the compaction that was due anyway.
+
+    Maintenance op: same single-maintainer / quiescent-ingest contract
+    as _refresh_derived. `doc_ids` is a DataFrame with a doc_id column
+    or a Python iterable of ids."""
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        ensure_live_dir,
+    )
+
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        )
+    (
+        doc_ids.select(F.col("doc_id").cast("long"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(ensure_live_dir(index_dir, "deletes"))
+    )
+    _refresh_derived(spark, index_dir)
+
+
 def _refresh_derived(spark: SparkSession, index_dir: str) -> None:
     """Rebuild lexicon/ (from postings/) and stats/ (from doclens/, so
     NULL/empty-text docs count toward n_docs/sum_dl exactly like the
@@ -202,7 +263,17 @@ def _refresh_derived(spark: SparkSession, index_dir: str) -> None:
         swap_live_dir,
     )
 
+    deletes = _load_deletes(spark, index_dir)
     written = spark.read.parquet(f"{index_dir}/postings")
+    doclens = spark.read.parquet(f"{index_dir}/doclens")
+    if deletes is not None:
+        # Tombstoned docs are excluded from the derived layers the moment
+        # the deletion's refresh runs — df/n_docs/sum_dl then match an
+        # index rebuilt without those docs, even though their posting
+        # rows remain physically present until the next compaction purges
+        # them. The tombstone set is deletion-sized: broadcast anti-join.
+        written = written.join(F.broadcast(deletes), "doc_id", "left_anti")
+        doclens = doclens.join(F.broadcast(deletes), "doc_id", "left_anti")
     (
         written.groupBy("bucket", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -211,8 +282,7 @@ def _refresh_derived(spark: SparkSession, index_dir: str) -> None:
         .parquet(f"{index_dir}/lexicon.new")
     )
     (
-        spark.read.parquet(f"{index_dir}/doclens")
-        .agg(
+        doclens.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").alias("sum_dl"),
         )
@@ -222,7 +292,7 @@ def _refresh_derived(spark: SparkSession, index_dir: str) -> None:
     )
     for part in ("lexicon", "stats"):
         swap_live_dir(index_dir, part)
-    commit_live_snapshot(index_dir, LAYERS)
+    commit_live_snapshot(index_dir, _manifest_layers(index_dir))
 
 
 def compact_postings(
@@ -258,6 +328,14 @@ def compact_postings(
         swap_live_dir,
     )
 
+    deletes = _load_deletes(spark, index_dir)
+    purge = (
+        None
+        if deletes is None
+        else (
+            lambda df: df.join(F.broadcast(deletes), "doc_id", "left_anti")
+        )
+    )
     stats = compact_partitioned(
         spark,
         f"{index_dir}/postings",
@@ -265,6 +343,8 @@ def compact_postings(
         target_file_bytes=target_file_bytes,
         sort_within_by=["tok", "doc_id"],
         merge_sub_partitions_into="ingest_batch=0",
+        # tombstone purge rides the rewrite compaction does anyway
+        transform=purge,
     )
     swap_live_dir(index_dir, "postings")
     dl_files = [
@@ -274,10 +354,11 @@ def compact_postings(
     ]
     dl_bytes = sum(_os.path.getsize(p) for p in dl_files)
     dl_out_dir = f"{index_dir}/doclens.new/ingest_batch=0"
+    dl = spark.read.parquet(f"{index_dir}/doclens").drop("ingest_batch")
+    if purge is not None:
+        dl = purge(dl)
     (
-        spark.read.parquet(f"{index_dir}/doclens")
-        .drop("ingest_batch")
-        .coalesce(max(1, -(-dl_bytes // target_file_bytes)))
+        dl.coalesce(max(1, -(-dl_bytes // target_file_bytes)))
         .write.mode("overwrite")
         .parquet(dl_out_dir)
     )
@@ -289,10 +370,24 @@ def compact_postings(
         "bytes": dl_bytes,
     }
     swap_live_dir(index_dir, "doclens")
-    # One manifest commit AFTER both swaps: readers flip from the old
-    # consistent set to the new one atomically (content-identical here,
-    # but the uniform commit point keeps the reader contract simple).
-    commit_live_snapshot(index_dir, LAYERS)
+    if deletes is not None:
+        # tombstones are now physically purged from both data layers:
+        # reset the deletes layer to an EMPTY (schema-bearing) version —
+        # within the same manifest commit, so no reader can pair the
+        # purged postings with the stale tombstones or (worse) the
+        # UNpurged postings with the emptied tombstones
+        (
+            spark.createDataFrame([], "doc_id long")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/deletes.new")
+        )
+        swap_live_dir(index_dir, "deletes")
+    # One manifest commit AFTER all swaps: readers flip from the old
+    # consistent set to the new one atomically (content-identical for
+    # the data layers unless a purge ran; the uniform commit point keeps
+    # the reader contract simple either way).
+    commit_live_snapshot(index_dir, _manifest_layers(index_dir))
     return stats
 
 
@@ -336,13 +431,23 @@ def bm25_search(
 
         score_sql = _bm25_score_sql(len(terms))
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
-    layer = resolve_live_snapshot(index_dir, LAYERS)
+    layer = resolve_live_snapshot(index_dir, _manifest_layers(index_dir))
     postings = (
         read_parquet_retry(spark, layer["postings"])
         .where(F.col("bucket").isin(buckets))
         .where(F.col("tok").isin(terms))
         .select("doc_id", "dl", "tok", "tf")
     )
+    if "deletes" in layer:
+        # tombstoned docs are invisible to serving the moment the delete
+        # commits; the physical purge rides the next compaction
+        postings = postings.join(
+            F.broadcast(
+                read_parquet_retry(spark, layer["deletes"]).select("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
     lexicon = (
         read_parquet_retry(spark, layer["lexicon"])
         .where(F.col("bucket").isin(buckets))

@@ -211,6 +211,11 @@ def build_ivfpq_index(
         .parquet(f"{index_dir}/codes.new")
     )
     swap_live_dir(index_dir, "codes")
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        commit_live_snapshot,
+    )
+
+    commit_live_snapshot(index_dir, ("codes",))
 
 
 def append_to_ivfpq_index(
@@ -264,10 +269,12 @@ def compact_codes(
     tests/test_ivf_index.py. Quiescent-ingest contract for streamed
     indexes. Returns compaction stats."""
     from migrate_cassandra_to_mysql_spark.operators.layout import (
+        commit_live_snapshot,
         compact_partitioned,
         swap_live_dir,
     )
 
+    deletes = _load_vec_deletes(spark, index_dir)
     stats = compact_partitioned(
         spark,
         f"{index_dir}/codes",
@@ -275,8 +282,35 @@ def compact_codes(
         target_file_bytes=target_file_bytes,
         sort_within_by=["vec_id"],
         merge_sub_partitions_into="ingest_batch=0",
+        # tombstone purge rides the rewrite compaction does anyway
+        transform=None
+        if deletes is None
+        else (
+            lambda df: df.join(F.broadcast(deletes), "vec_id", "left_anti")
+        ),
     )
     swap_live_dir(index_dir, "codes")
+    if deletes is not None:
+        (
+            spark.createDataFrame([], "vec_id long")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/deletes.new")
+        )
+        swap_live_dir(index_dir, "deletes")
+    # ALWAYS re-commit after the codes swap: a manifest left pointing at
+    # the pre-compaction version would pin readers there — harmlessly at
+    # first (compaction is content-identical), but LATER APPENDS land in
+    # the new live version and manifest-pinned readers would miss them.
+    import os as _os
+
+    d = f"{index_dir}/deletes"
+    commit_live_snapshot(
+        index_dir,
+        ("codes", "deletes")
+        if _os.path.islink(d) or _os.path.isdir(d)
+        else ("codes",),
+    )
     return stats
 
 
@@ -306,6 +340,63 @@ def load_ivfpq_codebooks(
     by_mj = {(r["mi"], r["j"]): list(r["cv"]) for r in pq_rows}
     centers = [[by_mj[(mi, j)] for j in range(n)] for mi in range(m)]
     return cell_centroids, centers
+
+
+def _resolve_layers(index_dir: str) -> dict[str, str]:
+    """Snapshot-consistent layer resolution for the codes index: codes,
+    plus the tombstone layer once delete_vectors has run (two mutable
+    layers must move together — see inverted_index._manifest_layers)."""
+    import os as _os
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        resolve_live_snapshot,
+    )
+
+    parts = ("codes",)
+    d = f"{index_dir}/deletes"
+    if _os.path.islink(d) or _os.path.isdir(d):
+        parts = ("codes", "deletes")
+    return resolve_live_snapshot(index_dir, parts)
+
+
+def delete_vectors(spark: SparkSession, index_dir: str, vec_ids) -> None:
+    """Delete vectors from the persisted IVFADC index — tombstone twin of
+    inverted_index.delete_docs (equality-delete shape): vec_ids append to
+    a tiny versioned `deletes` layer and a manifest commit makes them
+    invisible to every subsequent search atomically; the next
+    compact_codes physically purges the code rows and resets the layer.
+    Cost now: O(tombstones); no codebook retrain, no cell rewrite (the
+    frozen-codebook contract is untouched — deletions only remove
+    candidates). Same single-maintainer / quiescent-ingest contract as
+    compact_codes."""
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        commit_live_snapshot,
+        ensure_live_dir,
+    )
+
+    if not isinstance(vec_ids, DataFrame):
+        vec_ids = spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "vec_id long"
+        )
+    (
+        vec_ids.select(F.col("vec_id").cast("long"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(ensure_live_dir(index_dir, "deletes"))
+    )
+    commit_live_snapshot(index_dir, ("codes", "deletes"))
+
+
+def _load_vec_deletes(spark: SparkSession, index_dir: str):
+    import os as _os
+
+    d = f"{index_dir}/deletes"
+    if not (_os.path.islink(d) or _os.path.isdir(d)):
+        return None
+    deletes = spark.read.parquet(d).select("vec_id")
+    if deletes.isEmpty():
+        return None
+    return deletes
 
 
 def ivfpq_search(
@@ -348,11 +439,24 @@ def ivfpq_search(
         ).alias("q_cell"),
     )
     probed = [r["q_cell"] for r in q.select("q_cell").distinct().collect()]
+    layer = _resolve_layers(index_dir)
     codes = (
-        read_parquet_retry(spark, f"{index_dir}/codes")
+        read_parquet_retry(spark, layer["codes"])
         .where(F.col("cell").isin(probed))
         .select("vec_id", "codes", F.col("cell").cast("long").alias("cell"))
     )
+    if "deletes" in layer:
+        # tombstoned vectors are invisible the moment the delete commits;
+        # the physical purge rides the next compact_codes (same manifest
+        # discipline as the inverted index, so a reader can never pair
+        # purged codes with emptied tombstones or vice versa)
+        codes = codes.join(
+            F.broadcast(
+                read_parquet_retry(spark, layer["deletes"]).select("vec_id")
+            ),
+            "vec_id",
+            "left_anti",
+        )
     qv_sql = (
         sim._residual_sql("qv", "q_cell", cell_centroids)
         if residual

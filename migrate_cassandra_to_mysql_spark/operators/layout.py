@@ -128,6 +128,7 @@ def compact_small_files(
     out_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_within_by: list[str] | None = None,
+    transform=None,
 ) -> dict:
     """Bin-pack a small-files parquet directory into ~target-size files —
     the maintenance primitive every streaming/append workload needs (a
@@ -161,7 +162,13 @@ def compact_small_files(
     ]
     total = sum(_os.path.getsize(p) for p in set(parts))
     n_out = max(1, -(-total // target_file_bytes))
-    df = spark.read.parquet(src_dir).coalesce(n_out)
+    df = spark.read.parquet(src_dir)
+    if transform is not None:
+        # row-level rewrite hook (tombstone purges ride compaction — the
+        # one pass that already rewrites every surviving row); must not
+        # touch partition-path columns
+        df = transform(df)
+    df = df.coalesce(n_out)
     if sort_within_by:
         df = df.sortWithinPartitions(*sort_within_by)
     df.write.mode("overwrite").parquet(out_dir)
@@ -178,6 +185,7 @@ def compact_partitioned(
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_within_by: list[str] | None = None,
     merge_sub_partitions_into: str | None = None,
+    transform=None,
 ) -> dict:
     """compact_small_files for a hive-partitioned layout (e.g. an index's
     postings/bucket=N or codes/cell=N): each partition directory is
@@ -213,6 +221,7 @@ def compact_partitioned(
                 f"{out_dir}/{name}",
                 target_file_bytes=target_file_bytes,
                 sort_within_by=sort_within_by,
+                transform=transform,
             )
         sub_col = merge_sub_partitions_into.split("=", 1)[0]
         files_in = [
@@ -223,7 +232,10 @@ def compact_partitioned(
         total = sum(_os.path.getsize(p) for p in files_in)
         n_out = max(1, -(-total // target_file_bytes))
         out = f"{out_dir}/{name}/{merge_sub_partitions_into}"
-        df = spark.read.parquet(d).drop(sub_col).coalesce(n_out)
+        df = spark.read.parquet(d).drop(sub_col)
+        if transform is not None:
+            df = transform(df)
+        df = df.coalesce(n_out)
         if sort_within_by:
             df = df.sortWithinPartitions(*sort_within_by)
         df.write.mode("overwrite").parquet(out)

@@ -353,3 +353,54 @@ def test_bm25_reads_are_snapshot_consistent_across_layer_swaps(
     commit_live_snapshot(d, inverted_index.LAYERS)
     after = serve()
     assert (after["bm25"].to_numpy() != before["bm25"].to_numpy()).any()
+
+
+def test_delete_docs_tombstone_then_purge(spark, sf_dir, tmp_path_factory):
+    """Tombstone deletion lifecycle for the inverted index: delete_docs
+    makes documents invisible to bm25 IMMEDIATELY — including their
+    effect on df / n_docs / sum_dl, so served scores EQUAL an index
+    rebuilt without them (not merely 'rows filtered'); compact_postings
+    then physically purges postings+doclens rows and resets the
+    tombstone layer with results unchanged."""
+    d = str(tmp_path_factory.mktemp("invidx_del"))
+    docs = T(spark, sf_dir, "documents")
+    inverted_index.build_inverted_index(docs, d)
+
+    def serve(idx):
+        return inverted_index.bm25_search(
+            spark, idx, _BM25_TERMS, k=10, score_sql=_bm25_score_sql()
+        ).toPandas()
+
+    before = serve(d)
+    victims = [int(x) for x in before["doc_id"].head(3)]
+
+    inverted_index.delete_docs(spark, d, victims)
+    got = serve(d)
+    assert not (set(got["doc_id"]) & set(victims))
+
+    ref = str(tmp_path_factory.mktemp("invidx_del_ref"))
+    inverted_index.build_inverted_index(
+        docs.where(~F.col("doc_id").isin(victims)), ref
+    )
+    want = serve(ref)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert (got["bm25"].to_numpy() == want["bm25"].to_numpy()).all()
+
+    # physical purge rides compaction; results unchanged, layer reset
+    inverted_index.compact_postings(spark, d)
+    after = serve(d)
+    assert list(after["doc_id"]) == list(want["doc_id"])
+    assert (after["bm25"].to_numpy() == want["bm25"].to_numpy()).all()
+    assert spark.read.parquet(f"{d}/deletes").count() == 0
+    left = (
+        spark.read.parquet(f"{d}/postings")
+        .where(F.col("doc_id").isin(victims))
+        .count()
+    )
+    assert left == 0
+    assert (
+        spark.read.parquet(f"{d}/doclens")
+        .where(F.col("doc_id").isin(victims))
+        .count()
+        == 0
+    )

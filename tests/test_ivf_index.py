@@ -374,3 +374,73 @@ def test_default_build_is_deterministic(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{d2}/codes").collect()
     )
     assert a == b
+
+
+def test_delete_vectors_tombstone_then_purge(spark, sf_dir):
+    """Tombstone deletion lifecycle: delete_vectors makes vectors
+    invisible to search IMMEDIATELY (manifest-committed tombstones,
+    physical codes untouched); results equal an index rebuilt without
+    them under the same frozen codebooks; compact_codes then physically
+    purges the rows and resets the tombstone layer — results unchanged,
+    no victim row left on disk."""
+    import glob
+
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        first_k_cell_centroids,
+        first_k_pq_centers,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    cells = first_k_cell_centroids(emb, 4)
+    centers = first_k_pq_centers(emb, 4, 4)
+    q = _queries(spark, sf_dir)
+
+    d = tempfile.mkdtemp(prefix="ivfpq_del_")
+    ivf_index.build_ivfpq_index(emb, d, cells, centers)
+    before = ivf_index.ivfpq_search(spark, d, q, k=3, n_probe=2).collect()
+    victims = sorted({r["n_id"] for r in before})[:3]
+    assert victims
+
+    ivf_index.delete_vectors(spark, d, victims)
+    got = sorted(
+        map(
+            tuple,
+            ivf_index.ivfpq_search(spark, d, q, k=3, n_probe=2).collect(),
+        )
+    )
+    assert not any(
+        r[1] in set(victims) for r in got
+    ), "tombstoned vector served"
+
+    ref_dir = tempfile.mkdtemp(prefix="ivfpq_del_ref_")
+    ivf_index.build_ivfpq_index(
+        emb.where(~F.col("vec_id").isin(victims)), ref_dir, cells, centers
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivf_index.ivfpq_search(
+                spark, ref_dir, q, k=3, n_probe=2
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    # physical purge
+    stats = ivf_index.compact_codes(spark, d)
+    assert stats["files_out"] >= 1
+    after = sorted(
+        map(
+            tuple,
+            ivf_index.ivfpq_search(spark, d, q, k=3, n_probe=2).collect(),
+        )
+    )
+    assert after == want
+    # tombstones reset; victims gone from the codes layer itself
+    assert spark.read.parquet(f"{d}/deletes").count() == 0
+    on_disk = {
+        r["vec_id"] for r in spark.read.parquet(f"{d}/codes").collect()
+    }
+    assert not (on_disk & set(victims))
+    # a batch that was never compacted keeps only ingest_batch=0
+    assert glob.glob(f"{d}/codes/cell=*/ingest_batch=0")
