@@ -152,9 +152,16 @@ PRIORITY: list[str] = [
     # trainer's slot:
     "bpe_apply_fixed",
     # r7 in: both persisted serving paths (the inline twins' green rows
-    # don't cover the on-disk index layout)
-    "ivfpq_persisted_topk",
-    "bm25_persisted_topk",
+    # don't cover the on-disk index layout).
+    # r10 (mid-round): both rotate out on green r7-r9 rows for their
+    # r10-NEW tombstone-deletion twins — the same persisted build +
+    # serving path (so the family keeps full coverage: the incoming rows
+    # run build_*_index AND *_search end-to-end) PLUS the delete_docs /
+    # delete_vectors lifecycle, oracled as corpus-minus-victims (the
+    # rebuild-without-equality contract). bm25_topk_search (inline) and
+    # ivfpq_persisted_rerank_topk (persisted rerank) stay in-window:
+    "ivfpq_tombstone_topk",
+    "bm25_tombstone_topk",
     # r7 in (q16 retained r9 as the anti-join shape holder); r9 in:
     # the four scalar-suite TPC-H members, individually verified
     "q16_supplier_relation_count",

@@ -464,7 +464,11 @@ def _bm25_score_sql(n_terms: int | None = None) -> str:
     return "round(" + " + ".join(terms) + ", 8)"
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(where: str = "") -> str:
+    """The BM25 top-k oracle; `where` optionally restricts the corpus
+    (e.g. the tombstone row's not-deleted predicate) — it lands in the
+    tokenizing CTE so dl/df/n_docs/sum_dl all reflect the restriction,
+    exactly like a rebuild-without-the-deleted-docs."""
     tf_cols = ",\n              ".join(
         f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
         for i, t in enumerate(_BM25_TERMS)
@@ -476,7 +480,7 @@ def _bm25_oracle() -> str:
     )
     hits = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
     return f"""
-WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents{where}),
  d AS (SELECT doc_id,
               CAST(len(toks) AS BIGINT) AS dl,
               {tf_cols}
@@ -618,6 +622,59 @@ def bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return d
 
     index_dir = memo(("inverted_index", sf_dir), _build)
+    return inverted_index.bm25_search(
+        spark, index_dir, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
+    )
+
+
+# Tombstone-delete victims for the persisted-index deletion rows: a
+# deterministic ~1% slice (doc/vec ids 13, 110, 207, 304, 401 over the
+# 0..499 id range), disjoint from the vector rows' % 100 == 0 query set,
+# and expressible identically in Spark and DuckDB.
+_TOMBSTONE_MOD, _TOMBSTONE_RESIDUE = 97, 13
+
+
+@register(
+    "bm25_tombstone_topk",
+    oracle=_bm25_oracle(
+        where=f" WHERE doc_id % {_TOMBSTONE_MOD} <> {_TOMBSTONE_RESIDUE}"
+    ),
+)
+def bm25_tombstone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_persisted_topk through the DELETION lifecycle: build the
+    persisted inverted index, delete_docs a deterministic ~1% victim
+    slice (the right-to-be-forgotten / takedown path), then serve the
+    same keyword query. The oracle is the plain BM25 SQL over the corpus
+    MINUS the victims — i.e. served scores must equal an index rebuilt
+    without them, which is the tombstone contract: deletions are visible
+    the moment their manifest commits (broadcast anti-join on a
+    deletion-sized tombstone layer), df/n_docs/sum_dl refresh excluding
+    the victims, and the physical purge rides the next compaction
+    (operators/inverted_index.delete_docs; lifecycle incl. post-purge
+    equality pinned in tests/test_inverted_index.py).
+
+    Scale shape: identical to bm25_persisted_topk serving — term-bucket
+    PartitionFilters, posting-list-sized reads — plus one broadcast
+    anti-join; delete cost is O(tombstones) + the derived-layer refresh,
+    never a corpus rewrite."""
+    from migrate_cassandra_to_mysql_spark.operators import inverted_index
+    from migrate_cassandra_to_mysql_spark.plans._work import memo, workdir
+
+    docs = T(spark, sf_dir, "documents")
+
+    def _build() -> str:
+        d = workdir("mc2m_invidx_del_")
+        inverted_index.build_inverted_index(docs, d)
+        inverted_index.delete_docs(
+            spark,
+            d,
+            docs.select("doc_id").where(
+                F.col("doc_id") % _TOMBSTONE_MOD == _TOMBSTONE_RESIDUE
+            ),
+        )
+        return d
+
+    index_dir = memo(("inverted_index_tombstone", sf_dir), _build)
     return inverted_index.bm25_search(
         spark, index_dir, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
     )

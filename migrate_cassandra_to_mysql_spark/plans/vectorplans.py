@@ -851,3 +851,84 @@ def ivfpq_persisted_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index.ivfpq_search_rerank(
         spark, index_dir, queries, corpus=emb, k=3, n_probe=2, shortlist=20
     )
+
+
+def _ivfpq_tombstone_oracle() -> str:
+    """The IVFADC oracle with the tombstone victims excluded from the
+    CANDIDATE side only (codebooks and cell assignment are frozen — a
+    deletion removes candidates, never retrains; queries come from the
+    embeddings table, not the index). Splices the exclusion into the
+    `ad` CTE's self-exclusion clause and raises loudly if that anchor
+    text ever changes (the _rerank_oracle anchor discipline)."""
+    from migrate_cassandra_to_mysql_spark.plans.textplans import (
+        _TOMBSTONE_MOD,
+        _TOMBSTONE_RESIDUE,
+    )
+
+    base = _ivfpq_oracle()
+    anchor = "WHERE enc.vec_id <> qd.q_id"
+    if anchor not in base:
+        raise ValueError(
+            "embedding_ivfpq_topk oracle lost its candidate "
+            "self-exclusion anchor - _ivfpq_tombstone_oracle can no "
+            "longer splice the deletion predicate"
+        )
+    return base.replace(
+        anchor,
+        anchor
+        + f" AND enc.vec_id % {_TOMBSTONE_MOD} <> {_TOMBSTONE_RESIDUE}",
+    )
+
+
+@register("ivfpq_tombstone_topk", oracle=_ivfpq_tombstone_oracle())
+def ivfpq_tombstone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivfpq_persisted_topk through the DELETION lifecycle: build the
+    persisted IVFADC index, delete_vectors the deterministic ~1% victim
+    slice (ids % 97 == 13 — disjoint from the % 100 == 0 query set),
+    then serve the same top-3 ADC queries. The oracle is the IVFADC SQL
+    with the victims excluded as candidates — i.e. served neighbors must
+    equal an index rebuilt without them under the SAME frozen codebooks,
+    which is the tombstone contract (operators/ivf_index.delete_vectors:
+    manifest-committed tombstone layer, broadcast anti-join at serve
+    time, physical purge + layer reset riding the next compact_codes;
+    lifecycle pinned in tests/test_ivf_index.py).
+
+    Scale shape: identical to ivfpq_persisted_topk — probed-cell
+    PartitionFilters, m-byte codes — plus one broadcast anti-join on the
+    deletion-sized tombstone set; delete cost is O(tombstones), no cell
+    rewrite, no retrain."""
+    from migrate_cassandra_to_mysql_spark.operators import ivf_index
+    from migrate_cassandra_to_mysql_spark.plans._work import memo, workdir
+    from migrate_cassandra_to_mysql_spark.plans.textplans import (
+        _TOMBSTONE_MOD,
+        _TOMBSTONE_RESIDUE,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    cells = memo(
+        ("ivfpq_cells", sf_dir),
+        lambda: similarity.first_k_cell_centroids(emb, 4),
+    )
+    centers = memo(
+        ("pq_centers", sf_dir),
+        lambda: similarity.first_k_pq_centers(emb, 4, 4),
+    )
+
+    def _build() -> str:
+        d = workdir("mc2m_ivfpq_del_")
+        ivf_index.build_ivfpq_index(emb, d, cells, centers)
+        ivf_index.delete_vectors(
+            spark,
+            d,
+            emb.select("vec_id").where(
+                F.col("vec_id") % _TOMBSTONE_MOD == _TOMBSTONE_RESIDUE
+            ),
+        )
+        return d
+
+    index_dir = memo(("ivfpq_index_tombstone", sf_dir), _build)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return ivf_index.ivfpq_search(spark, index_dir, queries, k=3, n_probe=2)
