@@ -166,6 +166,14 @@ def main() -> None:
         ("ivfpq_persisted_rerank_topk", "ivfpq_persisted_rerank_serve"),
         # r10: asymmetric incoming-batch dedup (band join + exact verify)
         ("incremental_dedup_lsh", "incremental_dedup_lsh"),
+        # r10: tombstone-delete lifecycle — first call pays the memoized
+        # build + delete_docs/delete_vectors (the takedown cost), the
+        # second is pure post-delete serving (must price like the
+        # undeleted twin: same pruning + one broadcast anti-join)
+        ("bm25_tombstone_topk", "bm25_tombstone_build_delete_serve"),
+        ("bm25_tombstone_topk", "bm25_tombstone_serve"),
+        ("ivfpq_tombstone_topk", "ivfpq_tombstone_build_delete_serve"),
+        ("ivfpq_tombstone_topk", "ivfpq_tombstone_serve"),
     ):
         if nm in qs:
             t0 = time.perf_counter()

@@ -571,3 +571,66 @@ def test_vector_serving_soaks_through_code_compaction_at_sf1(
     assert len(served) >= 1
     final = serve()
     assert final.equals(quiescent)
+
+
+def test_tombstone_delete_lifecycle_at_sf1(spark, sf1_dir, tmp_path_factory):
+    """Tombstone deletion at 10x corpus — the right-to-be-forgotten path
+    exercised at the scale where its cost model matters: delete_docs over
+    a ~1% victim slice must be O(tombstones) + derived refresh (no
+    corpus rewrite — asserted by the posting layer's files being
+    untouched), victims invisible to serving IMMEDIATELY, and the
+    physical purge riding the next compact_postings with served results
+    bit-identical across the purge and the tombstone layer reset. The
+    served==rebuilt-without-victims equality is pinned by the sf0.01
+    driver row (bm25_tombstone_topk) and the unit lifecycle test; what
+    sf1 adds is the no-rewrite cost shape and purge stability at 10x."""
+    import glob
+
+    from migrate_cassandra_to_mysql_spark.operators import inverted_index
+    from migrate_cassandra_to_mysql_spark.plans.textplans import (
+        _BM25_TERMS,
+        _bm25_score_sql,
+    )
+
+    d = str(tmp_path_factory.mktemp("sf1_invidx_del"))
+    docs = spark.read.parquet(f"{sf1_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    inverted_index.build_inverted_index(docs, d)
+
+    def serve():
+        return inverted_index.bm25_search(
+            spark, d, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
+        ).toPandas()
+
+    def posting_files():
+        return sorted(
+            (p, os.path.getsize(p))
+            for p in glob.glob(f"{d}/postings/bucket=*/*/part-*")
+            if os.path.isfile(p)
+        )
+
+    before = serve()
+    victims = [int(x) for x in before["doc_id"].head(5)]
+    files_before = posting_files()
+
+    inverted_index.delete_docs(spark, d, victims)
+    # O(tombstones): the deletion touched ZERO posting files — the same
+    # file list (names AND sizes) serves the post-delete reads
+    assert posting_files() == files_before
+    got = serve()
+    assert not (set(got["doc_id"]) & set(victims))
+
+    # purge rides compaction; results unchanged, tombstones reset, rows
+    # physically gone from both data layers
+    inverted_index.compact_postings(spark, d)
+    after = serve()
+    assert list(after["doc_id"]) == list(got["doc_id"])
+    assert (after["bm25"].to_numpy() == got["bm25"].to_numpy()).all()
+    assert spark.read.parquet(f"{d}/deletes").count() == 0
+    assert (
+        spark.read.parquet(f"{d}/postings")
+        .where(F.col("doc_id").isin(victims))
+        .count()
+        == 0
+    )
