@@ -165,6 +165,15 @@ def append_to_inverted_index(
     )
 
     spark = docs_new.sparkSession
+    # Re-adding a TOMBSTONED doc_id (takedown reversal / corrected
+    # re-crawl) must supersede the deletion — but simply clearing the
+    # tombstone would resurrect the OLD physical rows beside the new
+    # copy (df/n_docs would double-count). Run the owed physical purge
+    # FIRST (the compaction that was scheduled to collect these
+    # tombstones anyway — O(index) rewrite, paid only when a re-add
+    # actually hits, which resets the layer), then append cleanly.
+    if _tombstone_hits(spark, index_dir, docs_new.select("doc_id")):
+        compact_postings(spark, index_dir)
     postings, doclens = encode_postings(docs_new, n_buckets, text_col)
     (
         postings.withColumn("ingest_batch", F.lit(0))
@@ -209,6 +218,27 @@ def _load_deletes(spark: SparkSession, index_dir: str):
     return deletes
 
 
+def _tombstone_hits(
+    spark: SparkSession, index_dir: str, ids_df, id_col: str = "doc_id"
+) -> list[int]:
+    """Which of `ids_df`'s ids are currently tombstoned. Scale shape:
+    the tombstone set broadcasts against the batch ids (map-side
+    semi-join probe — the batch never shuffles); only the matched ids
+    (bounded by the tombstone count, control-plane sized) collect. No
+    tombstones -> no jobs at all. Shared by both indexes (the vector
+    side passes id_col='vec_id' via its own loader)."""
+    deletes = _load_deletes(spark, index_dir)
+    if deletes is None:
+        return []
+    return [
+        r[id_col]
+        for r in ids_df.select(id_col)
+        .join(F.broadcast(deletes), id_col, "left_semi")
+        .distinct()
+        .collect()
+    ]
+
+
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> None:
     """Delete documents from the persisted index — the right-to-be-
     forgotten / takedown path a long-lived training-data index needs.
@@ -224,7 +254,11 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> None:
 
     Maintenance op: same single-maintainer / quiescent-ingest contract
     as _refresh_derived. `doc_ids` is a DataFrame with a doc_id column
-    or a Python iterable of ids."""
+    or a Python iterable of ids. A LATER batch append of a tombstoned
+    doc_id supersedes the deletion: append_to_inverted_index runs the
+    owed physical purge first (compact_postings) so the re-added copy
+    is the only one — streaming ingest instead rejects re-adds loudly
+    with that same recipe (stream_docs_into_inverted_index)."""
     from migrate_cassandra_to_mysql_spark.operators.layout import (
         ensure_live_dir,
     )

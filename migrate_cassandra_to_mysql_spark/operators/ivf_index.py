@@ -236,6 +236,12 @@ def append_to_ivfpq_index(
     )
 
     spark = embeddings_new.sparkSession
+    # Re-adding a TOMBSTONED vec_id supersedes the deletion; the old
+    # code rows must be physically gone before the new copy lands, so
+    # run the owed purge (compact_codes — which also resets the layer)
+    # first. See append_to_inverted_index for the rationale.
+    if _vec_tombstone_hits(spark, index_dir, embeddings_new.select("vec_id")):
+        compact_codes(spark, index_dir)
     cell_centroids, centers = load_ivfpq_codebooks(spark, index_dir)
     (
         sim.ivfpq_encode(
@@ -368,7 +374,10 @@ def delete_vectors(spark: SparkSession, index_dir: str, vec_ids) -> None:
     Cost now: O(tombstones); no codebook retrain, no cell rewrite (the
     frozen-codebook contract is untouched — deletions only remove
     candidates). Same single-maintainer / quiescent-ingest contract as
-    compact_codes."""
+    compact_codes. A LATER batch append of a tombstoned vec_id
+    supersedes the deletion (append_to_ivfpq_index purges first via
+    compact_codes); streaming ingest rejects re-adds loudly instead
+    (stream_vectors_into_ivfpq_index)."""
     from migrate_cassandra_to_mysql_spark.operators.layout import (
         commit_live_snapshot,
         ensure_live_dir,
@@ -397,6 +406,25 @@ def _load_vec_deletes(spark: SparkSession, index_dir: str):
     if deletes.isEmpty():
         return None
     return deletes
+
+
+def _vec_tombstone_hits(
+    spark: SparkSession, index_dir: str, ids_df
+) -> list[int]:
+    """Which of `ids_df`'s vec_ids are currently tombstoned — the vector
+    twin of inverted_index._tombstone_hits (broadcast-tombstone
+    semi-join probe over the batch, control-plane-sized collect; no
+    tombstones -> no jobs)."""
+    deletes = _load_vec_deletes(spark, index_dir)
+    if deletes is None:
+        return []
+    return [
+        r["vec_id"]
+        for r in ids_df.select("vec_id")
+        .join(F.broadcast(deletes), "vec_id", "left_semi")
+        .distinct()
+        .collect()
+    ]
 
 
 def ivfpq_search(

@@ -290,6 +290,38 @@ def stream_docs_into_inverted_index(
     snapshot_stream(spark, source_dir, checkpoint_dir, handle)
     if processed:
         inv._refresh_derived(spark, index_dir)
+        # A drained doc_id that is currently TOMBSTONED is a re-add of a
+        # deleted doc through the append-only stream. The index stays
+        # CONSISTENT either way — the tombstone masks both copies and
+        # the next compaction purges both — but that would silently
+        # discard the re-ingested content, so reject loudly instead
+        # (after the refresh: the drain itself is committed and every
+        # non-tombstoned doc serves normally). Probe ids come from the
+        # drained batches' own doclens partitions (no retained frames,
+        # replay-safe). A crash BETWEEN the refresh and this probe loses
+        # only the loudness: the state stays consistent (deletion wins,
+        # both copies purge at the next compaction) but the re-add goes
+        # unreported — unavoidable without per-row sequence numbers,
+        # since tombstoned docs' ORIGINAL rows also sit in doclens, so
+        # only the drain's own partitions can identify a re-add.
+        drained = spark.read.parquet(f"{index_dir}/doclens").where(
+            F.col("ingest_batch").isin([b + 1 for b in processed])
+        )
+        readds = inv._tombstone_hits(
+            spark, index_dir, drained.select("doc_id")
+        )
+        if readds:
+            raise ValueError(
+                f"drain ingested {len(readds)} doc_id(s) that are "
+                f"tombstoned in {index_dir} (e.g. {sorted(readds)[:5]}); "
+                "their content stays masked by the deletion and the "
+                "next compact_postings would purge BOTH copies. "
+                "Re-adds of deleted docs must go through the batch "
+                "path: run compact_postings (physical purge + "
+                "tombstone reset), then append_to_inverted_index with "
+                "the re-added docs. The drain itself committed; all "
+                "other documents serve normally."
+            )
     return processed
 
 
@@ -334,6 +366,27 @@ def stream_vectors_into_ivfpq_index(
         processed.append(batch_id)
 
     snapshot_stream(spark, source_dir, checkpoint_dir, handle)
+    if processed:
+        # re-ingesting a tombstoned vec_id through the append-only
+        # stream is rejected loudly — see the document path above.
+        drained = spark.read.parquet(f"{index_dir}/codes").where(
+            F.col("ingest_batch").isin([b + 1 for b in processed])
+        )
+        readds = ivf_index._vec_tombstone_hits(
+            spark, index_dir, drained.select("vec_id")
+        )
+        if readds:
+            raise ValueError(
+                f"drain ingested {len(readds)} vec_id(s) that are "
+                f"tombstoned in {index_dir} (e.g. {sorted(readds)[:5]}); "
+                "their codes stay masked by the deletion and the next "
+                "compact_codes would purge BOTH copies. Re-adds of "
+                "deleted vectors must go through the batch path: run "
+                "compact_codes (physical purge + tombstone reset), "
+                "then append_to_ivfpq_index with the re-added vectors. "
+                "The drain itself committed; all other vectors serve "
+                "normally."
+            )
     return processed
 
 

@@ -400,3 +400,50 @@ def test_upgrade_guard_marker_records_checkpoint_identity(tmp_path):
         f.write("ingest_batch = micro-batch id + 1\n")
     _check_batch_id_offset_upgrade(ckpt_b, idx)
     assert os.path.realpath(ckpt_b) in open(marker).read()
+
+
+def test_stream_rejects_readd_of_tombstoned_doc(
+    spark, sf_dir, tmp_path_factory
+):
+    """Re-ingesting a DELETED doc_id through the append-only stream is
+    rejected loudly (batch append supersedes deletions by purging
+    first; a foreachBatch stream cannot safely purge mid-drain, and
+    silently masking the re-ingested content — the pre-r10 behavior —
+    would discard it at the next compaction). The drain itself commits:
+    the non-tombstoned docs of the same batch serve normally, the
+    tombstone keeps masking the re-added doc, and a subsequent drain of
+    only-new docs is clean."""
+    root = tmp_path_factory.mktemp("ingest_readd")
+    src, ckpt, idx = (str(root / p) for p in ("src", "ckpt", "idx"))
+    docs = T(spark, sf_dir, "documents")
+
+    docs.where(F.col("doc_id") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert len(stream_docs_into_inverted_index(spark, src, ckpt, idx)) == 1
+
+    victims = [int(x) for x in _search(spark, idx)["doc_id"].head(2)]
+    inverted_index.delete_docs(spark, idx, victims)
+
+    # next drain re-adds the victims alongside genuinely new docs
+    docs.where(
+        (F.col("doc_id") % 3 == 1) | F.col("doc_id").isin(victims)
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="tombstoned"):
+        stream_docs_into_inverted_index(spark, src, ckpt, idx)
+
+    got = _search(spark, idx)
+    assert not (set(got["doc_id"]) & set(victims))  # deletion still wins
+    # the batch's OTHER docs landed and serve (drain committed)
+    assert (
+        spark.read.parquet(f"{idx}/doclens")
+        .where(F.col("doc_id") % 3 == 1)
+        .count()
+        > 0
+    )
+
+    # a clean follow-up drain (new docs only) passes the probe
+    docs.where(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert len(stream_docs_into_inverted_index(spark, src, ckpt, idx)) == 1

@@ -404,3 +404,44 @@ def test_delete_docs_tombstone_then_purge(spark, sf_dir, tmp_path_factory):
         .count()
         == 0
     )
+
+
+def test_readd_after_delete_supersedes(spark, sf_dir, tmp_path_factory):
+    """A tombstoned doc_id APPENDED again (takedown reversal / corrected
+    re-crawl) becomes visible with exactly its new content: the append
+    path runs the owed physical purge first (compact_postings), so the
+    re-added copy is the only one — served results, df, and n_docs must
+    equal the never-deleted index (a naive tombstone-clear would have
+    resurrected the OLD rows beside the new copy and double-counted)."""
+    docs = T(spark, sf_dir, "documents")
+    d = str(tmp_path_factory.mktemp("invidx_readd"))
+    inverted_index.build_inverted_index(docs, d)
+
+    def serve():
+        return inverted_index.bm25_search(
+            spark, d, _BM25_TERMS, k=10, score_sql=_bm25_score_sql()
+        ).toPandas()
+
+    want = serve()
+    victims = [int(x) for x in want["doc_id"].head(3)]
+    inverted_index.delete_docs(spark, d, victims)
+    assert not (set(serve()["doc_id"]) & set(victims))
+
+    inverted_index.append_to_inverted_index(
+        docs.where(F.col("doc_id").isin(victims)), d
+    )
+    got = serve()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert (got["bm25"].to_numpy() == want["bm25"].to_numpy()).all()
+    # exactly ONE physical copy of each re-added doc's doclens row, and
+    # the tombstone layer is reset
+    counts = (
+        spark.read.parquet(f"{d}/doclens")
+        .where(F.col("doc_id").isin(victims))
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    assert len(counts) == len(victims)
+    assert all(r["count"] == 1 for r in counts)
+    assert spark.read.parquet(f"{d}/deletes").count() == 0

@@ -444,3 +444,53 @@ def test_delete_vectors_tombstone_then_purge(spark, sf_dir):
     assert not (on_disk & set(victims))
     # a batch that was never compacted keeps only ingest_batch=0
     assert glob.glob(f"{d}/codes/cell=*/ingest_batch=0")
+
+
+def test_readd_after_delete_supersedes(spark, sf_dir, tmp_path_factory):
+    """Vector twin of the inverted-index re-add test: appending a
+    tombstoned vec_id supersedes the deletion (append_to_ivfpq_index
+    runs the owed physical purge first via compact_codes), so search
+    results equal the never-deleted index and exactly one physical code
+    row remains per re-added vector."""
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        first_k_cell_centroids,
+        first_k_pq_centers,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    cells = first_k_cell_centroids(emb, 4)
+    centers = first_k_pq_centers(emb, 4, 4)
+    q = _queries(spark, sf_dir)
+    d = str(tmp_path_factory.mktemp("ivfpq_readd"))
+    ivf_index.build_ivfpq_index(emb, d, cells, centers)
+
+    def serve():
+        return sorted(
+            map(
+                tuple,
+                ivf_index.ivfpq_search(
+                    spark, d, q, k=3, n_probe=2
+                ).collect(),
+            )
+        )
+
+    want = serve()
+    victims = sorted({r[1] for r in want})[:3]
+    assert victims
+    ivf_index.delete_vectors(spark, d, victims)
+    assert not any(r[1] in set(victims) for r in serve())
+
+    ivf_index.append_to_ivfpq_index(
+        emb.where(F.col("vec_id").isin(victims)), d
+    )
+    assert serve() == want
+    counts = (
+        spark.read.parquet(f"{d}/codes")
+        .where(F.col("vec_id").isin(victims))
+        .groupBy("vec_id")
+        .count()
+        .collect()
+    )
+    assert len(counts) == len(victims)
+    assert all(r["count"] == 1 for r in counts)
+    assert spark.read.parquet(f"{d}/deletes").count() == 0
