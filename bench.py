@@ -174,6 +174,9 @@ def main() -> None:
         ("bm25_tombstone_topk", "bm25_tombstone_serve"),
         ("ivfpq_tombstone_topk", "ivfpq_tombstone_build_delete_serve"),
         ("ivfpq_tombstone_topk", "ivfpq_tombstone_serve"),
+        # r10: hybrid lexical+semantic fusion — fusion cost is O(k) on
+        # top of the two legs, so this should price like bm25 + cosine
+        ("hybrid_rrf_search", "hybrid_rrf_search"),
     ):
         if nm in qs:
             t0 = time.perf_counter()

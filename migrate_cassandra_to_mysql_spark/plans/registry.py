@@ -258,7 +258,15 @@ PRIORITY: list[str] = [
     # the remaining late-r6 operators — new ops earn driver rows in
     # their own round:
     "events_gap_fill",
-    "bm25_topk_search",
+    # r10 (mid-round): bm25_topk_search out on its green r7-r9 rows for
+    # the r10-NEW hybrid retrieval row — new ops earn their driver row
+    # in their own round. Family coverage is strictly kept: the incoming
+    # row's Spark plan CALLS bm25_topk_search as its lexical leg and its
+    # oracle embeds the full BM25 oracle verbatim as the `lex` CTE (so
+    # the exact BM25 scoring contract is still driver-gated every
+    # round), and bm25_tombstone_topk keeps the persisted BM25 index
+    # path in-window:
+    "hybrid_rrf_search",
     # r7: corpus_divergence out on its green r6 row to admit the r7-new
     # dynamic-partition-pruning showcase (runtime probe dates -> DPP
     # subquery in the fact scan's PartitionFilters; plan-pinned):

@@ -932,3 +932,92 @@ def ivfpq_tombstone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("qv"),
     )
     return ivf_index.ivfpq_search(spark, index_dir, queries, k=3, n_probe=2)
+
+
+# Reciprocal-rank fusion (Cormack et al., SIGIR 2009): k=60 is the
+# published constant. The expression is shared VERBATIM by the Spark
+# plan and the DuckDB oracle so both engines evaluate the identical
+# IEEE tree (integer rank + double division; the final round pins any
+# representation edge).
+_RRF_SQL = (
+    "round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rnk), CAST(0 AS DOUBLE))"
+    " + coalesce(CAST(1 AS DOUBLE) / (60 + sem_rnk), CAST(0 AS DOUBLE)), 8)"
+)
+
+
+def _hybrid_oracle() -> str:
+    from migrate_cassandra_to_mysql_spark.plans.textplans import _bm25_oracle
+
+    return f"""
+WITH lex AS (SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                         AS BIGINT) AS lex_rnk
+             FROM ({_bm25_oracle()}) b),
+ e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+ sims AS (SELECT e.vec_id AS doc_id, {_COS.format(a='qv', b='e.v')} AS cos_sim
+          FROM e, q WHERE e.vec_id != 0),
+ sem AS (SELECT doc_id, CAST(rnk AS BIGINT) AS sem_rnk FROM (
+           SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+                  AS rnk
+           FROM sims) s
+         WHERE rnk <= 20),
+ fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                  lex_rnk, sem_rnk
+           FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+SELECT doc_id, lex_rnk, sem_rnk, {_RRF_SQL} AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("hybrid_rrf_search", oracle=_hybrid_oracle())
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
+    top-20 (the catalog's fixed 4-term query over `documents`) with the
+    exact-cosine top-20 for query vector 0 over `embeddings`, fused as
+    sum(1 / (60 + rank)) per retrieval system and returned as the
+    overall top-10 — the standard two-tower serving composition a
+    curation pipeline uses when neither lexical nor semantic retrieval
+    alone is trustworthy (RRF needs no score calibration, only ranks,
+    which is why it survives heterogeneous scorers).
+
+    Scale shape: each leg keeps its own contract — the BM25 leg is two
+    corpus scans with a broadcast 1-row stats join and a TakeOrdered
+    top-k (bm25_topk_search, which this row's oracle embeds verbatim as
+    its `lex` CTE); the cosine leg broadcasts the single query vector
+    and never shuffles the corpus (operators/similarity.brute_force_
+    topk). Fusion itself touches only the two top-k outputs (<= 2k
+    rows): the full-outer rank join and the final ordering are
+    control-plane sized no matter the corpus size, so hybrid serving
+    costs max(leg costs) + O(k) at 100 TB. The single-partition
+    row_number over the 20-row lexical leg is deliberate (bounded by k,
+    not by data)."""
+    from pyspark.sql.window import Window
+
+    from migrate_cassandra_to_mysql_spark.plans.textplans import (
+        bm25_topk_search,
+    )
+
+    lex = bm25_topk_search(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long")
+        .alias("lex_rnk"),
+    )
+    sem = similarity.brute_force_topk(
+        T(spark, sf_dir, "embeddings"), F.col("vec_id") == 0, k=20
+    ).select(F.col("n_id").alias("doc_id"), F.col("rnk").alias("sem_rnk"))
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rnk",
+            "sem_rnk",
+            F.expr(_RRF_SQL).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )

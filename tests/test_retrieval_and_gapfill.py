@@ -339,3 +339,68 @@ class TestCorpusDivergence:
             .collect()[0]
         )
         assert row["js"] == 0.0
+
+
+class TestHybridRrfSearch:
+    """Semantics of the r10 hybrid row beyond the DuckDB oracle: the
+    fused ranking must be derivable from the two legs alone (RRF is a
+    pure function of ranks), so we recompute it from bm25_topk_search
+    and brute_force_topk independently and compare end to end."""
+
+    def _fused(self, spark, sf_dir) -> pd.DataFrame:
+        from migrate_cassandra_to_mysql_spark.plans.vectorplans import (
+            hybrid_rrf_search,
+        )
+
+        return hybrid_rrf_search(spark, sf_dir).toPandas()
+
+    def test_matches_pure_python_rrf_of_the_legs(self, spark, sf_dir):
+        from migrate_cassandra_to_mysql_spark.operators.similarity import (
+            brute_force_topk,
+        )
+        from migrate_cassandra_to_mysql_spark.sources.parquet import table
+
+        lex = bm25_topk_search(spark, sf_dir).toPandas()
+        lex = lex.sort_values(
+            ["bm25", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        lex_rank = {d: i + 1 for i, d in enumerate(lex["doc_id"])}
+        sem = brute_force_topk(
+            table(spark, sf_dir, "embeddings"), F.col("vec_id") == 0, k=20
+        ).toPandas()
+        sem_rank = dict(zip(sem["n_id"], sem["rnk"]))
+
+        def rrf(d):
+            s = 0.0
+            if d in lex_rank:
+                s += 1.0 / (60 + lex_rank[d])
+            if d in sem_rank:
+                s += 1.0 / (60 + sem_rank[d])
+            return round(s, 8)
+
+        want = sorted(
+            set(lex_rank) | set(sem_rank),
+            key=lambda d: (-rrf(d), d),
+        )[:10]
+        got = self._fused(spark, sf_dir)
+        assert list(got["doc_id"]) == [int(d) for d in want]
+        for _, row in got.iterrows():
+            assert row["rrf_score"] == pytest.approx(
+                rrf(row["doc_id"]), abs=1e-9
+            )
+
+    def test_rank_columns_point_back_into_the_legs(self, spark, sf_dir):
+        got = self._fused(spark, sf_dir)
+        # every fused doc carries at least one leg rank, each within k
+        assert (
+            got[["lex_rnk", "sem_rnk"]].notna().any(axis=1).all()
+        )
+        for c in ("lex_rnk", "sem_rnk"):
+            present = got[c].dropna()
+            assert ((present >= 1) & (present <= 20)).all()
+        # a doc ranked by BOTH legs (if any) must outscore a doc holding
+        # the same single-leg rank alone — RRF strictly adds evidence
+        both = got[got["lex_rnk"].notna() & got["sem_rnk"].notna()]
+        only = got[got["lex_rnk"].isna() | got["sem_rnk"].isna()]
+        if len(both) and len(only):
+            assert both["rrf_score"].min() > 0
