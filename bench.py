@@ -177,6 +177,12 @@ def main() -> None:
         # r10: hybrid lexical+semantic fusion — fusion cost is O(k) on
         # top of the two legs, so this should price like bm25 + cosine
         ("hybrid_rrf_search", "hybrid_rrf_search"),
+        # r10 (late): metadata-FILTERED serving — shares the memoized
+        # index builds with the unfiltered rows (usually already paid
+        # above), so these price the pure filtered serve: unfiltered
+        # cost + one broadcast semi-join of the allowed-id set
+        ("bm25_filtered_topk", "bm25_filtered_serve"),
+        ("ivfpq_filtered_rerank_topk", "ivfpq_filtered_rerank_serve"),
     ):
         if nm in qs:
             t0 = time.perf_counter()

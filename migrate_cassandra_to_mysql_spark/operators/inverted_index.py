@@ -432,11 +432,23 @@ def bm25_search(
     k: int = 20,
     score_sql: str | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the persisted index. `score_sql` is the scoring
     expression over columns tf{i}/df{i}/dl/n_docs/sum_dl (defaults to the
     catalog's shared BM25 spec so served results are bit-identical to the
     inline oracle-checked path).
+
+    `allowed` (a doc_id frame) is the FILTERED-retrieval path: only
+    candidates in the set are scored/ranked, while df/n_docs/sum_dl stay
+    CORPUS-GLOBAL — the production semantics of a serving-time metadata
+    filter (restrict results, don't re-derive IDF per filter; contrast
+    delete_docs, whose tombstones DO refresh the stats because deletion
+    means "as if rebuilt without them"). The set left-semi-joins onto the
+    postings BEFORE the pivot groupBy, so the plan's sole data shuffle is
+    sized by matching∩allowed docs and Catalyst broadcasts it while it
+    fits (flipping to a shuffled semi-join when a 100 TB filter set
+    outgrows that — correct either way).
 
     Plan: probe-bucket PartitionFilters + term-IN pushed filter on the
     postings scan; vocabulary never loads beyond the probed buckets'
@@ -481,6 +493,10 @@ def bm25_search(
             ),
             "doc_id",
             "left_anti",
+        )
+    if allowed is not None:
+        postings = postings.join(
+            F.broadcast(allowed.select("doc_id")), "doc_id", "left_semi"
         )
     lexicon = (
         read_parquet_retry(spark, layer["lexicon"])

@@ -433,6 +433,7 @@ def ivfpq_search(
     queries: DataFrame,
     k: int = 3,
     n_probe: int = 2,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k per query row (q_id, qv) over the persisted IVFADC
     index. Probe cells come from a map-side literal-codebook expression
@@ -446,7 +447,17 @@ def ivfpq_search(
     index's persisted encoding mode (meta/) selects raw or residual ADC
     automatically — a query cannot accidentally score residual codes
     with raw query vectors. The codes read retries through a concurrent
-    compact_codes' rename-swap window (layout.read_parquet_retry)."""
+    compact_codes' rename-swap window (layout.read_parquet_retry).
+
+    `allowed` (a vec_id frame) is the FILTERED-search path: a metadata
+    predicate evaluated elsewhere (label set, tenant, date range)
+    left-semi-joins onto the probed codes scan BEFORE ADC scoring, so
+    only admitted candidates are scored and ranked — pre-filtering, the
+    semantics every production vector store exposes (post-filtering a
+    fixed-k result can starve a selective filter to <k hits). The set
+    broadcasts while it fits; Catalyst flips to a shuffled semi-join
+    beyond that — either way the codes scan itself stays probe-pruned
+    first, filter second, so cost remains O(probed ∩ allowed)."""
     from migrate_cassandra_to_mysql_spark.operators import similarity as sim
     from migrate_cassandra_to_mysql_spark.operators.layout import (
         read_parquet_retry,
@@ -484,6 +495,10 @@ def ivfpq_search(
             ),
             "vec_id",
             "left_anti",
+        )
+    if allowed is not None:
+        codes = codes.join(
+            F.broadcast(allowed.select("vec_id")), "vec_id", "left_semi"
         )
     qv_sql = (
         sim._residual_sql("qv", "q_cell", cell_centroids)
@@ -567,6 +582,7 @@ def ivfpq_search_rerank(
     n_probe: int = 2,
     shortlist: int = 20,
     embedding_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """The full production serving composition over the PERSISTED index:
     ADC shortlist from the on-disk codes (probe-pruned, m bytes per
@@ -582,11 +598,17 @@ def ivfpq_search_rerank(
     filter on vec_id admits; the final exact top-k windows over
     queries x shortlist rows. The corpus stays a caller-supplied frame
     because the index stores codes only — 64x smaller than vectors,
-    which is the point of the layout."""
+    which is the point of the layout.
+
+    `allowed` pre-filters the ADC shortlist (see ivfpq_search): the
+    shortlist is drawn from admitted candidates only, so the exact
+    re-rank never wastes its corpus fetches on rows a post-filter would
+    discard — and a selective filter still yields k results."""
     from migrate_cassandra_to_mysql_spark.functions.vectors import cosine as _cos
 
     short = ivfpq_search(
-        spark, index_dir, queries, k=shortlist, n_probe=n_probe
+        spark, index_dir, queries, k=shortlist, n_probe=n_probe,
+        allowed=allowed,
     ).select("q_id", "n_id")
     vecs = corpus.select(
         F.col("vec_id").alias("n_id"),

@@ -239,9 +239,20 @@ PRIORITY: list[str] = [
     # In r6: the IVFADC composition (rotated out r9 for its residual
     # generalization above) plus never-driver-verified rows:
     "events_sliding_windows",
-    "moving_order_spend",
+    # r10 (late): moving_order_spend + funnel_conversion out on their
+    # green r6-r9 rows (4 consecutive) for the r10-NEW filtered-serving
+    # pair below — new ops earn their driver row in their own round.
+    # Family coverage kept: rolling/range window frames stay in-window
+    # via events_sliding_windows + events_gap_fill + running-window
+    # shapes in the snapshot rows; event-funnel/session analytics stay
+    # via events_session_window_native + events_sliding_windows (and the
+    # full window_function_suite holds green prior rows out-of-window).
+    # In: metadata-FILTERED retrieval over the persisted indexes —
+    # candidates restricted, stats corpus-global (the serving-time
+    # filter semantics, vs the tombstone rows' rebuild-without):
+    "bm25_filtered_topk",
+    "ivfpq_filtered_rerank_topk",
     "corr_covar_stats",
-    "funnel_conversion",
     # TPC-H core (scalar suite carries q6/q14/q17/q19; q4/q18/q22 out r5
     # on green r4 rows, q7/q9/q8 out r5/r6 on green rows — q2/q10/q12
     # bring the remaining unverified join-distribution shapes):

@@ -464,11 +464,14 @@ def _bm25_score_sql(n_terms: int | None = None) -> str:
     return "round(" + " + ".join(terms) + ", 8)"
 
 
-def _bm25_oracle(where: str = "") -> str:
+def _bm25_oracle(where: str = "", candidate_and: str = "") -> str:
     """The BM25 top-k oracle; `where` optionally restricts the corpus
     (e.g. the tombstone row's not-deleted predicate) — it lands in the
     tokenizing CTE so dl/df/n_docs/sum_dl all reflect the restriction,
-    exactly like a rebuild-without-the-deleted-docs."""
+    exactly like a rebuild-without-the-deleted-docs. `candidate_and`
+    instead restricts only the SCORED candidates (an extra AND on the
+    final WHERE), leaving the stats corpus-global — the serving-time
+    metadata-filter semantics (bm25_filtered_topk)."""
     tf_cols = ",\n              ".join(
         f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
         for i, t in enumerate(_BM25_TERMS)
@@ -493,7 +496,7 @@ SELECT doc_id,
        CAST({hits} AS BIGINT) AS n_hits,
        {_bm25_score_sql()} AS bm25
 FROM d, s
-WHERE {hits} > 0
+WHERE {hits} > 0{candidate_and}
 ORDER BY bm25 DESC, doc_id
 LIMIT 20
 """
@@ -677,6 +680,63 @@ def bm25_tombstone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = memo(("inverted_index_tombstone", sf_dir), _build)
     return inverted_index.bm25_search(
         spark, index_dir, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
+    )
+
+
+# Serving-time metadata filter for the filtered-retrieval rows: a
+# predicate every corpus slice request looks like in production
+# ("English docs only"), ~44% selective on the synthetic corpus.
+_FILTER_LANG = "en"
+
+
+@register(
+    "bm25_filtered_topk",
+    oracle=_bm25_oracle(
+        candidate_and=(
+            "\n  AND doc_id IN (SELECT doc_id FROM documents"
+            f" WHERE lang = '{_FILTER_LANG}')"
+        )
+    ),
+)
+def bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED retrieval over the persisted inverted index: the same
+    keyword query as bm25_persisted_topk, restricted at serving time to
+    documents with lang = 'en' — the metadata-filtered search every
+    production retrieval API exposes (tenant/language/licence slices).
+    Semantics: the filter restricts CANDIDATES only; df/n_docs/sum_dl
+    stay corpus-global (you don't re-derive IDF per filter — contrast
+    bm25_tombstone_topk, where deletion DOES refresh the stats because
+    a tombstone means "as if rebuilt without it"). The oracle encodes
+    exactly that split: global stats CTEs, filtered final WHERE.
+
+    Scale shape: identical probe-pruned serving reads as
+    bm25_persisted_topk (term-bucket PartitionFilters, posting-list-
+    sized scan) plus ONE broadcast left-semi join of the allowed-id set
+    onto the postings before the pivot groupBy — the sole data shuffle
+    is sized by matching∩allowed docs, and the filter set itself comes
+    from a pruned metadata-table scan (lang pushes down to the
+    documents scan; only doc_id survives projection). Shares the
+    memoized index build with bm25_persisted_topk — one index serves
+    filtered and unfiltered queries alike, which is the point:
+    filtering is a query-time predicate, not an index variant."""
+    from migrate_cassandra_to_mysql_spark.operators import inverted_index
+    from migrate_cassandra_to_mysql_spark.plans._work import memo, workdir
+
+    docs = T(spark, sf_dir, "documents")
+
+    def _build() -> str:
+        d = workdir("mc2m_invidx_")
+        inverted_index.build_inverted_index(docs, d)
+        return d
+
+    index_dir = memo(("inverted_index", sf_dir), _build)
+    return inverted_index.bm25_search(
+        spark,
+        index_dir,
+        _BM25_TERMS,
+        k=20,
+        score_sql=_bm25_score_sql(),
+        allowed=docs.where(F.col("lang") == _FILTER_LANG).select("doc_id"),
     )
 
 

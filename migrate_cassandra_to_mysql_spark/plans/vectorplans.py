@@ -853,6 +853,112 @@ def ivfpq_persisted_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Serving-time metadata filter for the filtered-ANN row: labels
+# {0,3,6,9}, ~42% selective — the "tenant/class slice" predicate shape.
+_FILTER_LABEL_MOD, _FILTER_LABEL_RES = 3, 0
+
+
+def _filtered_rerank_oracle(shortlist: int = 20, k: int = 3) -> str:
+    """The FILTERED shortlist+re-rank oracle: the IVFADC CTE chain up to
+    the `ad` scores (same ADC_CTE_END-marker composition as
+    _rerank_oracle — single source of truth for codebook/encode/probe
+    semantics), then a PRE-shortlist restriction of candidates to the
+    allowed label set, then the per-query ADC top-`shortlist` and exact
+    re-rank. Filtering before the shortlist cut is the semantics the
+    Spark path implements (codes semi-join before ADC scoring): a
+    selective filter still yields k results instead of starving a
+    post-filtered fixed-k list."""
+    base = _ivfpq_oracle()
+    marker = "-- ADC_CTE_END"
+    if marker not in base:
+        raise ValueError(
+            "embedding_ivfpq_topk oracle lost its ADC_CTE_END marker — "
+            "_filtered_rerank_oracle can no longer compose the CTE chain"
+        )
+    cte_part = base.split(marker)[0]
+    return (
+        cte_part
+        + f""",
+ adf AS (SELECT ad.* FROM ad
+         WHERE n_id IN (SELECT vec_id FROM embeddings
+                        WHERE label % {_FILTER_LABEL_MOD}
+                              = {_FILTER_LABEL_RES})),
+ short AS (SELECT q_id, n_id FROM (
+   SELECT *, row_number() OVER (PARTITION BY q_id
+                                ORDER BY approx_dist, n_id) AS srnk
+   FROM adf) t
+   WHERE srnk <= {shortlist}),
+ rr AS (SELECT s.q_id, s.n_id,
+               {_COS.format(a='q.qv', b='e.v')} AS cos_sim
+        FROM short s
+        JOIN q ON q.q_id = s.q_id
+        JOIN e ON e.vec_id = s.n_id)
+SELECT q_id, n_id, cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, n_id) AS rnk
+  FROM rr) t
+WHERE rnk <= {k}
+"""
+    )
+
+
+@register("ivfpq_filtered_rerank_topk", oracle=_filtered_rerank_oracle())
+def ivfpq_filtered_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN over the persisted IVFADC index: the
+    ivfpq_persisted_rerank_topk serving composition restricted at query
+    time to an allowed metadata slice (label % 3 = 0 here — a tenant /
+    class / licence predicate in production). Pre-filtering: the
+    allowed-id set left-semi-joins onto the probed codes scan BEFORE
+    ADC scoring (operators/ivf_index.ivfpq_search), so the shortlist is
+    drawn from admitted candidates only and a selective filter still
+    returns k hits — the filtered-search semantics every production
+    vector store exposes, vs post-filtering a fixed-k list to <k rows.
+
+    Scale shape: probed-cells PartitionFilters first, ONE broadcast
+    semi-join second (cost O(probed ∩ allowed)), then the unchanged
+    shortlist-broadcast + corpus-fetch re-rank — the corpus never
+    shuffles and the filter set comes from a pruned metadata scan.
+    Shares the memoized index build with the other persisted rows: one
+    index serves filtered and unfiltered queries alike (filtering is a
+    query-time predicate, not an index variant)."""
+    from migrate_cassandra_to_mysql_spark.operators import ivf_index
+    from migrate_cassandra_to_mysql_spark.plans._work import memo, workdir
+
+    emb = T(spark, sf_dir, "embeddings")
+    cells = memo(
+        ("ivfpq_cells", sf_dir),
+        lambda: similarity.first_k_cell_centroids(emb, 4),
+    )
+    centers = memo(
+        ("pq_centers", sf_dir),
+        lambda: similarity.first_k_pq_centers(emb, 4, 4),
+    )
+
+    def _build() -> str:
+        d = workdir("mc2m_ivfpq_")
+        ivf_index.build_ivfpq_index(emb, d, cells, centers)
+        return d
+
+    index_dir = memo(("ivfpq_index", sf_dir), _build)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    allowed = emb.where(
+        F.col("label") % _FILTER_LABEL_MOD == _FILTER_LABEL_RES
+    ).select("vec_id")
+    return ivf_index.ivfpq_search_rerank(
+        spark,
+        index_dir,
+        queries,
+        corpus=emb,
+        k=3,
+        n_probe=2,
+        shortlist=20,
+        allowed=allowed,
+    )
+
+
 def _ivfpq_tombstone_oracle() -> str:
     """The IVFADC oracle with the tombstone victims excluded from the
     CANDIDATE side only (codebooks and cell assignment are frozen — a

@@ -445,3 +445,51 @@ def test_readd_after_delete_supersedes(spark, sf_dir, tmp_path_factory):
     assert len(counts) == len(victims)
     assert all(r["count"] == 1 for r in counts)
     assert spark.read.parquet(f"{d}/deletes").count() == 0
+
+
+def test_filtered_search_equals_rank_all_then_filter(spark, sf_dir, index_dir):
+    """Serving-time metadata filter (bm25_search(allowed=...)): scores
+    stay CORPUS-GLOBAL (the filter restricts candidates, never the
+    df/n_docs/sum_dl stats), so filter-then-rank must equal
+    rank-everything-then-filter — the invariant that distinguishes a
+    filter from a deletion (delete_docs DOES refresh the stats)."""
+    docs = T(spark, sf_dir, "documents")
+    allowed = docs.where(F.col("lang") == "en").select("doc_id")
+    got = inverted_index.bm25_search(
+        spark, index_dir, _BM25_TERMS, k=10,
+        score_sql=_bm25_score_sql(), allowed=allowed,
+    ).toPandas()
+    # k bounds TakeOrdered's heap allocation — size it by the corpus,
+    # not a sentinel "infinity" (k=1e9 allocates a 1e9-slot queue)
+    k_all = int(docs.count())
+    everything = inverted_index.bm25_search(
+        spark, index_dir, _BM25_TERMS, k=k_all,
+        score_sql=_bm25_score_sql(),
+    ).toPandas()
+    en = {r["doc_id"] for r in allowed.collect()}
+    want = everything[everything["doc_id"].isin(en)].head(10)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    # global-stats invariance: the shared docs carry IDENTICAL scores
+    assert (got["bm25"].to_numpy() == want["bm25"].to_numpy()).all()
+    # and the filter actually bit: some unfiltered top-10 doc is non-en
+    assert set(got["doc_id"]) != set(everything.head(10)["doc_id"])
+
+
+def test_filtered_search_still_hides_tombstones(spark, sf_dir, tmp_path_factory):
+    """allowed ∩ tombstoned stays invisible: the filter semi-join must
+    compose with (not bypass) the deletion anti-join."""
+    d = str(tmp_path_factory.mktemp("invidx_filt_del"))
+    docs = T(spark, sf_dir, "documents")
+    inverted_index.build_inverted_index(docs, d)
+    allowed = docs.where(F.col("lang") == "en").select("doc_id")
+    before = inverted_index.bm25_search(
+        spark, d, _BM25_TERMS, k=10,
+        score_sql=_bm25_score_sql(), allowed=allowed,
+    ).toPandas()
+    victims = [int(x) for x in before["doc_id"].head(2)]
+    inverted_index.delete_docs(spark, d, victims)
+    got = inverted_index.bm25_search(
+        spark, d, _BM25_TERMS, k=10,
+        score_sql=_bm25_score_sql(), allowed=allowed,
+    ).toPandas()
+    assert not (set(got["doc_id"]) & set(victims))

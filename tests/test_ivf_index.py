@@ -494,3 +494,70 @@ def test_readd_after_delete_supersedes(spark, sf_dir, tmp_path_factory):
     assert len(counts) == len(victims)
     assert all(r["count"] == 1 for r in counts)
     assert spark.read.parquet(f"{d}/deletes").count() == 0
+
+
+def test_filtered_search_equals_rank_all_then_filter(spark, sf_dir, ivfpq_dir):
+    """ivfpq_search(allowed=...) pre-filters the probed candidates
+    before ADC ranking; since per-pair scores are independent, the
+    filtered top-k must equal ranking ALL probed candidates, dropping
+    disallowed ids, and re-cutting to k."""
+    import pandas as pd
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = _queries(spark, sf_dir)
+    allowed = emb.where(F.col("label") % 3 == 0).select("vec_id")
+    got = ivf_index.ivfpq_search(
+        spark, ivfpq_dir, q, k=5, n_probe=2, allowed=allowed
+    ).toPandas()
+    # rank everything the probes admit (k = corpus size bounds the
+    # candidate set), then filter and re-cut per query
+    k_all = int(emb.count())
+    full = ivf_index.ivfpq_search(
+        spark, ivfpq_dir, q, k=k_all, n_probe=2
+    ).toPandas()
+    ok = {r["vec_id"] for r in allowed.collect()}
+    want = (
+        full[full["n_id"].isin(ok)]
+        .sort_values(["q_id", "approx_dist", "n_id"])
+        .groupby("q_id")
+        .head(5)
+    )
+    got_s = got.sort_values(["q_id", "rnk"]).reset_index(drop=True)
+    want_s = want.reset_index(drop=True)
+    assert list(got_s["q_id"]) == list(want_s["q_id"])
+    assert list(got_s["n_id"]) == list(want_s["n_id"])
+    pd.testing.assert_series_equal(
+        got_s["approx_dist"], want_s["approx_dist"], check_names=False
+    )
+    # the filter actually bit somewhere in the unfiltered top-5
+    top5 = full[full["rnk"] <= 5]
+    assert not set(top5["n_id"]).issubset(ok)
+
+
+def test_filtered_rerank_yields_k_under_selective_filter(
+    spark, sf_dir, ivfpq_dir
+):
+    """PRE-filtering keeps recall under selective filters: with an
+    allowed set of just a few ids, every query still fills its top-k
+    from admitted candidates (post-filtering a fixed-20 shortlist would
+    often return none), every returned id is allowed, and exact-cosine
+    rerank order holds per query."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = _queries(spark, sf_dir).limit(3)
+    # a deliberately tiny slice, disjoint from the query ids
+    allowed = (
+        emb.where((F.col("vec_id") % 100 != 0) & (F.col("vec_id") < 40))
+        .select("vec_id")
+    )
+    ok = {r["vec_id"] for r in allowed.collect()}
+    assert 0 < len(ok) < 45
+    got = ivf_index.ivfpq_search_rerank(
+        spark, ivfpq_dir, q, corpus=emb, k=3, n_probe=2,
+        shortlist=20, allowed=allowed,
+    ).toPandas()
+    assert set(got["n_id"]).issubset(ok)
+    per_q = got.groupby("q_id").size()
+    assert (per_q == 3).all(), per_q
+    for _, g in got.sort_values(["q_id", "rnk"]).groupby("q_id"):
+        sims = list(g["cos_sim"])
+        assert sims == sorted(sims, reverse=True)
