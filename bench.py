@@ -177,10 +177,15 @@ def main() -> None:
         # r10: hybrid lexical+semantic fusion — fusion cost is O(k) on
         # top of the two legs, so this should price like bm25 + cosine
         ("hybrid_rrf_search", "hybrid_rrf_search"),
-        # r10 (late): metadata-FILTERED serving — shares the memoized
-        # index builds with the unfiltered rows (usually already paid
-        # above), so these price the pure filtered serve: unfiltered
-        # cost + one broadcast semi-join of the allowed-id set
+        # r10 (late): metadata-FILTERED serving. The bm25 row is the
+        # FIRST user of the shared "inverted_index" memo in this run
+        # order, so its first call pays that one-time build (timed
+        # separately, like the rerank pair); the second is the pure
+        # filtered serve: unfiltered cost + one broadcast semi-join of
+        # the allowed-id set. The ivfpq row shares the "ivfpq_index"
+        # memo the rerank pair above already paid, so one timing IS the
+        # pure filtered serve.
+        ("bm25_filtered_topk", "bm25_filtered_build_and_serve"),
         ("bm25_filtered_topk", "bm25_filtered_serve"),
         ("ivfpq_filtered_rerank_topk", "ivfpq_filtered_rerank_serve"),
     ):
