@@ -188,6 +188,12 @@ def main() -> None:
         ("bm25_filtered_topk", "bm25_filtered_build_and_serve"),
         ("bm25_filtered_topk", "bm25_filtered_serve"),
         ("ivfpq_filtered_rerank_topk", "ivfpq_filtered_rerank_serve"),
+        # r10 (late): shard consolidation — first call pays two
+        # half-corpus shard builds + the posting-move merge (the
+        # one-time maintenance cost), the second is pure serving on the
+        # merged index (must price like bm25_persisted serving)
+        ("bm25_sharded_merge_topk", "bm25_sharded_merge_build_and_serve"),
+        ("bm25_sharded_merge_topk", "bm25_sharded_merge_serve"),
     ):
         if nm in qs:
             t0 = time.perf_counter()

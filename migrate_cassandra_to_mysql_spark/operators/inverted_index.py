@@ -425,6 +425,200 @@ def compact_postings(
     return stats
 
 
+def merge_indexes(
+    spark: SparkSession,
+    src_dirs: Sequence[str],
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Consolidate N inverted-index SHARDS into one index at dst_dir —
+    the standard 100 TB maintenance workflow (per-day / per-source /
+    per-tenant shards built independently, merged for serving). The
+    merge moves POSTINGS, never documents: no re-tokenization, no
+    corpus scan — each merged bucket is a union of the shards' same
+    bucket (the md5 term hash is shard-independent, so bucket=N rows
+    from every shard belong together), bin-packed per bucket with a
+    coalesce of input splits — ZERO shuffle, like compact_partitioned.
+    Derived lexicon/stats rebuild once over the merged layers (df is
+    NOT summable from shard lexicons once tombstones purge rows, and
+    the refresh is O(index), vocabulary-sized output). Each shard's
+    own tombstones are purged during the rewrite (the merge performs
+    the owed compaction), so the merged index equals
+    build_inverted_index over the union of the shards' LIVE corpora —
+    pinned at the query level in tests and by the sharded-merge
+    catalog row's plain-BM25 oracle.
+
+    Loud rejections (both checks are vocabulary/doc-count sized, a
+    rounding error next to the posting move):
+    - a token living in DIFFERENT buckets across shards (shards built
+      with different n_buckets — merged probes would miss rows);
+    - a doc_id present in more than one shard after purges (shards
+      must partition the corpus; a doc indexed twice would
+      double-count df/tf).
+
+    Operational contract: shards quiescent during the merge (same as
+    compaction); dst_dir is a fresh index directory."""
+    import concurrent.futures as _cf
+    import glob as _glob
+    import os as _os
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        read_parquet_retry,
+        resolve_live_snapshot,
+        swap_live_dir,
+    )
+
+    src_dirs = list(src_dirs)
+    if not src_dirs:
+        raise ValueError("merge_indexes needs at least one source index")
+    layers = [resolve_live_snapshot(d, _manifest_layers(d)) for d in src_dirs]
+    purges = [
+        (
+            F.broadcast(
+                read_parquet_retry(spark, lay["deletes"]).select("doc_id")
+            )
+            if "deletes" in lay
+            else None
+        )
+        for lay in layers
+    ]
+
+    def _purged(df: DataFrame, i: int) -> DataFrame:
+        return (
+            df
+            if purges[i] is None
+            else df.join(purges[i], "doc_id", "left_anti")
+        )
+
+    # 1) bucket-hash compatibility: every shard must map each token to
+    # the SAME bucket (vocabulary-sized check over the lexicons).
+    lex_all = None
+    for lay in layers:
+        one = read_parquet_retry(spark, lay["lexicon"]).select(
+            "bucket", "tok"
+        )
+        lex_all = one if lex_all is None else lex_all.unionByName(one)
+    split_toks = (
+        lex_all.distinct()
+        .groupBy("tok")
+        .agg(F.countDistinct("bucket").alias("nb"))
+        .where(F.col("nb") > 1)
+        .limit(5)
+        .collect()
+    )
+    if split_toks:
+        raise ValueError(
+            "shards hash the same token to different buckets (e.g. "
+            f"{sorted(r['tok'] for r in split_toks)}) — they were built "
+            "with different n_buckets. Rebuild the divergent shard(s) "
+            "with a uniform bucket count before merging."
+        )
+
+    # 2) corpus disjointness (after each shard's own tombstone purge).
+    dl_frames = [
+        _purged(read_parquet_retry(spark, lay["doclens"]), i).select(
+            "doc_id"
+        )
+        for i, lay in enumerate(layers)
+    ]
+    dl_all = dl_frames[0]
+    for f in dl_frames[1:]:
+        dl_all = dl_all.unionByName(f)
+    dups = (
+        dl_all.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dups:
+        raise ValueError(
+            "doc_id(s) present in more than one shard (e.g. "
+            f"{sorted(int(r['doc_id']) for r in dups)}) — shards must "
+            "partition the corpus; merging would double-count their "
+            "df/tf. Deduplicate (delete_docs the copies you don't "
+            "want) and re-run."
+        )
+
+    # 3) per-bucket posting move: union of the shards' bucket=N dirs,
+    # purged per shard, bin-packed by listed bytes — zero shuffle.
+    by_bucket: dict[str, list[int]] = {}
+    for i, lay in enumerate(layers):
+        for d in _glob.glob(f"{lay['postings']}/bucket=*"):
+            if _os.path.isdir(d):
+                by_bucket.setdefault(_os.path.basename(d), []).append(i)
+
+    agg = {"files_in": 0, "files_out": 0, "bytes": 0, "buckets": 0}
+
+    def _one(bucket: str) -> dict:
+        srcs = by_bucket[bucket]
+        files_in = [
+            p
+            for i in srcs
+            for p in _glob.glob(
+                f"{layers[i]['postings']}/{bucket}/ingest_batch=*/part-*"
+            )
+            if _os.path.isfile(p)
+        ]
+        total = sum(_os.path.getsize(p) for p in files_in)
+        n_out = max(1, -(-total // target_file_bytes))
+        merged = None
+        for i in srcs:
+            one = _purged(
+                spark.read.parquet(
+                    f"{layers[i]['postings']}/{bucket}"
+                ).drop("ingest_batch"),
+                i,
+            )
+            merged = one if merged is None else merged.unionByName(one)
+        out = f"{dst_dir}/postings.new/{bucket}/ingest_batch=0"
+        (
+            merged.coalesce(n_out)
+            .sortWithinPartitions("tok", "doc_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        files_out = len(
+            [p for p in _glob.glob(f"{out}/part-*") if _os.path.isfile(p)]
+        )
+        return {"files_in": len(files_in), "files_out": files_out, "bytes": total}
+
+    # Concurrent job submission, same rationale as compact_partitioned.
+    with _cf.ThreadPoolExecutor(max_workers=8) as ex:
+        for res in ex.map(_one, sorted(by_bucket)):
+            agg["files_in"] += res["files_in"]
+            agg["files_out"] += res["files_out"]
+            agg["bytes"] += res["bytes"]
+            agg["buckets"] += 1
+
+    # 4) doclens: union purged, bin-packed (one row per doc — billions
+    # at the design point; never force a single file).
+    dl_files = [
+        p
+        for lay in layers
+        for p in _glob.glob(f"{lay['doclens']}/ingest_batch=*/part-*")
+        if _os.path.isfile(p)
+    ]
+    dl_bytes = sum(_os.path.getsize(p) for p in dl_files)
+    dl_merged = None
+    for i, lay in enumerate(layers):
+        one = _purged(
+            spark.read.parquet(lay["doclens"]).drop("ingest_batch"), i
+        )
+        dl_merged = one if dl_merged is None else dl_merged.unionByName(one)
+    (
+        dl_merged.coalesce(max(1, -(-dl_bytes // target_file_bytes)))
+        .write.mode("overwrite")
+        .parquet(f"{dst_dir}/doclens.new/ingest_batch=0")
+    )
+    for part in ("postings", "doclens"):
+        swap_live_dir(dst_dir, part)
+    # lexicon/stats rebuild over the merged layers + ONE manifest commit
+    # (the same refresh path build/append use).
+    _refresh_derived(spark, dst_dir)
+    return agg
+
+
 def bm25_search(
     spark: SparkSession,
     index_dir: str,

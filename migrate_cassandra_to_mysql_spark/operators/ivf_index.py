@@ -320,6 +320,167 @@ def compact_codes(
     return stats
 
 
+def merge_indexes(
+    spark: SparkSession,
+    src_dirs: "Sequence[str]",
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Consolidate N IVFADC index SHARDS into one index at dst_dir —
+    the vector twin of inverted_index.merge_indexes (per-day/per-source
+    shards built independently, merged for serving). The merge moves
+    CODES, never vectors: no re-encoding, no corpus scan — a vector's
+    (cell, codes) is a pure function of the FROZEN codebooks, so codes
+    from shards sharing codebooks belong in the same index verbatim.
+    Each merged cell is a bin-packed union of the shards' same cell
+    (coalesce of input splits — zero shuffle); each shard's own
+    tombstones purge during the rewrite, so the merged index equals a
+    single build over the union of the shards' live vectors (pinned at
+    the query level in tests).
+
+    Loud rejections:
+    - codebook mismatch (cells / pq / residual flag differ): codes
+      encoded under different codebooks are incomparable — re-encode
+      the divergent shard (rebuild with the target codebooks) first;
+    - a vec_id in more than one shard after purges (shards must
+      partition the corpus).
+
+    Operational contract: shards quiescent during the merge; dst_dir a
+    fresh index directory."""
+    import concurrent.futures as _cf
+    import glob as _glob
+    import os as _os
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        commit_live_snapshot,
+        read_parquet_retry,
+        swap_live_dir,
+    )
+
+    src_dirs = list(src_dirs)
+    if not src_dirs:
+        raise ValueError("merge_indexes needs at least one source index")
+    base_cells, base_centers = load_ivfpq_codebooks(spark, src_dirs[0])
+    base_res = load_ivfpq_residual_flag(spark, src_dirs[0])
+    for d in src_dirs[1:]:
+        cells_d, centers_d = load_ivfpq_codebooks(spark, d)
+        if (
+            cells_d != base_cells
+            or centers_d != base_centers
+            or load_ivfpq_residual_flag(spark, d) != base_res
+        ):
+            raise ValueError(
+                f"{d} encodes with different codebooks (cells/pq/"
+                f"residual) than {src_dirs[0]} — their codes are "
+                "incomparable. Re-encode the divergent shard with the "
+                "target codebooks (build_ivfpq_index over its vectors, "
+                "passing the target cells/centers) before merging."
+            )
+    layers = [_resolve_layers(d) for d in src_dirs]
+    purges = [
+        (
+            F.broadcast(
+                read_parquet_retry(spark, lay["deletes"]).select("vec_id")
+            )
+            if "deletes" in lay
+            else None
+        )
+        for lay in layers
+    ]
+
+    def _purged(df: DataFrame, i: int) -> DataFrame:
+        return (
+            df
+            if purges[i] is None
+            else df.join(purges[i], "vec_id", "left_anti")
+        )
+
+    # vec disjointness (cheap: codes rows carry m ints, and the check
+    # shuffles only the id column)
+    ids = None
+    for i, lay in enumerate(layers):
+        one = _purged(
+            spark.read.parquet(lay["codes"]).select("vec_id"), i
+        )
+        ids = one if ids is None else ids.unionByName(one)
+    dups = (
+        ids.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dups:
+        raise ValueError(
+            "vec_id(s) present in more than one shard (e.g. "
+            f"{sorted(int(r['vec_id']) for r in dups)}) — shards must "
+            "partition the corpus. Deduplicate (delete_vectors the "
+            "copies you don't want) and re-run."
+        )
+
+    # frozen control-plane layers copy from shard 0 (verified equal)
+    for part in ("cells", "pq", "meta"):
+        if _os.path.isdir(f"{src_dirs[0]}/{part}"):
+            (
+                spark.read.parquet(f"{src_dirs[0]}/{part}")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{dst_dir}/{part}")
+            )
+
+    # per-cell code move: union of the shards' cell=N, purged per
+    # shard, bin-packed — zero shuffle
+    by_cell: dict[str, list[int]] = {}
+    for i, lay in enumerate(layers):
+        for d in _glob.glob(f"{lay['codes']}/cell=*"):
+            if _os.path.isdir(d):
+                by_cell.setdefault(_os.path.basename(d), []).append(i)
+    agg = {"files_in": 0, "files_out": 0, "bytes": 0, "cells": 0}
+
+    def _one(cell: str) -> dict:
+        srcs = by_cell[cell]
+        files_in = [
+            p
+            for i in srcs
+            for p in _glob.glob(
+                f"{layers[i]['codes']}/{cell}/ingest_batch=*/part-*"
+            )
+            if _os.path.isfile(p)
+        ]
+        total = sum(_os.path.getsize(p) for p in files_in)
+        n_out = max(1, -(-total // target_file_bytes))
+        merged = None
+        for i in srcs:
+            one = _purged(
+                spark.read.parquet(f"{layers[i]['codes']}/{cell}").drop(
+                    "ingest_batch"
+                ),
+                i,
+            )
+            merged = one if merged is None else merged.unionByName(one)
+        out = f"{dst_dir}/codes.new/{cell}/ingest_batch=0"
+        (
+            merged.coalesce(n_out)
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        files_out = len(
+            [p for p in _glob.glob(f"{out}/part-*") if _os.path.isfile(p)]
+        )
+        return {"files_in": len(files_in), "files_out": files_out, "bytes": total}
+
+    with _cf.ThreadPoolExecutor(max_workers=8) as ex:
+        for res in ex.map(_one, sorted(by_cell)):
+            agg["files_in"] += res["files_in"]
+            agg["files_out"] += res["files_out"]
+            agg["bytes"] += res["bytes"]
+            agg["cells"] += 1
+    swap_live_dir(dst_dir, "codes")
+    commit_live_snapshot(dst_dir, ("codes",))
+    return agg
+
+
 def load_ivfpq_residual_flag(spark: SparkSession, index_dir: str) -> bool:
     """The index's persisted encoding mode. Indexes built before the
     residual option (no meta/) are raw-encoded by construction."""

@@ -252,7 +252,14 @@ PRIORITY: list[str] = [
     # filter semantics, vs the tombstone rows' rebuild-without):
     "bm25_filtered_topk",
     "ivfpq_filtered_rerank_topk",
-    "corr_covar_stats",
+    # r10 (late): corr_covar_stats out on its green r6-r9 rows (4
+    # consecutive) for the r10-NEW shard-consolidation row — numeric-
+    # aggregation family stays in-window via tpch_scalar_suite +
+    # price_histogram (+ order_price_stats' green prior rows). In: the
+    # merged-shards index served against the PLAIN corpus-wide BM25
+    # oracle, driver-verifying that merge_indexes loses/double-counts
+    # nothing vs a single-pass build:
+    "bm25_sharded_merge_topk",
     # TPC-H core (scalar suite carries q6/q14/q17/q19; q4/q18/q22 out r5
     # on green r4 rows, q7/q9/q8 out r5/r6 on green rows — q2/q10/q12
     # bring the remaining unverified join-distribution shapes):

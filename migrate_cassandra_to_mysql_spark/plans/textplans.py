@@ -740,6 +740,51 @@ def bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bm25_sharded_merge_topk", oracle=_bm25_oracle())
+def bm25_sharded_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD CONSOLIDATION end to end: the corpus is indexed as two
+    independent half-corpus shards (doc_id parity — the per-day /
+    per-source / per-tenant build pattern), merged into one index by
+    operators/inverted_index.merge_indexes, and the merged index
+    answers the standard keyword query. The oracle is the PLAIN
+    corpus-wide BM25 SQL — i.e. the driver verifies that merging moves
+    postings (no re-tokenization, zero shuffle: per-bucket coalesce of
+    the shards' same-bucket files, since the md5 term hash is
+    shard-independent) and re-derives lexicon/stats with NOTHING lost
+    or double-counted vs a single-pass build.
+
+    Scale shape: the merge is the index-maintenance workflow at 100 TB
+    (build shards where the data lands, consolidate for serving); its
+    cost is one posting-volume rewrite with driver-side file listing —
+    no corpus scan, no wide exchange — plus the vocabulary-sized
+    bucket-consistency and doc-count-sized disjointness guards. Serving
+    on the merged index is byte-identical to bm25_persisted_topk's
+    plan: term-bucket PartitionFilters + pushed term set. Build+merge
+    memoized per sf_dir (consolidate-once/serve-many)."""
+    from migrate_cassandra_to_mysql_spark.operators import inverted_index
+    from migrate_cassandra_to_mysql_spark.plans._work import memo, workdir
+
+    docs = T(spark, sf_dir, "documents")
+
+    def _build() -> str:
+        a = workdir("mc2m_shard_a_")
+        b = workdir("mc2m_shard_b_")
+        m = workdir("mc2m_merged_")
+        inverted_index.build_inverted_index(
+            docs.where(F.col("doc_id") % 2 == 0), a
+        )
+        inverted_index.build_inverted_index(
+            docs.where(F.col("doc_id") % 2 == 1), b
+        )
+        inverted_index.merge_indexes(spark, [a, b], m)
+        return m
+
+    index_dir = memo(("inverted_index_sharded_merge", sf_dir), _build)
+    return inverted_index.bm25_search(
+        spark, index_dir, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
+    )
+
+
 @register("bpe_merge_training")
 def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge-table training (8 merges) over the

@@ -6,6 +6,8 @@ twins must agree (a divergence would silently skip a term's partition).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -493,3 +495,98 @@ def test_filtered_search_still_hides_tombstones(spark, sf_dir, tmp_path_factory)
         score_sql=_bm25_score_sql(), allowed=allowed,
     ).toPandas()
     assert not (set(got["doc_id"]) & set(victims))
+
+
+def test_merge_shards_equals_single_build(spark, sf_dir, tmp_path_factory):
+    """Shard consolidation: two half-corpus shards merged == one
+    single-pass build, at the query level (scores bit-equal) and at the
+    stats level — the merge moves postings and re-derives lexicon/stats,
+    never re-tokenizes."""
+    docs = T(spark, sf_dir, "documents")
+    a = str(tmp_path_factory.mktemp("shard_a"))
+    b = str(tmp_path_factory.mktemp("shard_b"))
+    m = str(tmp_path_factory.mktemp("merged"))
+    ref = str(tmp_path_factory.mktemp("single"))
+    inverted_index.build_inverted_index(docs.where(F.col("doc_id") % 2 == 0), a)
+    inverted_index.build_inverted_index(docs.where(F.col("doc_id") % 2 == 1), b)
+    inverted_index.build_inverted_index(docs, ref)
+    stats = inverted_index.merge_indexes(spark, [a, b], m)
+    assert stats["buckets"] > 0 and stats["files_out"] >= stats["buckets"]
+
+    def serve(idx):
+        return inverted_index.bm25_search(
+            spark, idx, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
+        ).toPandas()
+
+    got, want = serve(m), serve(ref)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert (got["bm25"].to_numpy() == want["bm25"].to_numpy()).all()
+    s_m = spark.read.parquet(f"{m}/stats").collect()[0]
+    s_r = spark.read.parquet(f"{ref}/stats").collect()[0]
+    assert s_m["n_docs"] == s_r["n_docs"] and s_m["sum_dl"] == s_r["sum_dl"]
+
+
+def test_merge_purges_shard_tombstones(spark, sf_dir, tmp_path_factory):
+    """A shard's tombstones are the merge's owed compaction: the merged
+    index equals a build over the union of the shards' LIVE corpora —
+    victims gone physically, stats matching rebuilt-without."""
+    docs = T(spark, sf_dir, "documents")
+    a = str(tmp_path_factory.mktemp("shard_a"))
+    b = str(tmp_path_factory.mktemp("shard_b"))
+    m = str(tmp_path_factory.mktemp("merged"))
+    ref = str(tmp_path_factory.mktemp("single"))
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    inverted_index.build_inverted_index(even, a)
+    inverted_index.build_inverted_index(docs.where(F.col("doc_id") % 2 == 1), b)
+    victims = [int(r["doc_id"]) for r in even.select("doc_id").limit(3).collect()]
+    inverted_index.delete_docs(spark, a, victims)
+    inverted_index.build_inverted_index(
+        docs.where(~F.col("doc_id").isin(victims)), ref
+    )
+    inverted_index.merge_indexes(spark, [a, b], m)
+
+    def serve(idx):
+        return inverted_index.bm25_search(
+            spark, idx, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
+        ).toPandas()
+
+    got, want = serve(m), serve(ref)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert (got["bm25"].to_numpy() == want["bm25"].to_numpy()).all()
+    assert (
+        spark.read.parquet(f"{m}/postings")
+        .where(F.col("doc_id").isin(victims))
+        .count()
+        == 0
+    )
+    assert not os.path.exists(f"{m}/deletes") or (
+        spark.read.parquet(f"{m}/deletes").count() == 0
+    )
+
+
+def test_merge_rejects_overlapping_shards(spark, sf_dir, tmp_path_factory):
+    docs = T(spark, sf_dir, "documents")
+    a = str(tmp_path_factory.mktemp("shard_a"))
+    b = str(tmp_path_factory.mktemp("shard_b"))
+    inverted_index.build_inverted_index(docs.where(F.col("doc_id") < 30), a)
+    inverted_index.build_inverted_index(docs.where(F.col("doc_id") < 10), b)
+    with pytest.raises(ValueError, match="more than one shard"):
+        inverted_index.merge_indexes(
+            spark, [a, b], str(tmp_path_factory.mktemp("merged"))
+        )
+
+
+def test_merge_rejects_bucket_count_mismatch(spark, sf_dir, tmp_path_factory):
+    docs = T(spark, sf_dir, "documents")
+    a = str(tmp_path_factory.mktemp("shard_a"))
+    b = str(tmp_path_factory.mktemp("shard_b"))
+    inverted_index.build_inverted_index(
+        docs.where(F.col("doc_id") % 2 == 0), a
+    )
+    inverted_index.build_inverted_index(
+        docs.where(F.col("doc_id") % 2 == 1), b, n_buckets=8
+    )
+    with pytest.raises(ValueError, match="different buckets"):
+        inverted_index.merge_indexes(
+            spark, [a, b], str(tmp_path_factory.mktemp("merged"))
+        )

@@ -561,3 +561,94 @@ def test_filtered_rerank_yields_k_under_selective_filter(
     for _, g in got.sort_values(["q_id", "rnk"]).groupby("q_id"):
         sims = list(g["cos_sim"])
         assert sims == sorted(sims, reverse=True)
+
+
+def test_merge_shards_equals_single_build(spark, sf_dir, tmp_path_factory):
+    """Vector shard consolidation: two half-corpus shards encoded with
+    SHARED codebooks, merged == one single-pass build over the full
+    corpus (codes move verbatim — a vector's (cell, codes) is a pure
+    function of the frozen codebooks)."""
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        first_k_cell_centroids,
+        first_k_pq_centers,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    cells = first_k_cell_centroids(emb, 4)
+    centers = first_k_pq_centers(emb, 4, 4)
+    a = str(tmp_path_factory.mktemp("vshard_a"))
+    b = str(tmp_path_factory.mktemp("vshard_b"))
+    m = str(tmp_path_factory.mktemp("vmerged"))
+    ref = str(tmp_path_factory.mktemp("vsingle"))
+    ivf_index.build_ivfpq_index(
+        emb.where(F.col("vec_id") % 2 == 0), a, cells, centers
+    )
+    ivf_index.build_ivfpq_index(
+        emb.where(F.col("vec_id") % 2 == 1), b, cells, centers
+    )
+    ivf_index.build_ivfpq_index(emb, ref, cells, centers)
+    stats = ivf_index.merge_indexes(spark, [a, b], m)
+    assert stats["cells"] > 0
+    q = _queries(spark, sf_dir)
+    got = ivf_index.ivfpq_search(spark, m, q, k=5, n_probe=2).toPandas()
+    want = ivf_index.ivfpq_search(spark, ref, q, k=5, n_probe=2).toPandas()
+    for col in ("q_id", "n_id", "approx_dist", "rnk"):
+        assert list(got[col]) == list(want[col]), col
+
+
+def test_merge_purges_vec_tombstones(spark, sf_dir, tmp_path_factory):
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        first_k_cell_centroids,
+        first_k_pq_centers,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    cells = first_k_cell_centroids(emb, 4)
+    centers = first_k_pq_centers(emb, 4, 4)
+    a = str(tmp_path_factory.mktemp("vshard_a"))
+    b = str(tmp_path_factory.mktemp("vshard_b"))
+    m = str(tmp_path_factory.mktemp("vmerged"))
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    ivf_index.build_ivfpq_index(even, a, cells, centers)
+    ivf_index.build_ivfpq_index(
+        emb.where(F.col("vec_id") % 2 == 1), b, cells, centers
+    )
+    victims = [
+        int(r["vec_id"]) for r in even.select("vec_id").limit(3).collect()
+    ]
+    ivf_index.delete_vectors(spark, a, victims)
+    ivf_index.merge_indexes(spark, [a, b], m)
+    assert (
+        spark.read.parquet(f"{m}/codes")
+        .where(F.col("vec_id").isin(victims))
+        .count()
+        == 0
+    )
+
+
+def test_merge_rejects_codebook_mismatch(spark, sf_dir, tmp_path_factory):
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        first_k_cell_centroids,
+        first_k_pq_centers,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    a = str(tmp_path_factory.mktemp("vshard_a"))
+    b = str(tmp_path_factory.mktemp("vshard_b"))
+    ivf_index.build_ivfpq_index(
+        emb.where(F.col("vec_id") % 2 == 0),
+        a,
+        first_k_cell_centroids(emb, 4),
+        first_k_pq_centers(emb, 4, 4),
+    )
+    # a DIFFERENT coarse codebook (first 2 cells) on the other shard
+    ivf_index.build_ivfpq_index(
+        emb.where(F.col("vec_id") % 2 == 1),
+        b,
+        first_k_cell_centroids(emb, 2),
+        first_k_pq_centers(emb, 4, 4),
+    )
+    with pytest.raises(ValueError, match="different codebooks"):
+        ivf_index.merge_indexes(
+            spark, [a, b], str(tmp_path_factory.mktemp("vmerged"))
+        )
