@@ -634,3 +634,39 @@ def test_tombstone_delete_lifecycle_at_sf1(spark, sf1_dir, tmp_path_factory):
         .count()
         == 0
     )
+
+
+def test_shard_merge_equals_single_build_at_sf1(
+    spark, sf1_dir, tmp_path_factory
+):
+    """Shard consolidation at 10x: two half-corpus shards (built where
+    the data would land) merge by MOVING postings — no corpus re-scan —
+    and the merged index must answer the standard query identically to
+    a single-pass build over the full 10x corpus, with bucket pruning
+    intact on the merged layout."""
+    from migrate_cassandra_to_mysql_spark.operators import inverted_index
+    from migrate_cassandra_to_mysql_spark.plans.textplans import _BM25_TERMS
+
+    docs = spark.read.parquet(f"{sf1_dir}/documents.parquet")
+    a = str(tmp_path_factory.mktemp("sf1_shard_a"))
+    b = str(tmp_path_factory.mktemp("sf1_shard_b"))
+    m = str(tmp_path_factory.mktemp("sf1_merged"))
+    ref = str(tmp_path_factory.mktemp("sf1_single"))
+    inverted_index.build_inverted_index(docs.where(F.col("doc_id") % 2 == 0), a)
+    inverted_index.build_inverted_index(docs.where(F.col("doc_id") % 2 == 1), b)
+    inverted_index.build_inverted_index(docs, ref)
+    stats = inverted_index.merge_indexes(spark, [a, b], m)
+    assert stats["buckets"] > 0
+
+    def serve(idx):
+        q = inverted_index.bm25_search(spark, idx, _BM25_TERMS, k=20)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        return q.toPandas()
+
+    got, want = serve(m), serve(ref)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert (got["bm25"].to_numpy() == want["bm25"].to_numpy()).all()
+    s_m = spark.read.parquet(f"{m}/stats").collect()[0]
+    s_r = spark.read.parquet(f"{ref}/stats").collect()[0]
+    assert (s_m["n_docs"], s_m["sum_dl"]) == (s_r["n_docs"], s_r["sum_dl"])
