@@ -194,6 +194,10 @@ def main() -> None:
         # merged index (must price like bm25_persisted serving)
         ("bm25_sharded_merge_topk", "bm25_sharded_merge_build_and_serve"),
         ("bm25_sharded_merge_topk", "bm25_sharded_merge_serve"),
+        # r10 (late): chunk-level BM25 + per-doc max-pool (RAG MaxP) —
+        # inline over the corpus, should price like bm25_topk_search
+        # plus the chunk explode and one per-doc window
+        ("passage_bm25_doc_topk", "passage_bm25_doc_topk"),
     ):
         if nm in qs:
             t0 = time.perf_counter()

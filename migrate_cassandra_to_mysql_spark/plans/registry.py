@@ -238,7 +238,14 @@ PRIORITY: list[str] = [
     # below — tests/test_ann_recall.py pins all-cells IVFADC == flat PQ).
     # In r6: the IVFADC composition (rotated out r9 for its residual
     # generalization above) plus never-driver-verified rows:
-    "events_sliding_windows",
+    # r10 (late): events_sliding_windows out on its green r6-r9 rows (4
+    # consecutive) for the r10-NEW passage-retrieval row — windowed
+    # event aggregation stays in-window via events_session_window_native
+    # + events_gap_fill + streaming_hourly_rollup (windowed agg under a
+    # real stream) + events_grouping_sets. In: chunk-level BM25 with
+    # per-document max-pooling (the RAG / TREC-MaxP long-doc shape),
+    # composing the doc_chunking windows with the shared BM25 spec:
+    "passage_bm25_doc_topk",
     # r10 (late): moving_order_spend + funnel_conversion out on their
     # green r6-r9 rows (4 consecutive) for the r10-NEW filtered-serving
     # pair below — new ops earn their driver row in their own round.

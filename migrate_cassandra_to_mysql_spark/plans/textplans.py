@@ -785,6 +785,142 @@ def bm25_sharded_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_W = 32  # tokens per chunk (the training context window)
+_CHUNK_S = 24  # stride (W - S = 8 tokens of overlap between chunks)
+
+
+def _passage_bm25_oracle() -> str:
+    """Passage retrieval oracle: chunk every document into the
+    doc_chunking windows, BM25-score each CHUNK as the retrieval unit
+    (chunk-level dl/df/n_docs/sum_dl — the collection is the chunk
+    set), then max-pool per document (best chunk wins, lowest chunk_idx
+    on score ties) and return the top-10 documents."""
+    tf_cols = ",\n              ".join(
+        f"CAST(len(list_filter(ctoks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n              ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    hits = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+ s AS (SELECT doc_id, toks,
+              unnest(generate_series(1, len(toks), {_CHUNK_S})) AS start
+       FROM t),
+ c AS (SELECT doc_id,
+              CAST((start - 1) / {_CHUNK_S} AS BIGINT) AS chunk_idx,
+              list_slice(toks, start, start + {_CHUNK_W} - 1) AS ctoks
+       FROM s),
+ d AS (SELECT doc_id, chunk_idx,
+              CAST(len(ctoks) AS BIGINT) AS dl,
+              {tf_cols}
+       FROM c),
+ st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl,
+               {df_cols}
+        FROM d),
+ scored AS (SELECT doc_id, chunk_idx,
+                   CAST({hits} AS BIGINT) AS n_hits,
+                   {_bm25_score_sql()} AS bm25
+            FROM d, st
+            WHERE {hits} > 0),
+ pooled AS (SELECT doc_id, chunk_idx AS best_chunk_idx,
+                   n_hits AS best_chunk_hits, bm25
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY bm25 DESC, chunk_idx) AS crnk
+                  FROM scored) x
+            WHERE crnk = 1)
+SELECT doc_id, best_chunk_idx, best_chunk_hits, bm25
+FROM pooled
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("passage_bm25_doc_topk", oracle=_passage_bm25_oracle())
+def passage_bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level retrieval with document max-pooling — the RAG /
+    long-document pattern (TREC 'MaxP'): long documents lose keyword
+    concentration under whole-doc BM25, so score every doc_chunking
+    context window as its OWN retrieval unit (chunk-level tf/dl and
+    chunk-collection df/n_docs/sum_dl) and rank documents by their BEST
+    chunk (ties to the earliest chunk), returning the winning chunk's
+    position for snippet/citation use.
+
+    Scale shape: chunking + per-chunk tf are pure map-side HOFs over
+    the token array (the doc_chunking explode; chunk token arrays are
+    sliced in place, chunk TEXT is never materialized or shuffled);
+    chunk-collection stats partial-agg to ONE broadcast row; max-pool
+    is one per-doc window over only the chunks that HIT any query term
+    (the WHERE lands before the exchange, so the shuffle carries
+    matching chunks, not the corpus); TakeOrdered ends the plan. Two
+    data exchanges total at any corpus size."""
+    d = T(spark, sf_dir, "documents")
+    toks = textfns.tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_S))
+    c = d.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_S).cast("long").alias("chunk_idx"),
+        F.slice("toks", F.col("start"), _CHUNK_W).alias("ctoks"),
+    )
+
+    def _eq(term: str):
+        # single-arg closure (see bm25_topk_search: a 2-arg lambda binds
+        # as the (element, index) form)
+        return lambda x: x == F.lit(term)
+
+    scored_in = c.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("ctoks").cast("long").alias("dl"),
+        *[
+            F.size(F.filter(F.col("ctoks"), _eq(t)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = scored_in.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    hits = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    scored = (
+        scored_in.join(F.broadcast(stats))
+        .where(F.expr(f"{hits} > 0"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(f"CAST({hits} AS BIGINT)").alias("n_hits"),
+            F.expr(_bm25_score_sql()).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("bm25"), F.asc("chunk_idx")
+    )
+    pooled = (
+        scored.withColumn("crnk", F.row_number().over(w))
+        .where(F.col("crnk") == 1)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").alias("best_chunk_idx"),
+            F.col("n_hits").alias("best_chunk_hits"),
+            "bm25",
+        )
+    )
+    return pooled.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
+
+
 @register("bpe_merge_training")
 def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge-table training (8 merges) over the
@@ -1659,10 +1795,6 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("mix_kept").isNotNull()
         ).alias("curated"),
     )
-
-
-_CHUNK_W = 32  # tokens per chunk (the training context window)
-_CHUNK_S = 24  # stride (W - S = 8 tokens of overlap between chunks)
 
 
 @register(

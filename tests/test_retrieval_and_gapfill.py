@@ -404,3 +404,88 @@ class TestHybridRrfSearch:
         only = got[got["lex_rnk"].isna() | got["sem_rnk"].isna()]
         if len(both) and len(only):
             assert both["rrf_score"].min() > 0
+
+
+class TestPassageBm25DocTopk:
+    def _reference(self, sf_dir):
+        """Pure-pandas MaxP: chunk each doc at (W=32, S=24), score each
+        chunk with chunk-collection BM25 stats, max-pool per doc."""
+        from migrate_cassandra_to_mysql_spark.plans.textplans import (
+            _CHUNK_S,
+            _CHUNK_W,
+        )
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        rows = []
+        for _, r in docs.iterrows():
+            toks = r["text"].strip().split()
+            for ci, start in enumerate(range(0, max(len(toks), 1), _CHUNK_S)):
+                rows.append(
+                    (int(r["doc_id"]), ci, toks[start : start + _CHUNK_W])
+                )
+        ch = pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "ctoks"])
+        dl = ch["ctoks"].map(len)
+        n, sum_dl = len(ch), int(dl.sum())
+        scores = pd.Series(0.0, index=ch.index)
+        hits = pd.Series(0, index=ch.index)
+        for t in _BM25_TERMS:
+            tf = ch["ctoks"].map(lambda xs, t=t: xs.count(t))
+            df = int((tf > 0).sum())
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            denom = tf + _BM25_K1 * (
+                (1 - _BM25_B) + _BM25_B * (dl * n / sum_dl)
+            )
+            scores = scores + idf * tf * (_BM25_K1 + 1.0) / denom
+            hits = hits + tf
+        ch = ch.assign(bm25=scores.round(8), n_hits=hits)
+        ch = ch[ch["n_hits"] > 0].sort_values(
+            ["doc_id", "bm25", "chunk_idx"], ascending=[True, False, True]
+        )
+        pooled = ch.groupby("doc_id", as_index=False).first()
+        return (
+            pooled.sort_values(["bm25", "doc_id"], ascending=[False, True])
+            .head(10)
+            .reset_index(drop=True)
+        )
+
+    def test_matches_pure_python_reference(self, spark, sf_dir):
+        from migrate_cassandra_to_mysql_spark.plans.textplans import (
+            passage_bm25_doc_topk,
+        )
+
+        out = passage_bm25_doc_topk(spark, sf_dir).toPandas()
+        ref = self._reference(sf_dir)
+        assert list(out["doc_id"]) == list(ref["doc_id"])
+        assert list(out["best_chunk_idx"]) == list(ref["chunk_idx"])
+        assert list(out["best_chunk_hits"]) == list(ref["n_hits"])
+        assert (
+            abs(out["bm25"].to_numpy() - ref["bm25"].to_numpy()) < 1e-6
+        ).all()
+
+    def test_long_doc_concentration_beats_whole_doc_dilution(self, spark):
+        """The reason MaxP exists: a long document whose hits sit in ONE
+        chunk scores by that concentrated chunk, not diluted by its
+        length. Whole-doc BM25's length normalization would rank the
+        short doc above the long one; per-chunk scoring must rank the
+        long doc's dense chunk FIRST."""
+        from migrate_cassandra_to_mysql_spark.operators import dedup  # noqa: F401
+        from migrate_cassandra_to_mysql_spark.plans.textplans import (
+            _CHUNK_S,
+            passage_bm25_doc_topk,
+        )
+        import tempfile
+
+        filler = " ".join(f"w{i % 50}" for i in range(20 * _CHUNK_S))
+        dense = "spark join window stream spark join window stream"
+        rows = [
+            (0, filler + " " + dense, "en", "s", 1),  # long, hits at tail
+            (1, "spark plus padding tokens here only once", "en", "s", 1),
+        ]
+        d = tempfile.mkdtemp(prefix="maxp_")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = passage_bm25_doc_topk(spark, d).toPandas()
+        assert list(out["doc_id"])[0] == 0
+        # and the winning chunk is at the TAIL, not chunk 0
+        assert int(out[out["doc_id"] == 0]["best_chunk_idx"].iloc[0]) >= 19
