@@ -198,6 +198,9 @@ def main() -> None:
         # inline over the corpus, should price like bm25_topk_search
         # plus the chunk explode and one per-doc window
         ("passage_bm25_doc_topk", "passage_bm25_doc_topk"),
+        # r10 (late): A-ES weighted top-k sample — map-side key +
+        # TakeOrdered, should price like a bare corpus scan
+        ("weighted_sample_topk", "weighted_sample_topk"),
     ):
         if nm in qs:
             t0 = time.perf_counter()

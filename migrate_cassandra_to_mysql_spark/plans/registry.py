@@ -275,7 +275,15 @@ PRIORITY: list[str] = [
     # the same increment rule per generation; the init+1-increment ==
     # scd2_merge identity is pinned in tests/test_snapshot_diff.py):
     "scd2_incremental_history",
-    "tpch_scalar_suite",
+    # r10 (late): tpch_scalar_suite out on its green r3-r9 rows (7
+    # consecutive — the longest-held slot in the window); every query
+    # the suite carries (q6/q14/q17/q19) has held its OWN in-window
+    # driver row since r9, so the family is covered by strictly finer
+    # rows. In: fixed-BUDGET weighted sampling without replacement
+    # (Efraimidis-Spirakis A-ES top-k, md5-derived exponential clocks)
+    # — the exact-count weighted complement of the fixed-RATE
+    # hash-threshold samplers:
+    "weighted_sample_topk",
     "q2_min_cost_supplier",
     "q10_returned_items",
     # late-r6: q13/q21 out on their green r5 rows (the r6 window keeps

@@ -144,6 +144,72 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WS_K = 100  # fixed sample budget
+# 16^12: md5's first 12 hex digits as a uniform in (0, 1] (the +1 keeps
+# u > 0 so ln(u) is finite)
+_WS_DENOM = 281474976710656.0
+
+
+@register(
+    "weighted_sample_topk",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(n_chars + 1 AS DOUBLE) AS wt,
+         ((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           + 1) / CAST({_WS_DENOM} AS DOUBLE)) AS u
+  FROM documents),
+ keyed AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         round(-ln(u) / wt, 10) AS es_key
+  FROM w)
+SELECT doc_id, lang, n_chars, es_key, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (ORDER BY es_key, doc_id) AS rnk
+      FROM keyed) t
+WHERE rnk <= {_WS_K}
+""",
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement at a fixed budget
+    (Efraimidis & Spirakis 2006 A-ES): keep exactly k documents with
+    inclusion probability proportional to a weight — here doc size
+    (n_chars + 1), the 'sample the training subset ∝ quality/length'
+    curation op. Each row draws a reproducible uniform u from md5 of
+    its key (the engine's shared-hash discipline) and ranks by the
+    exponential clock e = -ln(u)/w: the k SMALLEST clocks are exactly
+    an A-ES weighted sample. The fixed-RATE twins (deterministic_sample
+    / stratified_sample / temperature_mix_sample) keep a hash-threshold
+    share; this keeps an exact COUNT under weights — the form a fixed
+    token budget needs.
+
+    Scale shape: the key is one map-side expression chain (md5 → conv →
+    ln — all codegen, no UDF, no rand() state); the only exchange is
+    the TakeOrdered top-k, so the sample never shuffles the corpus and
+    is reproducible across engines, retries, and partitionings. The
+    clock is rounded to 10 dp before ranking (the ln-ulp discipline,
+    see _bm25_score_sql) with doc_id as the total tie-break."""
+    d = T(spark, sf_dir, "documents")
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+         .cast("double") + F.lit(1.0))
+        / F.lit(_WS_DENOM)
+    )
+    wt = (F.col("n_chars") + F.lit(1)).cast("double")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(-F.log(u) / wt, 10).alias("es_key"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("es_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _WS_K)
+    )
+
+
 @register(
     "json_struct_extract",
     oracle="""

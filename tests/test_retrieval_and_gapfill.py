@@ -489,3 +489,46 @@ class TestPassageBm25DocTopk:
         assert list(out["doc_id"])[0] == 0
         # and the winning chunk is at the TAIL, not chunk 0
         assert int(out[out["doc_id"] == 0]["best_chunk_idx"].iloc[0]) >= 19
+
+
+class TestWeightedSampleTopk:
+    def test_matches_pure_python_aes_reference(self, spark, sf_dir):
+        """The A-ES clocks recompute exactly in pure Python (same md5
+        derivation, same rounding, same tie-break): the engine's sample
+        must equal the reference sample doc for doc."""
+        import hashlib
+
+        from migrate_cassandra_to_mysql_spark.plans.statsplans import (
+            _WS_DENOM,
+            _WS_K,
+            weighted_sample_topk,
+        )
+
+        out = weighted_sample_topk(spark, sf_dir).toPandas()
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+        def clock(r):
+            h = int(hashlib.md5(str(int(r["doc_id"])).encode()).hexdigest()[:12], 16)
+            u = (h + 1) / _WS_DENOM
+            return round(-math.log(u) / (int(r["n_chars"]) + 1), 10)
+
+        docs = docs.assign(es_key=docs.apply(clock, axis=1))
+        ref = docs.sort_values(["es_key", "doc_id"]).head(_WS_K)
+        assert list(out["doc_id"]) == list(ref["doc_id"])
+        assert (
+            abs(out["es_key"].to_numpy() - ref["es_key"].to_numpy()) < 1e-9
+        ).all()
+        assert len(out) == min(_WS_K, len(docs))
+        assert list(out["rnk"]) == list(range(1, len(out) + 1))
+
+    def test_heavier_docs_oversampled(self, spark, sf_dir):
+        """Directional check on the weighting: the sampled docs' mean
+        weight exceeds the corpus mean (inclusion probability grows
+        with n_chars)."""
+        from migrate_cassandra_to_mysql_spark.plans.statsplans import (
+            weighted_sample_topk,
+        )
+
+        out = weighted_sample_topk(spark, sf_dir).toPandas()
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+        assert out["n_chars"].mean() > docs["n_chars"].mean()
