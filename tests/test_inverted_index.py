@@ -590,3 +590,36 @@ def test_merge_rejects_bucket_count_mismatch(spark, sf_dir, tmp_path_factory):
         inverted_index.merge_indexes(
             spark, [a, b], str(tmp_path_factory.mktemp("merged"))
         )
+
+
+def test_merge_three_random_shards_equals_single_build(
+    spark, sf_dir, tmp_path_factory
+):
+    """N-way merge with an ARBITRARY (hash-random, uneven) shard
+    assignment — the shape a per-source split really has. Merged must
+    equal the single-pass build regardless of how the corpus was cut."""
+    docs = T(spark, sf_dir, "documents")
+    assign = F.abs(F.hash(F.col("doc_id").cast("string"))) % 7
+    parts = [
+        docs.where(assign < 2),          # ~2/7
+        docs.where((assign >= 2) & (assign < 3)),  # ~1/7
+        docs.where(assign >= 3),         # ~4/7
+    ]
+    dirs = []
+    for i, p in enumerate(parts):
+        d = str(tmp_path_factory.mktemp(f"rshard_{i}"))
+        inverted_index.build_inverted_index(p, d)
+        dirs.append(d)
+    m = str(tmp_path_factory.mktemp("rmerged"))
+    ref = str(tmp_path_factory.mktemp("rsingle"))
+    inverted_index.build_inverted_index(docs, ref)
+    inverted_index.merge_indexes(spark, dirs, m)
+
+    def serve(idx):
+        return inverted_index.bm25_search(
+            spark, idx, _BM25_TERMS, k=20, score_sql=_bm25_score_sql()
+        ).toPandas()
+
+    got, want = serve(m), serve(ref)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert (got["bm25"].to_numpy() == want["bm25"].to_numpy()).all()

@@ -670,3 +670,20 @@ def test_shard_merge_equals_single_build_at_sf1(
     s_m = spark.read.parquet(f"{m}/stats").collect()[0]
     s_r = spark.read.parquet(f"{ref}/stats").collect()[0]
     assert (s_m["n_docs"], s_m["sum_dl"]) == (s_r["n_docs"], s_r["sum_dl"])
+
+
+def test_passage_bm25_completes_at_sf1(spark, sf1_dir):
+    """Chunk-level BM25 + per-doc max-pool at 10x: the chunk explode
+    multiplies rows, not bytes (token arrays slice in place), the hits
+    filter precedes the sole per-doc exchange, and the plan holds its
+    two-exchange shape at any corpus size."""
+    from migrate_cassandra_to_mysql_spark.plans.textplans import (
+        passage_bm25_doc_topk,
+    )
+
+    q = passage_bm25_doc_topk(spark, sf1_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = q.collect()
+    assert len(rows) == 10
+    assert all(r["bm25"] > 0 and r["best_chunk_hits"] > 0 for r in rows)
