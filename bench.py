@@ -201,6 +201,9 @@ def main() -> None:
         # r10 (late): A-ES weighted top-k sample — map-side key +
         # TakeOrdered, should price like a bare corpus scan
         ("weighted_sample_topk", "weighted_sample_topk"),
+        # r10 (late): count-min sketch build + heavy-hitter probe —
+        # one token pass into 4096 bounded cells + a vocab-sized probe
+        ("cms_heavy_hitters", "cms_heavy_hitters"),
     ):
         if nm in qs:
             t0 = time.perf_counter()

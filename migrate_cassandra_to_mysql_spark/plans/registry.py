@@ -285,7 +285,14 @@ PRIORITY: list[str] = [
     # hash-threshold samplers:
     "weighted_sample_topk",
     "q2_min_cost_supplier",
-    "q10_returned_items",
+    # r10 (late): q10_returned_items out on its green r6-r9 rows (4
+    # consecutive) — TPC-H join/top-k family stays in-window via q2
+    # (min-cost join + TakeOrdered), q16 (join-agg-having), q17/q19/
+    # q6/q14. In: count-min-sketch heavy hitters — bounded-memory
+    # frequency estimation (the sketch complement to exact top_ngrams
+    # and HLL approx_distinct), md5-derived hashes, one-sided error
+    # pinned row by row against the exact counts:
+    "cms_heavy_hitters",
     # late-r6: q13/q21 out on their green r5 rows (the r6 window keeps
     # q2/q10/q12 + the scalar suite for TPC-H shape diversity) to admit
     # the remaining late-r6 operators — new ops earn driver rows in

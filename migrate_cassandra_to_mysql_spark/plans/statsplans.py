@@ -210,6 +210,112 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # buckets per row
+# heavy-hitter cut: estimated count >= total_tokens / 200 (>=0.5%)
+_CMS_FRAC = 200
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+ r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+ hashed AS (
+  SELECT tok.tok, r.r,
+         (('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || tok.tok),
+                             1, 8))::BIGINT) % {_CMS_W} AS bucket
+  FROM tok, r),
+ cells AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM hashed GROUP BY 1, 2),
+ truth AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM tok GROUP BY 1),
+ total AS (SELECT CAST(sum(true_cnt) AS BIGINT) AS n FROM truth),
+ probes AS (
+  SELECT t.tok, t.true_cnt, r.r,
+         (('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || t.tok),
+                             1, 8))::BIGINT) % {_CMS_W} AS bucket
+  FROM truth t, r),
+ est AS (
+  SELECT p.tok, CAST(max(p.true_cnt) AS BIGINT) AS true_cnt,
+         CAST(min(c.c) AS BIGINT) AS est
+  FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+  GROUP BY p.tok)
+SELECT e.tok, e.true_cnt, e.est
+FROM est e, total
+WHERE e.est >= total.n // {_CMS_FRAC}
+ORDER BY e.est DESC, e.tok
+""",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    token frequencies estimated from a d=4 x w=1024 sketch — BOUNDED
+    memory no matter the vocabulary (the 100 TB point: an exact
+    token-count table scales with distinct tokens; the sketch is 4096
+    cells regardless), one-sided error (est >= truth, over-count <=
+    eN/w with probability 1-(1/2)^d). Hashes derive from md5 (the
+    engine's shared-hash discipline — no seeds, identical cells on
+    every engine/retry/partitioning). Returns tokens whose ESTIMATE
+    crosses 0.5% of total volume, with the exact count alongside so
+    the driver row also pins the one-sided-error contract row by row.
+
+    Scale shape: token explode -> ONE partial-agg shuffle into the
+    4096-cell sketch (map-side combine makes the exchange carry at
+    most cells x partitions rows); the probe side reuses the exact
+    per-token agg (vocabulary-sized) and joins the sketch BROADCAST
+    (4096 rows); the final min-over-rows is a vocabulary-keyed partial
+    agg. In production the exact `truth` column drops and candidates
+    stream against the broadcast sketch — the sketch build itself is
+    the bounded-state pass either way."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.where(F.col("text").isNotNull()).select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("r"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r").cast("string"), F.col("tok"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+    cells = (
+        tok.crossJoin(F.broadcast(rows))
+        .select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    truth = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    total = truth.agg(F.sum("true_cnt").cast("long").alias("n"))
+    probes = truth.crossJoin(F.broadcast(rows)).select(
+        "tok", "true_cnt", "r", bucket.alias("bucket")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.max("true_cnt").cast("long").alias("true_cnt"),
+            F.min("c").cast("long").alias("est"),
+        )
+    )
+    return (
+        est.join(F.broadcast(total))
+        .where(F.col("est") >= F.expr(f"n DIV {_CMS_FRAC}"))
+        .select("tok", "true_cnt", "est")
+        .orderBy(F.desc("est"), F.asc("tok"))
+    )
+
+
 @register(
     "json_struct_extract",
     oracle="""

@@ -66,3 +66,35 @@ def test_approx_percentile_brackets_exact(spark, sf_dir):
     p50, p95 = row["q"]
     assert abs(p50 - row["p50"]) / row["p50"] < 0.05
     assert abs(p95 - row["p95"]) / row["p95"] < 0.05
+
+
+class TestCmsHeavyHitters:
+    def test_one_sided_error_and_recall(self, spark, sf_dir):
+        """CMS guarantees est >= truth (hash collisions only ADD), and
+        every true heavy hitter crosses the estimate threshold (no
+        false negatives). Both checked row by row against the exact
+        counts the catalog row carries alongside."""
+        from migrate_cassandra_to_mysql_spark.plans.statsplans import (
+            _CMS_FRAC,
+            cms_heavy_hitters,
+        )
+        from pyspark.sql import functions as F
+        from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+        out = cms_heavy_hitters(spark, sf_dir).toPandas()
+        assert len(out) > 0
+        assert (out["est"] >= out["true_cnt"]).all()
+        # no false negatives: every token whose TRUE count crosses the
+        # cut appears (est >= truth >= cut)
+        d = T(spark, sf_dir, "documents")
+        tok = d.where(F.col("text").isNotNull()).select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        truth = tok.groupBy("tok").count().toPandas()
+        total = int(truth["count"].sum())
+        cut = total // _CMS_FRAC
+        true_heavy = set(truth[truth["count"] >= cut]["tok"])
+        assert true_heavy <= set(out["tok"])
+        # ordering: est desc, tok asc
+        key = list(zip(-out["est"], out["tok"]))
+        assert key == sorted(key)
