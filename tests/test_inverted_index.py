@@ -623,3 +623,38 @@ def test_merge_three_random_shards_equals_single_build(
     got, want = serve(m), serve(ref)
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert (got["bm25"].to_numpy() == want["bm25"].to_numpy()).all()
+
+
+def test_filtered_search_on_merged_index_with_tombstones(
+    spark, sf_dir, tmp_path_factory
+):
+    """The operational paths COMPOSE: merge two shards (one carrying
+    tombstones), then serve a metadata-FILTERED query on the merged
+    index — result must equal rank-all-then-filter on a single-pass
+    build over the live union (filter semantics global-stats, deletion
+    semantics rebuild-without, merge semantics lossless)."""
+    docs = T(spark, sf_dir, "documents")
+    a = str(tmp_path_factory.mktemp("cshard_a"))
+    b = str(tmp_path_factory.mktemp("cshard_b"))
+    m = str(tmp_path_factory.mktemp("cmerged"))
+    ref = str(tmp_path_factory.mktemp("csingle"))
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    inverted_index.build_inverted_index(even, a)
+    inverted_index.build_inverted_index(docs.where(F.col("doc_id") % 2 == 1), b)
+    victims = [int(r["doc_id"]) for r in even.select("doc_id").limit(3).collect()]
+    inverted_index.delete_docs(spark, a, victims)
+    inverted_index.merge_indexes(spark, [a, b], m)
+    live = docs.where(~F.col("doc_id").isin(victims))
+    inverted_index.build_inverted_index(live, ref)
+    allowed = live.where(F.col("lang") == "en").select("doc_id")
+    got = inverted_index.bm25_search(
+        spark, m, _BM25_TERMS, k=10,
+        score_sql=_bm25_score_sql(), allowed=allowed,
+    ).toPandas()
+    want = inverted_index.bm25_search(
+        spark, ref, _BM25_TERMS, k=10,
+        score_sql=_bm25_score_sql(), allowed=allowed,
+    ).toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert (got["bm25"].to_numpy() == want["bm25"].to_numpy()).all()
+    assert not (set(got["doc_id"]) & set(victims))

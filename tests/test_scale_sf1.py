@@ -687,3 +687,44 @@ def test_passage_bm25_completes_at_sf1(spark, sf1_dir):
     rows = q.collect()
     assert len(rows) == 10
     assert all(r["bm25"] > 0 and r["best_chunk_hits"] > 0 for r in rows)
+
+
+def test_vector_shard_merge_equals_single_build_at_sf1(
+    spark, sf1_dir, tmp_path_factory
+):
+    """IVFPQ shard consolidation at 10x: codes move verbatim between
+    same-codebook shards (no re-encode pass), and the merged index
+    serves identically to a single build over the full 10x corpus."""
+    from migrate_cassandra_to_mysql_spark.operators import ivf_index
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        first_k_cell_centroids,
+        first_k_pq_centers,
+    )
+
+    emb = spark.read.parquet(f"{sf1_dir}/embeddings.parquet")
+    cells = first_k_cell_centroids(emb, 4)
+    centers = first_k_pq_centers(emb, 4, 4)
+    a = str(tmp_path_factory.mktemp("sf1_vshard_a"))
+    b = str(tmp_path_factory.mktemp("sf1_vshard_b"))
+    m = str(tmp_path_factory.mktemp("sf1_vmerged"))
+    ref = str(tmp_path_factory.mktemp("sf1_vsingle"))
+    ivf_index.build_ivfpq_index(
+        emb.where(F.col("vec_id") % 2 == 0), a, cells, centers
+    )
+    ivf_index.build_ivfpq_index(
+        emb.where(F.col("vec_id") % 2 == 1), b, cells, centers
+    )
+    ivf_index.build_ivfpq_index(emb, ref, cells, centers)
+    stats = ivf_index.merge_indexes(spark, [a, b], m)
+    assert stats["cells"] > 0
+    q = (
+        emb.where(F.col("vec_id") % 1000 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    got = ivf_index.ivfpq_search(spark, m, q, k=5, n_probe=2).toPandas()
+    want = ivf_index.ivfpq_search(spark, ref, q, k=5, n_probe=2).toPandas()
+    for col in ("q_id", "n_id", "approx_dist", "rnk"):
+        assert list(got[col]) == list(want[col]), col
