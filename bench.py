@@ -204,6 +204,9 @@ def main() -> None:
         # r10 (late): count-min sketch build + heavy-hitter probe —
         # one token pass into 4096 bounded cells + a vocab-sized probe
         ("cms_heavy_hitters", "cms_heavy_hitters"),
+        # r10 (late): WAV header build + Arrow-batched RIFF parse —
+        # prices the mapInPandas round-trip over the corpus
+        ("audio_meta_decode", "audio_meta_decode"),
     ):
         if nm in qs:
             t0 = time.perf_counter()

@@ -392,3 +392,181 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df_with_payload.mapInPandas(do, schema=FRAMES_SCHEMA)
+
+
+# --- Audio (WAV / RIFF) ------------------------------------------------
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, format string, sample_rate int, "
+    "channels int, bits int, n_samples bigint, duration_ms bigint, "
+    "n_body_bytes bigint"
+)
+
+
+def _hex4le(col: Column) -> Column:
+    """8-hex-char LITTLE-endian (RIFF byte order) encoding of an int
+    column: big-endian hex with its byte pairs reversed."""
+    be = F.lpad(F.hex(col), 8, "0")
+    return F.concat(
+        F.substring(be, 7, 2),
+        F.substring(be, 5, 2),
+        F.substring(be, 3, 2),
+        F.substring(be, 1, 2),
+    )
+
+
+def _hex2le(col: Column) -> Column:
+    """4-hex-char little-endian encoding of an int column."""
+    be = F.lpad(F.hex(col), 4, "0")
+    return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+
+def wav_header(
+    sample_rate: Column, channels: Column, bits: Column, n_samples: Column
+) -> Column:
+    """Canonical 44-byte PCM WAV header (RIFF + fmt + data chunk
+    declarations), built entirely JVM-side — hex concat + unhex column
+    expressions, no UDF, exactly like container_header above. All
+    multi-byte fields are little-endian per RIFF. The declared data
+    size is n_samples * block_align; as with the JPEG path, the body
+    that follows is the document's bytes, not entropy-coded samples —
+    the HEADER-sniffing contract is what the decode parses against."""
+    block_align = (channels * bits / F.lit(8)).cast("int")
+    byte_rate = (sample_rate * block_align).cast("int")
+    data_size = (n_samples * block_align).cast("int")
+    fmt_chunk = F.concat(
+        F.lit("666D7420"),  # "fmt "
+        F.lit("10000000"),  # chunk size 16, LE
+        F.lit("0100"),  # audio format 1 = PCM, LE
+        _hex2le(channels),
+        _hex4le(sample_rate),
+        _hex4le(byte_rate),
+        _hex2le(block_align),
+        _hex2le(bits),
+    )
+    riff = F.concat(
+        F.lit("52494646"),  # "RIFF"
+        _hex4le(data_size + F.lit(36)),  # 4 ("WAVE") + 24 (fmt) + 8 (data hdr)
+        F.lit("57415645"),  # "WAVE"
+        fmt_chunk,
+        F.lit("64617461"),  # "data"
+        _hex4le(data_size),
+    )
+    return F.unhex(riff)
+
+
+def attach_audio_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The audio twin of attach_binary_payload: a real canonical WAV
+    header + the document bytes as the opaque body. Every acoustic
+    parameter derives deterministically from doc_id (sample rate from
+    {8000, 16000, 22050, 44100}, 1-2 channels, 8-or-16 bit, up to 48k
+    declared samples) so a differential oracle can recompute each
+    decoded field arithmetically while the engine path must actually
+    parse the RIFF bytes."""
+    sr = (
+        F.when(F.col("doc_id") % 4 == 0, 8000)
+        .when(F.col("doc_id") % 4 == 1, 16000)
+        .when(F.col("doc_id") % 4 == 2, 22050)
+        .otherwise(44100)
+        .cast("int")
+    )
+    channels = (F.col("doc_id") % 2 + 1).cast("int")
+    bits = F.when(F.col("doc_id") % 3 == 0, 8).otherwise(16).cast("int")
+    n_samples = (F.col("doc_id") % 48000 + 1).cast("int")
+    return df.select(
+        "doc_id",
+        F.concat(
+            wav_header(sr, channels, bits, n_samples),
+            F.encode(F.col(text_col), "UTF-8"),
+        ).alias("payload"),
+    )
+
+
+def _decode_wav_bytes(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE header: verify the RIFF + WAVE tags, walk the
+    chunk list for `fmt ` (channels/sample-rate/bits at their LE
+    offsets) and `data` (declared size -> n_samples, duration). Poison
+    bytes degrade to format='unknown' with NULL fields — at corpus
+    scale a truncated or hostile payload must never kill the stage
+    (fuzz-pinned, like the image parsers)."""
+    none = {
+        "n_bytes": len(payload) if payload is not None else 0,
+        "format": "unknown",
+        "sample_rate": None,
+        "channels": None,
+        "bits": None,
+        "n_samples": None,
+        "duration_ms": None,
+        "n_body_bytes": None,
+    }
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return none
+    sr = ch = bits = None
+    n_samples = duration = body_n = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if tag == b"fmt " and size >= 16 and pos + 8 + 16 <= len(payload):
+            ch, sr = struct.unpack("<HI", payload[pos + 10 : pos + 16])
+            (bits,) = struct.unpack("<H", payload[pos + 22 : pos + 24])
+        elif tag == b"data":
+            if sr is None or ch is None or not bits:
+                return none  # data before a valid fmt chunk
+            block = ch * bits // 8
+            if block <= 0:
+                return none
+            n_samples = size // block
+            duration = n_samples * 1000 // sr if sr else None
+            body_n = len(payload) - (pos + 8)
+            break
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if n_samples is None:
+        return none
+    return {
+        "n_bytes": len(payload),
+        "format": "wav",
+        "sample_rate": sr,
+        "channels": ch,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_ms": duration,
+        "n_body_bytes": body_n,
+    }
+
+
+def decode_audio_assets(df_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched RIFF/WAVE header decode over a binary column —
+    the audio member of the decode family (images: decode_assets;
+    video-ish: sample_frames). Swap the body handling for a real codec
+    (soundfile/ffmpeg) in production; header parse, schema, and batch
+    shape carry over unchanged."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["payload"].map(_decode_wav_bytes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{
+                        k: meta.map(lambda m, k=k: m[k])
+                        for k in (
+                            "n_bytes",
+                            "format",
+                            "sample_rate",
+                            "channels",
+                            "bits",
+                            "n_samples",
+                            "duration_ms",
+                            "n_body_bytes",
+                        )
+                    },
+                }
+            )
+
+    return df_with_payload.mapInPandas(decode, schema=AUDIO_SCHEMA)

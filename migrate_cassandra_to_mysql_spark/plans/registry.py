@@ -284,7 +284,13 @@ PRIORITY: list[str] = [
     # — the exact-count weighted complement of the fixed-RATE
     # hash-threshold samplers:
     "weighted_sample_topk",
-    "q2_min_cost_supplier",
+    # r10 (late): q2_min_cost_supplier out on its green r6-r9 rows (4
+    # consecutive) — TPC-H family stays in-window via q16/q6/q14/q17/
+    # q19 (the TakeOrdered shape also rides the bm25/sampling serving
+    # rows). In: the AUDIO member of the multimodal decode family —
+    # real RIFF/WAVE header build (JVM-side, little-endian) + Arrow-
+    # batched chunk-walk parse, every field oracle-recomputed:
+    "audio_meta_decode",
     # r10 (late): q10_returned_items out on its green r6-r9 rows (4
     # consecutive) — TPC-H join/top-k family stays in-window via q2
     # (min-cost join + TakeOrdered), q16 (join-agg-having), q17/q19/

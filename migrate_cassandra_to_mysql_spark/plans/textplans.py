@@ -1137,6 +1137,48 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_meta_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(44 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'wav' AS format,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            WHEN 2 THEN 22050 ELSE 44100 END
+            AS INTEGER) AS sample_rate,
+       CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END
+            AS INTEGER) AS bits,
+       CAST(doc_id % 48000 + 1 AS BIGINT) AS n_samples,
+       CAST(((doc_id % 48000 + 1) * 1000)
+            // CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                               WHEN 2 THEN 22050 ELSE 44100 END
+            AS BIGINT) AS duration_ms,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes
+FROM documents
+""",
+)
+def audio_meta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO member of the multimodal decode family: each document
+    is wrapped in a REAL canonical 44-byte PCM WAV header (RIFF/WAVE +
+    fmt + data chunk declarations, all little-endian fields built
+    JVM-side from hex column expressions — operators/multimodal.
+    wav_header), then mapInPandas walks the RIFF chunk list and parses
+    sample_rate / channels / bits / n_samples / duration back out of
+    the raw header BYTES the way soundfile's header sniffing does. The
+    oracle recomputes every field arithmetically (the acoustic params
+    derive from doc_id), so a parse that misreads any byte or
+    endianness hash-mismatches. Only the PCM sample decode (a codec)
+    stays out of scope, as with the image pair; poison-byte inputs
+    degrade to format='unknown' (fuzz-pinned, never a stage kill)."""
+    from migrate_cassandra_to_mysql_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents")
+    return multimodal.decode_audio_assets(
+        multimodal.attach_audio_payload(docs)
+    )
+
+
+@register(
     "minhash_lsh_candidates",
     oracle=f"""
 WITH base AS ({_INJECT_SQL}),

@@ -137,3 +137,28 @@ def test_multimodal_header_builders_roundtrip_any_dims(w, h):
         fmt, pw, ph, body = mm._parse_header(header + b"BODY")
         assert (fmt, pw, ph) == (want_fmt, w, h)
         assert body == b"BODY"
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=300)
+def test_wav_parser_never_raises_on_arbitrary_bytes(data):
+    """The RIFF walker runs inside mapInPandas at corpus scale: poison
+    bytes — including prefixes that START like valid RIFF containers,
+    truncated fmt chunks, and data-before-fmt orderings — must degrade
+    to format='unknown', never raise."""
+    from migrate_cassandra_to_mysql_spark.operators import multimodal as mm
+
+    for payload in (
+        data,
+        b"RIFF" + data,
+        b"RIFF\x24\x00\x00\x00WAVE" + data,
+        b"RIFF\x24\x00\x00\x00WAVEfmt " + data,
+        b"RIFF\x24\x00\x00\x00WAVEdata" + data,
+        None,
+    ):
+        out = mm._decode_wav_bytes(payload)
+        assert out["format"] in ("wav", "unknown")
+        if out["format"] == "unknown":
+            assert out["sample_rate"] is None and out["n_samples"] is None
+        else:
+            assert out["sample_rate"] and out["channels"] and out["bits"]
