@@ -728,3 +728,16 @@ def test_vector_shard_merge_equals_single_build_at_sf1(
     want = ivf_index.ivfpq_search(spark, ref, q, k=5, n_probe=2).toPandas()
     for col in ("q_id", "n_id", "approx_dist", "rnk"):
         assert list(got[col]) == list(want[col]), col
+
+
+@pytest.mark.parametrize(
+    "name", ["cms_heavy_hitters", "weighted_sample_topk", "audio_meta_decode"]
+)
+def test_late_r10_rows_complete_at_sf1(spark, sf1_dir, name):
+    """The late-r10 bounded-resource rows at 10x: the CMS sketch stays
+    4096 cells whatever the token volume, the A-ES sample stays k rows
+    with zero exchanges, and the WAV decode streams Arrow batches —
+    completion under the test session's memory IS the assertion."""
+    df = catalog.queries()[name](spark, sf1_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert df.count() > 0, name
