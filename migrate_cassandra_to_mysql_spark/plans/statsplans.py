@@ -183,11 +183,15 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     token budget needs.
 
     Scale shape: the key is one map-side expression chain (md5 → conv →
-    ln — all codegen, no UDF, no rand() state); the only exchange is
-    the TakeOrdered top-k, so the sample never shuffles the corpus and
-    is reproducible across engines, retries, and partitionings. The
-    clock is rounded to 10 dp before ranking (the ln-ulp discipline,
-    see _bm25_score_sql) with doc_id as the total tie-break."""
+    ln — all codegen, no UDF, no rand() state); the corpus-sized step is
+    orderBy().limit(k), which compiles to TakeOrderedAndProject (per-
+    partition k-heaps, no global sort), so the sample never shuffles the
+    corpus and is reproducible across engines, retries, and
+    partitionings. The rnk column is assigned AFTER the top-k, by a
+    window over the <=k surviving rows (bounded-by-k, the hybrid-RRF
+    discipline) — never a global window over the corpus. The clock is
+    rounded to 10 dp before ranking (the ln-ulp discipline, see
+    _bm25_score_sql) with doc_id as the total tie-break."""
     d = T(spark, sf_dir, "documents")
     u = (
         (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
@@ -203,11 +207,9 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    topk = keyed.orderBy(F.asc("es_key"), F.asc("doc_id")).limit(_WS_K)
     w = Window.orderBy(F.asc("es_key"), F.asc("doc_id"))
-    return (
-        keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= _WS_K)
-    )
+    return topk.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 _CMS_D = 4  # hash rows
