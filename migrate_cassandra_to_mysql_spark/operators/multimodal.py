@@ -268,12 +268,12 @@ def _resize_payload(
     payload: bytes,
     target_width: int,
     target_height: int,
-    kernel: str = "auto",
+    kernel: str = "stub",
 ) -> tuple[str, int | None, int | None, bytes]:
-    """One payload through the resize kernel. kernel='auto' tries the
-    real PIL pixel path first and falls back to the stub; 'stub' pins
-    the deterministic byte-resample (the reproducible test path);
-    'pil' requires the real path and passes the payload through
+    """One payload through the resize kernel. kernel='stub' (default)
+    pins the deterministic byte-resample (the reproducible path);
+    'auto' tries the real PIL pixel path first and falls back to the
+    stub; 'pil' requires the real path and passes the payload through
     untouched when it cannot decode."""
     fmt, w, h, body = _parse_header(payload)
     if fmt == "unknown" or not w or not h:
@@ -303,18 +303,22 @@ def resize_assets(
     df_with_payload: DataFrame,
     target_width: int,
     target_height: int,
-    kernel: str = "auto",
+    kernel: str = "stub",
 ) -> DataFrame:
-    """Arrow-batched resize over the binary asset column. kernel='auto'
-    (default) uses a REAL pixel resample via PIL whenever PIL is
-    importable on the workers AND the payload decodes as an image,
-    re-encoding to the source container format; otherwise — PIL absent
-    (this sandbox has none) or a synthetic/poison payload — it falls
-    back to the deterministic stand-in: parse the container header,
+    """Arrow-batched resize over the binary asset column. kernel='stub'
+    (the DEFAULT: output bytes must not depend on which libraries the
+    worker environment happens to have — a genuinely decodable payload
+    under an 'auto' default would resample differently per worker, so
+    the real pixel path is explicit opt-in) pins the deterministic
+    byte-resample. kernel='auto' uses a REAL pixel resample via PIL
+    whenever PIL is importable on the workers AND the payload decodes
+    as an image, re-encoding to the source container format; otherwise
+    — PIL absent (this sandbox has none) or a synthetic/poison payload
+    — it falls back to the deterministic stand-in: parse the container
+    header,
     emit a new VALID header (CRC-correct PNG IHDR / SOF0) carrying the
     target dimensions, and resample the body to the area-scaled length
-    by index striding. kernel='stub' pins the deterministic path
-    (reproducible tests); kernel='pil' demands the real path and passes
+    by index striding. kernel='pil' demands the real path and passes
     undecodable payloads through untouched. The schema, Arrow batching,
     header rebuild, and partition sizing are identical across kernels.
     Unknown containers pass through untouched rather than raising — a

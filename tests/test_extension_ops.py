@@ -304,6 +304,23 @@ def test_sample_frames_fans_out_rows(spark, sf_dir):
             assert r["n_frame_bytes"] == len(bytes(r["frame"]))
 
 
+def test_resize_kernel_default_is_deterministic_stub():
+    """The DEFAULT kernel is 'stub': output bytes must not depend on
+    which libraries the worker environment happens to have (r10 ADVICE —
+    an 'auto' default makes genuinely decodable payloads resample
+    differently per worker). The real pixel path is explicit opt-in."""
+    import inspect
+
+    assert (
+        inspect.signature(multimodal.resize_assets).parameters["kernel"].default
+        == "stub"
+    )
+    assert (
+        inspect.signature(multimodal._resize_payload).parameters["kernel"].default
+        == "stub"
+    )
+
+
 def test_resize_kernel_pil_branch_and_fallbacks(monkeypatch):
     """kernel='auto' prefers the REAL pixel path when PIL is importable
     and the payload decodes (VERDICT r9 #4 — forward-compat plumbing;
