@@ -128,14 +128,20 @@ def _check_batch_id_offset_upgrade(
       on disk: the index was streamed by some OTHER (old-mapping)
       checkpoint; minting a marker here would both enable inheritance
       and let the new stream's batch B clobber old batch B+1 files.
-    - marker present but stamped with a DIFFERENT checkpoint identity,
-      and this checkpoint has history (offsets or commits): that
-      history predates the marker — reject instead of replay.
+    - marker present but this checkpoint's identity is not among the
+      RECORDED identities, and this checkpoint has history (offsets or
+      commits): that history predates the marker — reject instead of
+      replay.
 
     Fresh indexes (no history anywhere) just get the marker; a fresh
     checkpoint over a marked index adopts the marker (re-stream); a
     legacy identity-less marker (written before r10) is stamped with
-    the first checkpoint that resumes under it."""
+    the first checkpoint that resumes under it. Adopted identities are
+    recorded ADDITIVELY — one `checkpoint = ` line per identity, never
+    overwritten (r10 ADVICE: restamping on every start meant a fresh
+    re-stream checkpoint B erased checkpoint A's record, so A — whose
+    batches were all written under the new mapping — could never
+    resume)."""
     import glob
     import os
 
@@ -167,28 +173,27 @@ def _check_batch_id_offset_upgrade(
         "compact_codes to collapse ingest_batch=* into 0, then "
         f"(3) create the marker file {marker} and restart."
     )
+    recorded: list[str] = []
     if os.path.exists(marker):
-        recorded = None
         with open(marker) as f:
             for line in f:
                 if line.startswith("checkpoint = "):
-                    recorded = line.split(" = ", 1)[1].strip()
-        if (
-            recorded is not None
-            and recorded != ckpt_id
-            and (offsets or committed)
-        ):
+                    ident = line.split(" = ", 1)[1].strip()
+                    if ident not in recorded:
+                        recorded.append(ident)
+        if recorded and ckpt_id not in recorded and (offsets or committed):
             raise ValueError(
-                f"{marker} was established under a different checkpoint "
-                f"({recorded}), but {checkpoint_dir} already has "
-                "offsets/commits that predate it — its batches were "
+                f"{marker} was established under different checkpoint(s) "
+                f"({', '.join(recorded)}), but {checkpoint_dir} already "
+                "has offsets/commits that predate it — its batches were "
                 "written under the pre-offset batch-id mapping "
                 "(micro-batch B wrote ingest_batch=B; it now writes "
                 "B+1), and resuming would duplicate any replayed "
                 f"batch. {recipe}"
             )
-        # same checkpoint, a fresh re-stream checkpoint, or a legacy
-        # identity-less marker: (re)stamp below.
+        # a recorded checkpoint resuming, a fresh re-stream checkpoint
+        # adopting, or a legacy identity-less marker: record this
+        # identity ADDITIVELY below (never erase earlier adopters).
     else:
         if committed:
             raise ValueError(
@@ -231,9 +236,14 @@ def _check_batch_id_offset_upgrade(
                 f"stream's ingest_batch=B+1 files. {recipe}"
             )
     os.makedirs(index_dir, exist_ok=True)
-    with open(marker, "w") as f:
+    if ckpt_id not in recorded:
+        recorded.append(ckpt_id)
+    tmp = f"{marker}.tmp"
+    with open(tmp, "w") as f:
         f.write("ingest_batch = micro-batch id + 1\n")
-        f.write(f"checkpoint = {ckpt_id}\n")
+        for ident in recorded:
+            f.write(f"checkpoint = {ident}\n")
+    os.replace(tmp, marker)
 
 
 def stream_docs_into_inverted_index(

@@ -402,6 +402,44 @@ def test_upgrade_guard_marker_records_checkpoint_identity(tmp_path):
     assert os.path.realpath(ckpt_b) in open(marker).read()
 
 
+def test_upgrade_guard_adoption_is_additive(tmp_path):
+    """Adopted checkpoint identities accumulate (r10 ADVICE): after a
+    fresh re-stream checkpoint B adopts a marker earned by checkpoint A,
+    A — whose batches were ALL written under the new mapping — must
+    still be able to resume. Overwrite-stamping used to erase A's
+    record, rejecting it with a misleading migration recipe."""
+    import os
+
+    from migrate_cassandra_to_mysql_spark.streaming.index_ingest import (
+        _check_batch_id_offset_upgrade,
+    )
+
+    idx = str(tmp_path / "idx")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    ckpt_b = str(tmp_path / "ckpt_b")
+    marker = f"{idx}/_ingest_offset_v2"
+
+    # A establishes the marker, streams, and commits under the new mapping
+    _check_batch_id_offset_upgrade(ckpt_a, idx)
+    os.makedirs(f"{ckpt_a}/commits", exist_ok=True)
+    os.makedirs(f"{ckpt_a}/offsets", exist_ok=True)
+    open(f"{ckpt_a}/commits/0", "w").close()
+    open(f"{ckpt_a}/offsets/0", "w").close()
+    # fresh checkpoint B legitimately adopts (re-stream)
+    _check_batch_id_offset_upgrade(ckpt_b, idx)
+    content = open(marker).read()
+    assert os.path.realpath(ckpt_a) in content  # A's record survives
+    assert os.path.realpath(ckpt_b) in content
+    # A resumes: recorded identity, history all new-mapping — passes
+    _check_batch_id_offset_upgrade(ckpt_a, idx)
+    # a THIRD checkpoint with prior history is still rejected
+    ckpt_c = str(tmp_path / "ckpt_c")
+    os.makedirs(f"{ckpt_c}/commits", exist_ok=True)
+    open(f"{ckpt_c}/commits/0", "w").close()
+    with pytest.raises(ValueError, match="different checkpoint"):
+        _check_batch_id_offset_upgrade(ckpt_c, idx)
+
+
 def test_stream_rejects_readd_of_tombstoned_doc(
     spark, sf_dir, tmp_path_factory
 ):
