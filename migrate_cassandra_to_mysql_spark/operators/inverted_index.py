@@ -258,21 +258,35 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> None:
     doc_id supersedes the deletion: append_to_inverted_index runs the
     owed physical purge first (compact_postings) so the re-added copy
     is the only one — streaming ingest instead rejects re-adds loudly
-    with that same recipe (stream_docs_into_inverted_index)."""
+    with that same recipe (stream_docs_into_inverted_index).
+
+    Atomicity (r10 ADVICE): the ENLARGED tombstone set is written to
+    `deletes.new` and promoted via swap_live_dir — a NEW version dir —
+    never appended into the current live version. A concurrent reader
+    whose manifest pins the old deletes version keeps the OLD set until
+    the commit_live_snapshot inside _refresh_derived flips deletes,
+    lexicon, and stats TOGETHER; appending in place instead made the new
+    tombstones visible immediately, so that reader anti-joined the new
+    set while scoring with tombstone-inclusive df/n_docs/sum_dl —
+    matching neither rebuilt-with nor rebuilt-without."""
     from migrate_cassandra_to_mysql_spark.operators.layout import (
-        ensure_live_dir,
+        swap_live_dir,
     )
 
     if not isinstance(doc_ids, DataFrame):
         doc_ids = spark.createDataFrame(
             [(int(i),) for i in doc_ids], "doc_id long"
         )
+    new = doc_ids.select(F.col("doc_id").cast("long"))
+    existing = _load_deletes(spark, index_dir)
+    enlarged = new if existing is None else existing.unionByName(new)
     (
-        doc_ids.select(F.col("doc_id").cast("long"))
+        enlarged.distinct()
         .coalesce(1)
-        .write.mode("append")
-        .parquet(ensure_live_dir(index_dir, "deletes"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/deletes.new")
     )
+    swap_live_dir(index_dir, "deletes")
     _refresh_derived(spark, index_dir)
 
 

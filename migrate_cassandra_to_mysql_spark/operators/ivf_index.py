@@ -538,22 +538,33 @@ def delete_vectors(spark: SparkSession, index_dir: str, vec_ids) -> None:
     compact_codes. A LATER batch append of a tombstoned vec_id
     supersedes the deletion (append_to_ivfpq_index purges first via
     compact_codes); streaming ingest rejects re-adds loudly instead
-    (stream_vectors_into_ivfpq_index)."""
+    (stream_vectors_into_ivfpq_index).
+
+    Atomicity (r10 ADVICE, same fix as delete_docs): the ENLARGED
+    tombstone set is staged in `deletes.new` and promoted via
+    swap_live_dir — a NEW version dir — so a reader whose manifest pins
+    the previous deletes version keeps the old set until THIS deletion's
+    manifest commit; appending into the live version dir instead leaked
+    the new tombstones to manifest-pinned readers before the commit."""
     from migrate_cassandra_to_mysql_spark.operators.layout import (
         commit_live_snapshot,
-        ensure_live_dir,
+        swap_live_dir,
     )
 
     if not isinstance(vec_ids, DataFrame):
         vec_ids = spark.createDataFrame(
             [(int(i),) for i in vec_ids], "vec_id long"
         )
+    new = vec_ids.select(F.col("vec_id").cast("long"))
+    existing = _load_vec_deletes(spark, index_dir)
+    enlarged = new if existing is None else existing.unionByName(new)
     (
-        vec_ids.select(F.col("vec_id").cast("long"))
+        enlarged.distinct()
         .coalesce(1)
-        .write.mode("append")
-        .parquet(ensure_live_dir(index_dir, "deletes"))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/deletes.new")
     )
+    swap_live_dir(index_dir, "deletes")
     commit_live_snapshot(index_dir, ("codes", "deletes"))
 
 

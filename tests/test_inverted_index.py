@@ -408,6 +408,87 @@ def test_delete_docs_tombstone_then_purge(spark, sf_dir, tmp_path_factory):
     )
 
 
+def test_delete_promotes_new_tombstone_version(
+    spark, sf_dir, tmp_path_factory
+):
+    """Deletion atomicity (r10 ADVICE): delete_docs must stage the
+    enlarged tombstone set in a NEW deletes version dir, never append
+    into the live one — a reader whose manifest pinned the pre-delete
+    version keeps reading EXACTLY the old tombstone set until the
+    deletion's own manifest commit flips deletes+lexicon+stats together.
+    Pinned: (a) the live deletes realpath changes across delete_docs,
+    (b) the previously-pinned version dir still exists and still holds
+    only the old set, (c) the manifest records the new version."""
+    import json
+    import os
+
+    d = str(tmp_path_factory.mktemp("invidx_atomic_del"))
+    docs = T(spark, sf_dir, "documents")
+    inverted_index.build_inverted_index(docs, d)
+    ids = [int(r["doc_id"]) for r in docs.select("doc_id").head(4)]
+
+    inverted_index.delete_docs(spark, d, ids[:2])
+    v1 = os.path.realpath(f"{d}/deletes")
+    pinned_v1 = json.load(open(f"{d}/_snapshot.json"))["layers"]["deletes"]
+    assert os.path.join(d, pinned_v1) == v1
+    old_set = {
+        r["doc_id"] for r in spark.read.parquet(v1).collect()
+    }
+    assert old_set == set(ids[:2])
+
+    inverted_index.delete_docs(spark, d, ids[2:])
+    v2 = os.path.realpath(f"{d}/deletes")
+    assert v2 != v1  # a NEW version dir, not an in-place append
+    # the pre-delete reader's pinned version is intact and unchanged
+    assert os.path.isdir(v1)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(v1).collect()
+    } == set(ids[:2])
+    # the new version holds the full enlarged set and the manifest
+    # moved with it
+    assert {
+        r["doc_id"] for r in spark.read.parquet(v2).collect()
+    } == set(ids)
+    pinned_v2 = json.load(open(f"{d}/_snapshot.json"))["layers"]["deletes"]
+    assert os.path.join(d, pinned_v2) == v2
+
+
+def test_delete_vectors_promotes_new_tombstone_version(
+    spark, sf_dir, tmp_path_factory
+):
+    """Vector-index twin of the deletion-atomicity pin: delete_vectors
+    stages deletes.new and promotes a fresh version; the pre-delete
+    pinned version survives untouched."""
+    import json
+    import os
+
+    from migrate_cassandra_to_mysql_spark.operators import ivf_index
+
+    d = str(tmp_path_factory.mktemp("ivf_atomic_del"))
+    emb = T(spark, sf_dir, "embeddings")
+    ivf_index.build_ivfpq_index(emb, d)
+    ids = [int(r["vec_id"]) for r in emb.select("vec_id").head(4)]
+
+    ivf_index.delete_vectors(spark, d, ids[:2])
+    v1 = os.path.realpath(f"{d}/deletes")
+    assert {
+        r["vec_id"] for r in spark.read.parquet(v1).collect()
+    } == set(ids[:2])
+
+    ivf_index.delete_vectors(spark, d, ids[2:])
+    v2 = os.path.realpath(f"{d}/deletes")
+    assert v2 != v1
+    assert os.path.isdir(v1)
+    assert {
+        r["vec_id"] for r in spark.read.parquet(v1).collect()
+    } == set(ids[:2])
+    assert {
+        r["vec_id"] for r in spark.read.parquet(v2).collect()
+    } == set(ids)
+    pinned = json.load(open(f"{d}/_snapshot.json"))["layers"]["deletes"]
+    assert os.path.join(d, pinned) == v2
+
+
 def test_readd_after_delete_supersedes(spark, sf_dir, tmp_path_factory):
     """A tombstoned doc_id APPENDED again (takedown reversal / corrected
     re-crawl) becomes visible with exactly its new content: the append
