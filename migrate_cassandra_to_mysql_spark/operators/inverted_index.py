@@ -472,11 +472,8 @@ def merge_indexes(
 
     Operational contract: shards quiescent during the merge (same as
     compaction); dst_dir is a fresh index directory."""
-    import concurrent.futures as _cf
-    import glob as _glob
-    import os as _os
-
     from migrate_cassandra_to_mysql_spark.operators.layout import (
+        merge_sharded_layer,
         read_parquet_retry,
         resolve_live_snapshot,
         swap_live_dir,
@@ -554,76 +551,34 @@ def merge_indexes(
             "want) and re-run."
         )
 
-    # 3) per-bucket posting move: union of the shards' bucket=N dirs,
-    # purged per shard, bin-packed by listed bytes — zero shuffle.
-    by_bucket: dict[str, list[int]] = {}
-    for i, lay in enumerate(layers):
-        for d in _glob.glob(f"{lay['postings']}/bucket=*"):
-            if _os.path.isdir(d):
-                by_bucket.setdefault(_os.path.basename(d), []).append(i)
-
-    agg = {"files_in": 0, "files_out": 0, "bytes": 0, "buckets": 0}
-
-    def _one(bucket: str) -> dict:
-        srcs = by_bucket[bucket]
-        files_in = [
-            p
-            for i in srcs
-            for p in _glob.glob(
-                f"{layers[i]['postings']}/{bucket}/ingest_batch=*/part-*"
-            )
-            if _os.path.isfile(p)
-        ]
-        total = sum(_os.path.getsize(p) for p in files_in)
-        n_out = max(1, -(-total // target_file_bytes))
-        merged = None
-        for i in srcs:
-            one = _purged(
-                spark.read.parquet(
-                    f"{layers[i]['postings']}/{bucket}"
-                ).drop("ingest_batch"),
-                i,
-            )
-            merged = one if merged is None else merged.unionByName(one)
-        out = f"{dst_dir}/postings.new/{bucket}/ingest_batch=0"
-        (
-            merged.coalesce(n_out)
-            .sortWithinPartitions("tok", "doc_id")
-            .write.mode("overwrite")
-            .parquet(out)
-        )
-        files_out = len(
-            [p for p in _glob.glob(f"{out}/part-*") if _os.path.isfile(p)]
-        )
-        return {"files_in": len(files_in), "files_out": files_out, "bytes": total}
-
-    # Concurrent job submission, same rationale as compact_partitioned.
-    with _cf.ThreadPoolExecutor(max_workers=8) as ex:
-        for res in ex.map(_one, sorted(by_bucket)):
-            agg["files_in"] += res["files_in"]
-            agg["files_out"] += res["files_out"]
-            agg["bytes"] += res["bytes"]
-            agg["buckets"] += 1
-
-    # 4) doclens: union purged, bin-packed (one row per doc — billions
-    # at the design point; never force a single file).
-    dl_files = [
-        p
-        for lay in layers
-        for p in _glob.glob(f"{lay['doclens']}/ingest_batch=*/part-*")
-        if _os.path.isfile(p)
+    # 3) posting + doclens moves: the generic zero-shuffle shard move
+    # (layout.merge_sharded_layer): per-bucket union purged per shard,
+    # bin-packed by listed bytes; doclens is the flat form (one row per
+    # doc — billions at the design point; never force a single file).
+    purge_callables = [
+        (lambda df, i=i: _purged(df, i)) for i in range(len(layers))
     ]
-    dl_bytes = sum(_os.path.getsize(p) for p in dl_files)
-    dl_merged = None
-    for i, lay in enumerate(layers):
-        one = _purged(
-            spark.read.parquet(lay["doclens"]).drop("ingest_batch"), i
-        )
-        dl_merged = one if dl_merged is None else dl_merged.unionByName(one)
-    (
-        dl_merged.coalesce(max(1, -(-dl_bytes // target_file_bytes)))
-        .write.mode("overwrite")
-        .parquet(f"{dst_dir}/doclens.new/ingest_batch=0")
+    moved = merge_sharded_layer(
+        spark,
+        [lay["postings"] for lay in layers],
+        f"{dst_dir}/postings.new",
+        purge_callables,
+        sort_within_by=("tok", "doc_id"),
+        target_file_bytes=target_file_bytes,
+    )
+    agg = {
+        "files_in": moved["files_in"],
+        "files_out": moved["files_out"],
+        "bytes": moved["bytes"],
+        "buckets": moved["partitions"],
+    }
+    merge_sharded_layer(
+        spark,
+        [lay["doclens"] for lay in layers],
+        f"{dst_dir}/doclens.new",
+        purge_callables,
+        partitioned=False,
+        target_file_bytes=target_file_bytes,
     )
     for part in ("postings", "doclens"):
         swap_live_dir(dst_dir, part)

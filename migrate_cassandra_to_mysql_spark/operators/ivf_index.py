@@ -347,12 +347,11 @@ def merge_indexes(
 
     Operational contract: shards quiescent during the merge; dst_dir a
     fresh index directory."""
-    import concurrent.futures as _cf
-    import glob as _glob
     import os as _os
 
     from migrate_cassandra_to_mysql_spark.operators.layout import (
         commit_live_snapshot,
+        merge_sharded_layer,
         read_parquet_retry,
         swap_live_dir,
     )
@@ -428,54 +427,23 @@ def merge_indexes(
                 .parquet(f"{dst_dir}/{part}")
             )
 
-    # per-cell code move: union of the shards' cell=N, purged per
-    # shard, bin-packed — zero shuffle
-    by_cell: dict[str, list[int]] = {}
-    for i, lay in enumerate(layers):
-        for d in _glob.glob(f"{lay['codes']}/cell=*"):
-            if _os.path.isdir(d):
-                by_cell.setdefault(_os.path.basename(d), []).append(i)
-    agg = {"files_in": 0, "files_out": 0, "bytes": 0, "cells": 0}
-
-    def _one(cell: str) -> dict:
-        srcs = by_cell[cell]
-        files_in = [
-            p
-            for i in srcs
-            for p in _glob.glob(
-                f"{layers[i]['codes']}/{cell}/ingest_batch=*/part-*"
-            )
-            if _os.path.isfile(p)
-        ]
-        total = sum(_os.path.getsize(p) for p in files_in)
-        n_out = max(1, -(-total // target_file_bytes))
-        merged = None
-        for i in srcs:
-            one = _purged(
-                spark.read.parquet(f"{layers[i]['codes']}/{cell}").drop(
-                    "ingest_batch"
-                ),
-                i,
-            )
-            merged = one if merged is None else merged.unionByName(one)
-        out = f"{dst_dir}/codes.new/{cell}/ingest_batch=0"
-        (
-            merged.coalesce(n_out)
-            .sortWithinPartitions("vec_id")
-            .write.mode("overwrite")
-            .parquet(out)
-        )
-        files_out = len(
-            [p for p in _glob.glob(f"{out}/part-*") if _os.path.isfile(p)]
-        )
-        return {"files_in": len(files_in), "files_out": files_out, "bytes": total}
-
-    with _cf.ThreadPoolExecutor(max_workers=8) as ex:
-        for res in ex.map(_one, sorted(by_cell)):
-            agg["files_in"] += res["files_in"]
-            agg["files_out"] += res["files_out"]
-            agg["bytes"] += res["bytes"]
-            agg["cells"] += 1
+    # per-cell code move: the generic zero-shuffle shard move
+    # (layout.merge_sharded_layer) — union of the shards' cell=N,
+    # purged per shard, bin-packed by listed bytes.
+    moved = merge_sharded_layer(
+        spark,
+        [lay["codes"] for lay in layers],
+        f"{dst_dir}/codes.new",
+        [(lambda df, i=i: _purged(df, i)) for i in range(len(layers))],
+        sort_within_by=("vec_id",),
+        target_file_bytes=target_file_bytes,
+    )
+    agg = {
+        "files_in": moved["files_in"],
+        "files_out": moved["files_out"],
+        "bytes": moved["bytes"],
+        "cells": moved["partitions"],
+    }
     swap_live_dir(dst_dir, "codes")
     commit_live_snapshot(dst_dir, ("codes",))
     return agg

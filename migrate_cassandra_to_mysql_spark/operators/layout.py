@@ -263,6 +263,108 @@ def compact_partitioned(
     return agg
 
 
+def merge_sharded_layer(
+    spark,
+    src_layer_dirs: "Sequence[str]",
+    dst_new_dir: str,
+    purge_fns: "Sequence",
+    *,
+    partitioned: bool = True,
+    sort_within_by: "Sequence[str] | None" = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_workers: int = 8,
+) -> dict:
+    """The generic shard-consolidation move shared by BOTH persisted
+    indexes (inverted_index.merge_indexes / ivf_index.merge_indexes —
+    VERDICT r10 #5 hoisted their duplicated walk → purge → bin-pack
+    machinery here, next to the compaction/swap machinery it mirrors;
+    the index-SPECIFIC integrity guards stay with their callers):
+
+    rows move VERBATIM — union of the shards' same hive partition,
+    each shard's frame first through its own `purge_fns[i]` (identity
+    or a broadcast anti-join of that shard's tombstones: the merge
+    performs the owed physical purge), bin-packed by listed input
+    bytes with a per-partition coalesce — ZERO shuffle at any corpus
+    size, exactly like compact_partitioned. The `ingest_batch` sub-
+    level collapses into ingest_batch=0 (the directory-derived column
+    is dropped before write). Partition jobs submit concurrently
+    (threads drive submission only; Spark's scheduler multiplexes
+    execution), same rationale as compact_partitioned.
+
+    `partitioned=False` is the flat-layer form (an index's doclens):
+    one group, still byte-bin-packed — one row per doc is billions at
+    the design point, never force a single file.
+
+    Writes land under `dst_new_dir` (a `.new` staging name) — the
+    caller promotes via swap_live_dir and commits its snapshot
+    manifest after ALL its layers moved, keeping the cross-layer
+    atomicity contract in one place. Returns aggregate
+    {files_in, files_out, bytes, partitions}."""
+    import concurrent.futures as _cf
+    import glob as _glob
+    import os as _os
+
+    srcs = list(src_layer_dirs)
+    purge_fns = list(purge_fns)
+
+    def _read_purged_union(paths_by_shard: "list[tuple[int, str]]"):
+        merged = None
+        for i, path in paths_by_shard:
+            df = spark.read.parquet(path)
+            if "ingest_batch" in df.columns:
+                df = df.drop("ingest_batch")
+            df = purge_fns[i](df)
+            merged = df if merged is None else merged.unionByName(df)
+        return merged
+
+    def _move(name: str, shard_ids: "list[int]") -> dict:
+        sub = f"/{name}" if name else ""
+        files_in = [
+            p
+            for i in shard_ids
+            for p in _glob.glob(f"{srcs[i]}{sub}/ingest_batch=*/part-*")
+            if _os.path.isfile(p)
+        ]
+        total = sum(_os.path.getsize(p) for p in files_in)
+        n_out = max(1, -(-total // target_file_bytes))
+        merged = _read_purged_union(
+            [(i, f"{srcs[i]}{sub}") for i in shard_ids]
+        ).coalesce(n_out)
+        if sort_within_by:
+            merged = merged.sortWithinPartitions(*sort_within_by)
+        out = f"{dst_new_dir}{sub}/ingest_batch=0"
+        merged.write.mode("overwrite").parquet(out)
+        files_out = len(
+            [p for p in _glob.glob(f"{out}/part-*") if _os.path.isfile(p)]
+        )
+        return {
+            "files_in": len(files_in),
+            "files_out": files_out,
+            "bytes": total,
+        }
+
+    if partitioned:
+        by_part: dict[str, list[int]] = {}
+        for i, src in enumerate(srcs):
+            for d in _glob.glob(f"{src}/*=*"):
+                if _os.path.isdir(d) and not _os.path.basename(
+                    d
+                ).startswith("ingest_batch="):
+                    by_part.setdefault(_os.path.basename(d), []).append(i)
+        groups = [(name, by_part[name]) for name in sorted(by_part)]
+    else:
+        groups = [("", list(range(len(srcs))))]
+
+    agg = {"files_in": 0, "files_out": 0, "bytes": 0, "partitions": 0}
+    with _cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        for res in ex.map(lambda g: _move(*g), groups):
+            agg["files_in"] += res["files_in"]
+            agg["files_out"] += res["files_out"]
+            agg["bytes"] += res["bytes"]
+            agg["partitions"] += 1
+    return agg
+
+
 def read_parquet_retry(
     spark,
     path: str,
