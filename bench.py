@@ -208,12 +208,31 @@ def main() -> None:
         # prices the mapInPandas round-trip over the corpus
         ("audio_meta_decode", "audio_meta_decode"),
     ):
-        if nm in qs:
+        if nm not in qs:
+            continue
+
+        def _timed_run() -> float:
             t0 = time.perf_counter()
             qs[nm](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            extra[key] = round(time.perf_counter() - t0, 3)
+            return round(time.perf_counter() - t0, 3)
+
+        if key.endswith("_serve") and "build" not in key:
+            # Pure serve rows report the MEDIAN of 3 consecutive serves
+            # (VERDICT r10 #3): a single sample rode one contended
+            # driver run to a 3x reading (5.44s vs a 1.8-2.5s committed
+            # band); serves are sub-3s so the extra samples are cheap,
+            # and the spread makes host noise visible in the artifact
+            # instead of masquerading as a regression.
+            samples = sorted(_timed_run() for _ in range(3))
+            extra[key] = {
+                "median": samples[1],
+                "n": 3,
+                "spread": round(samples[-1] - samples[0], 3),
+            }
+        else:
+            extra[key] = _timed_run()
 
     # Measured sf1 block (VERDICT r5 ask #3): synthesize a 10×-sf0.1
     # dataset (shared generator with the `pytest -m scale` smoke) and TIME

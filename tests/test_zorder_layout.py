@@ -457,6 +457,9 @@ def test_ensure_live_dir_mutation_respects_maintainer_lock(tmp_path):
     # fast path works even while a maintainer holds the lock
     lock.write_text("held\n")
     assert ensure_live_dir(str(tmp_path), "postings") == tgt
+    # release the fabricated lock: round_close's index-doctor sweep
+    # walks the pytest tmp roots and must only ever see REAL debris
+    lock.unlink()
 
 
 def test_live_snapshot_commit_and_resolve(tmp_path):
