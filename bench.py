@@ -207,6 +207,18 @@ def main() -> None:
         # r10 (late): WAV header build + Arrow-batched RIFF parse —
         # prices the mapInPandas round-trip over the corpus
         ("audio_meta_decode", "audio_meta_decode"),
+        # r11: quality-aware cluster canonical pick (LSH -> components
+        # -> windowed keep/drop) — prices the full dedup-decision chain
+        ("dedup_canonical_keep", "dedup_canonical_keep"),
+        # r11: exact all-pairs sparse TF-IDF cosine with df prefix
+        # pruning — the posting self-join is the cost to watch
+        ("sparse_cosine_pairs", "sparse_cosine_pairs"),
+        # r11: RM3 two-pass feedback retrieval — pass-1 BM25 + expansion
+        # pick + pass-2 weighted re-score
+        ("rm3_query_expansion_topk", "rm3_query_expansion_topk"),
+        # r11: ANN recall/MRR/nDCG evaluation harness (shares the ivfpq
+        # codebook memo the rerank pair above already paid)
+        ("ann_recall_eval", "ann_recall_eval"),
     ):
         if nm not in qs:
             continue

@@ -146,6 +146,48 @@ def dedup_clusters(
     )
 
 
+def canonical_keep(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_order: "list | None" = None,
+) -> DataFrame:
+    """Cluster-canonical selection — the curation DECISION a dedup pass
+    feeds: within every duplicate cluster keep exactly one document, the
+    best by a quality criterion, and emit per-doc keep/drop rows.
+    `clusters` is dedup_clusters' output (id, component, is_survivor);
+    `quality` carries id_col + the criterion columns; `quality_order`
+    is the within-cluster preference (default: highest `quality`
+    column, ties to the lowest id — a clone never beats its original).
+    Returns (id_col, component, <quality cols...>, canonical_id, keep).
+
+    Unlike dedup_clusters' min-id survivor (an arbitrary-but-
+    deterministic pick), the canonical is quality-aware — "keep the
+    longest/cleanest copy" — which is what production pipelines
+    actually do before dropping near-dups.
+
+    Scale shape: one equi-join on id (quality attaches to the cluster
+    rows) and ONE hash exchange on component for the window; the
+    canonical is first_value over the full frame, so no second join or
+    self-aggregation re-shuffles the corpus. Clusters are tiny (near-
+    dup groups), so the window's per-partition state is bounded."""
+    from pyspark.sql import Window
+
+    joined = clusters.join(quality, id_col)
+    if quality_order is None:
+        quality_order = [F.desc("quality"), F.asc(id_col)]
+    w = (
+        Window.partitionBy("component")
+        .orderBy(*quality_order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        joined.withColumn("canonical_id", F.first(id_col).over(w))
+        .withColumn("keep", F.col(id_col) == F.col("canonical_id"))
+        .drop("is_survivor")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -142,7 +142,16 @@ PRIORITY: list[str] = [
     "skew_ab_salted",
     "skew_ab_plain",
     "plain_skew_join",
-    "snapshot_merge_upsert",
+    # r11: snapshot_merge_upsert out on its green r2-r10 rows (8
+    # consecutive) — the merge-upsert lifecycle stays driver-gated
+    # in-window through snapshot_job_e2e (whose e2e row runs the same
+    # key-dedup merge + idempotent sink + reconcile gate) plus the
+    # sink/merge unit suites. In: ANN retrieval-quality EVALUATION
+    # (recall@K / MRR / nDCG of the IVFADC system list vs the exact-
+    # cosine truth list, all-integer ppm metrics) — the index-change
+    # acceptance harness a production vector stack runs, previously
+    # only pinned by tests:
+    "ann_recall_eval",
     # r7 in: the five post-rotation late-r6 operators
     "bigram_lm_perplexity",
     "events_session_window_native",
@@ -212,11 +221,30 @@ PRIORITY: list[str] = [
     # bpe_token_count / winnowing_fingerprints / ngram_jaccard_dedup
     # rotated out in r3 — all hold green r2 driver rows — to admit the
     # cluster-resolution, decontamination, and end-to-end curation ops)
-    "corpus_curation",
+    # r11: corpus_curation out on its green r3-r10 rows (8 consecutive)
+    # — the curation family keeps doc_signal_suite (every per-doc
+    # signal, in-window), weighted_sample_topk (budgeted selection) and
+    # the incoming dedup_canonical_keep (the keep/drop decision); the
+    # end-to-end curation pipeline keeps its prior rows + tests. In:
+    # RM3 pseudo-relevance-feedback retrieval (BM25 pass-1 feedback ->
+    # weighted term expansion -> pass-2 re-score), the recall-expanding
+    # second pass a retrieval stack layers on BM25:
+    "rm3_query_expansion_topk",
     "doc_signal_suite",
     "multimodal_suite",
-    "dedup_clusters",
-    "contamination_check",
+    # r11: dedup_clusters out on its green r3-r10 rows (8 consecutive)
+    # for the incoming dedup_canonical_keep, which embeds the IDENTICAL
+    # LSH-candidates -> connected-components resolution as its first
+    # stages (strictly finer coverage) and adds the quality-aware
+    # per-cluster canonical pick (keep/drop output):
+    "dedup_canonical_keep",
+    # r11: contamination_check out on its green r3-r10 rows (8
+    # consecutive) — set-overlap membership stays in-window via
+    # incremental_dedup_lsh + ngram_jaccard_pruned + dup_ngram_spans
+    # (shingle membership shapes) and its own prior rows + tests. In:
+    # exact all-pairs sparse TF-IDF cosine with DISCO-style df prefix
+    # pruning — the exact-similarity complement of the MinHash family:
+    "sparse_cosine_pairs",
     # r7: embedding_near_dup out on its green r2-r6 rows to admit the
     # r7-new serving composition (ADC shortlist + exact re-rank) — new
     # ops earn their driver row in their own round:

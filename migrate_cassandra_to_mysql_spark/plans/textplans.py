@@ -357,6 +357,146 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sparse_cosine_pairs constants: terms in more than 1/8 of documents are
+# pruned before pairing (the DISCO/prefix-filtering idea: a term with
+# document frequency d fans out O(d^2) candidate pairs, so the hottest
+# terms — which carry the least similarity signal — are exactly the ones
+# that blow up an all-pairs join); pairs below the cosine threshold drop.
+_SC_DF_CAP_FRAC = 8  # keep terms with df * 8 <= n_docs
+_SC_THRESHOLD = 0.2
+
+
+@register(
+    "sparse_cosine_pairs",
+    oracle=f"""
+WITH base AS ({_INJECT_SQL}),
+ toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM base),
+ tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, tok),
+ n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+ df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+ kept AS (SELECT df.tok, df.df FROM df CROSS JOIN n
+          WHERE df.df * {_SC_DF_CAP_FRAC} <= n.n_docs),
+ w AS (SELECT tf.doc_id, tf.tok,
+              round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / kept.df), 8) AS w
+       FROM tf JOIN kept ON tf.tok = kept.tok CROSS JOIN n),
+ n2 AS (SELECT doc_id,
+               sum(CAST(round(w * w, 10) AS DECIMAL(30,10))) AS n2
+        FROM w GROUP BY doc_id),
+ dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(count(*) AS BIGINT) AS n_shared,
+                sum(CAST(round(a.w * b.w, 10) AS DECIMAL(30,10))) AS dot
+         FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared,
+       round(CAST(dot.dot AS DOUBLE)
+             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+             6) AS cosine
+FROM dot JOIN n2 na ON dot.doc_a = na.doc_id
+         JOIN n2 nb ON dot.doc_b = nb.doc_id
+WHERE round(CAST(dot.dot AS DOUBLE)
+            / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+            6) >= {_SC_THRESHOLD}
+""",
+)
+def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs SPARSE cosine similarity over TF-IDF document vectors
+    with a similarity threshold — the exact-similarity complement of the
+    MinHash/SimHash probabilistic dedup family (APSS: Bayardo et al.
+    2007's all-pairs problem). Every surviving pair (doc_a < doc_b)
+    reports its shared-term count and cosine.
+
+    Scale shape — the join is POSTING-SIZED, never corpus x corpus:
+    1. tf is one partial-agg groupBy over exploded tokens; df derives
+       from tf (the tfidf_top_terms discipline — no second corpus scan).
+    2. Prefix-filtering by document frequency: terms in more than 1/8
+       of documents are PRUNED before pairing. A term with df d fans
+       out O(d^2) pairs, so this cap bounds the self-join blowup the
+       way DISCO/prefix filtering does at production scale — and the
+       pruned stop-ish terms carry the least similarity signal anyway.
+       The operator is DEFINED as cosine over the pruned term space
+       (weights, norms, and pairs all use it — the oracle encodes the
+       same).
+    3. The posting self-join on tok emits only co-occurring pairs;
+       the per-pair reduction is a partial-agg groupBy.
+    4. Float determinism (the corpus_divergence discipline): each
+       product rounds to 10 dp and sums as DECIMAL(30,10) — exact,
+       order-independent — and the single final cosine expression over
+       those exact sums rounds to 6 dp before the threshold.
+    Norm attachment is two doc-keyed equi-joins of a corpus-sized
+    1-row-per-doc table (co-partitioned with the pair reduction at
+    scale)."""
+    base = _inject_dups_spark(T(spark, sf_dir, "documents"))
+    toks = base.select(
+        "doc_id", F.explode(textfns.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    kept = (
+        dfr.crossJoin(F.broadcast(n))
+        .where(F.col("df") * _SC_DF_CAP_FRAC <= F.col("n_docs"))
+        .select("tok", "df")
+    )
+    w = (
+        tf.join(F.broadcast(kept), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                8,
+            ).alias("w"),
+        )
+    )
+    n2 = w.groupBy("doc_id").agg(
+        F.sum(
+            F.round(F.col("w") * F.col("w"), 10).cast("decimal(30,10)")
+        ).alias("n2")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dot = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(
+                F.round(F.col("a.w") * F.col("b.w"), 10).cast(
+                    "decimal(30,10)"
+                )
+            ).alias("dot"),
+        )
+    )
+    na = n2.select(
+        F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a")
+    )
+    nb = n2.select(
+        F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b")
+    )
+    cosine = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double")),
+        6,
+    )
+    return (
+        dot.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "n_shared", cosine.alias("cosine"))
+        .where(F.col("cosine") >= _SC_THRESHOLD)
+    )
+
+
 # Jensen-Shannon divergence between the unigram distributions of the two
 # doc_id-parity halves of each language's corpus — the data-mix diagnostic
 # a training pipeline runs to detect distribution drift between shards /
@@ -556,6 +696,182 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_bm25_score_sql()).alias("bm25"),
         )
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# RM3 pseudo-relevance feedback: pass-1 BM25 picks _RM3_FB feedback
+# docs, their _RM3_EXP strongest non-query non-stop-ish terms join the
+# query at weight _RM3_W, pass-2 scores the corpus over the expanded
+# weighted term set. The per-(doc, term) contribution is ONE shared
+# expression over columns (tw, tf, df, dl, n_docs, sum_dl); each
+# contribution rounds to 10 dp and sums as DECIMAL (exact,
+# order-independent — the corpus_divergence discipline), final round 8.
+_RM3_FB = 10  # feedback depth (pass-1 top-N)
+_RM3_EXP = 3  # expansion terms
+_RM3_W = 0.5  # expansion term weight (query terms weigh 1.0)
+_RM3_DF_CAP = 4  # expansion terms must have df * 4 <= n_docs
+_RM3_CONTRIB_SQL = (
+    "CAST(round("
+    "tw * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    f" * tf * {_BM25_K1 + 1.0}"
+    f" / (tf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B}"
+    " * ((dl * n_docs) / sum_dl)))"
+    ", 10) AS DECIMAL(28,10))"
+)
+
+
+def _rm3_oracle() -> str:
+    """Pass-1 BM25 feedback verbatim from the shared spec, expansion by
+    feedback term mass, pass-2 weighted scoring over tf rows."""
+    tf_cols = ",\n           ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    hits = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    qlist = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+ d1 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tf_cols} FROM t),
+ s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl,
+               {df_cols}
+        FROM d1),
+ fb AS (SELECT doc_id, {_bm25_score_sql()} AS bm25
+        FROM d1, s1 WHERE {hits} > 0
+        ORDER BY bm25 DESC, doc_id LIMIT {_RM3_FB}),
+ tfx AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         GROUP BY doc_id, tok),
+ dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfx GROUP BY tok),
+ fbtf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS fb_tf
+          FROM tfx WHERE doc_id IN (SELECT doc_id FROM fb)
+          GROUP BY tok),
+ exp AS (SELECT fbtf.tok FROM fbtf
+         JOIN dfr ON fbtf.tok = dfr.tok CROSS JOIN s1
+         WHERE fbtf.tok NOT IN ({qlist})
+           AND dfr.df * {_RM3_DF_CAP} <= s1.n_docs
+         ORDER BY fb_tf DESC, fbtf.tok LIMIT {_RM3_EXP}),
+ terms AS (SELECT unnest([{qlist}]) AS tok, CAST(1.0 AS DOUBLE) AS tw
+           UNION ALL
+           SELECT tok, CAST({_RM3_W} AS DOUBLE) FROM exp),
+ dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+ contrib AS (SELECT tfx.doc_id, {_RM3_CONTRIB_SQL} AS c
+             FROM tfx
+             JOIN terms ON tfx.tok = terms.tok
+             JOIN dfr ON tfx.tok = dfr.tok
+             JOIN dl ON tfx.doc_id = dl.doc_id
+             CROSS JOIN s1)
+SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 8) AS rm3
+FROM contrib GROUP BY doc_id
+ORDER BY rm3 DESC, doc_id LIMIT 20
+"""
+
+
+@register("rm3_query_expansion_topk", oracle=_rm3_oracle())
+def rm3_query_expansion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (RM3, Lavrenko & Croft's
+    relevance-model family as used by Anserini/Indri defaults): run the
+    fixed keyword query, take the top-10 feedback documents, promote
+    their 3 strongest non-query terms (by total feedback tf, excluding
+    corpus-stop-ish terms with df > n/4) into the query at half weight,
+    and re-score the corpus over the expanded weighted term set. This is
+    the classic recall-expanding second pass a retrieval stack layers on
+    BM25 when the literal query undersells the topic.
+
+    Scale shape: pass 1 is the pinned bm25_topk_search plan (map-side
+    HOF tf columns, 1-row broadcast stats, TakeOrdered-10). The
+    feedback term mass is a semi-join of the tf table against 10 doc
+    ids (broadcast), reduced per token; the expansion pick is a
+    3-row TakeOrdered over the vocabulary. Pass 2 joins the tf table
+    against a 7-row broadcast term-weight frame — the corpus-sized
+    side is filtered to matching tokens BEFORE any shuffle — and
+    reduces per doc with exact DECIMAL contribution sums (the
+    corpus_divergence discipline; expansion terms stay Column values,
+    never interpolated into SQL). Ends in TakeOrdered-20."""
+    t = T(spark, sf_dir, "documents").select(
+        "doc_id", textfns.tokens(F.col("text")).alias("toks")
+    )
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    d1 = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), _eq(tm)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, tm in enumerate(_BM25_TERMS)
+        ],
+    )
+    s1 = d1.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    hits = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    fb = (
+        d1.join(F.broadcast(s1))
+        .where(F.expr(f"{hits} > 0"))
+        .select("doc_id", F.expr(_bm25_score_sql()).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RM3_FB)
+        .select("doc_id")
+    )
+    tfx = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfr = tfx.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n1 = s1.select("n_docs")
+    fbtf = (
+        tfx.join(F.broadcast(fb), "doc_id", "left_semi")
+        .groupBy("tok")
+        .agg(F.sum("tf").cast("long").alias("fb_tf"))
+    )
+    exp = (
+        fbtf.join(dfr, "tok")
+        .crossJoin(F.broadcast(n1))
+        .where(
+            ~F.col("tok").isin(*_BM25_TERMS)
+            & (F.col("df") * _RM3_DF_CAP <= F.col("n_docs"))
+        )
+        .orderBy(F.desc("fb_tf"), F.asc("tok"))
+        .limit(_RM3_EXP)
+        .select("tok", F.lit(float(_RM3_W)).alias("tw"))
+    )
+    qterms = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(tm) for tm in _BM25_TERMS])
+        ).alias("tok"),
+        F.lit(1.0).alias("tw"),
+    )
+    terms = qterms.unionByName(exp)
+    dl = t.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    contrib = (
+        tfx.join(F.broadcast(terms), "tok")
+        .join(dfr, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(s1.select("n_docs", "sum_dl")))
+        .select("doc_id", F.expr(_RM3_CONTRIB_SQL).alias("c"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 8).alias("rm3"))
+        .orderBy(F.desc("rm3"), F.asc("doc_id"))
         .limit(20)
     )
 
@@ -1598,6 +1914,72 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _inject_dups_spark(T(spark, sf_dir, "documents"))
     pairs = dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2)
     return components.dedup_clusters(base, pairs)
+
+
+def _dedup_canonical_keep_oracle() -> str:
+    """The dedup_clusters component resolution verbatim, then the
+    quality-aware canonical pick as one window (first_value over the
+    full cluster frame, highest measured length first, clone ids after
+    originals)."""
+    from migrate_cassandra_to_mysql_spark.plans.registry import CATALOG
+
+    lsh = CATALOG["minhash_lsh_candidates"].oracle
+    canon = (
+        "first_value(doc_id) OVER (PARTITION BY component "
+        "ORDER BY n_chars_m DESC, doc_id ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+    return f"""
+WITH RECURSIVE
+ cand AS ({lsh}),
+ edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+           UNION SELECT doc_b, doc_a FROM cand),
+ reach(id, lbl) AS (
+   SELECT s, s FROM edges
+   UNION
+   SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+ ),
+ comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+ base AS ({_INJECT_SQL}),
+ cl AS (SELECT b.doc_id,
+               CAST(coalesce(c.component, b.doc_id) AS BIGINT) AS component,
+               CAST(length(b.text) AS BIGINT) AS n_chars_m
+        FROM base b LEFT JOIN comp c ON b.doc_id = c.id)
+SELECT doc_id, component, n_chars_m,
+       {canon} AS canonical_id,
+       doc_id = {canon} AS keep
+FROM cl
+"""
+
+
+@register("dedup_canonical_keep", oracle=_dedup_canonical_keep_oracle())
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DECISION a dedup pass feeds the training mix: resolve
+    MinHash+LSH candidate pairs into duplicate clusters (the identical
+    construction dedup_clusters verifies), then within each cluster keep
+    the single best copy by measured length (ties to the lowest doc_id,
+    so an injected clone never beats its original) and emit per-doc
+    keep/drop rows with the chosen canonical. Extends dedup_clusters'
+    arbitrary min-id survivor to the quality-aware pick production
+    pipelines actually apply before dropping near-dups
+    (operators/components.canonical_keep).
+
+    Scale shape: everything up to clusters is the pinned LSH chain
+    (band equi-join, nothing all-pairs); the pick adds ONE id equi-join
+    (quality attaches) and ONE component-keyed window exchange with
+    first_value over bounded near-dup clusters — no second join back,
+    no re-shuffle of the corpus."""
+    base = _inject_dups_spark(T(spark, sf_dir, "documents"))
+    pairs = dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2)
+    clusters = components.dedup_clusters(base, pairs)
+    quality = base.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars_m")
+    )
+    return components.canonical_keep(
+        clusters,
+        quality,
+        quality_order=[F.desc("n_chars_m"), F.asc("doc_id")],
+    )
 
 
 @register(

@@ -241,6 +241,143 @@ def _ivfpq_oracle() -> str:
     return CATALOG["embedding_ivfpq_topk"].oracle
 
 
+# ann_recall_eval: IR-metric evaluation of the IVFADC system list against
+# the exact-cosine truth list, K deep. All metrics are exact integers
+# (ppm / gain units) so cross-engine hashing never touches float sums:
+# the only transcendental is log2 over the 10 FIXED rank positions,
+# floored at 1e9 scale far from integer boundaries.
+_EVAL_K = 10
+_GAIN_SQL = (
+    "CAST(floor(1000000000.0 / log2(CAST({r} AS DOUBLE) + 1.0)) AS BIGINT)"
+)
+
+
+def _ann_recall_eval_oracle() -> str:
+    """The IVFADC oracle's CTE chain verbatim (ADC_CTE_END composition,
+    single source of truth for codebook/probe semantics) supplies the
+    system ranking; a brute-force cosine CTE supplies the truth; the
+    final SELECT folds both into per-query recall/MRR/nDCG integers."""
+    base = _ivfpq_oracle()
+    marker = "-- ADC_CTE_END"
+    if marker not in base:
+        raise ValueError(
+            "embedding_ivfpq_topk oracle lost its ADC_CTE_END marker — "
+            "_ann_recall_eval_oracle can no longer compose the CTE chain"
+        )
+    cte_part = base.split(marker)[0]
+    gain = _GAIN_SQL.format(r="srnk")
+    return (
+        cte_part
+        + f""",
+ sysr AS (SELECT q_id, n_id, srnk FROM (
+   SELECT *, row_number() OVER (PARTITION BY q_id
+                                ORDER BY approx_dist, n_id) AS srnk
+   FROM ad) t
+   WHERE srnk <= {_EVAL_K}),
+ tsim AS (SELECT q.q_id, e.vec_id AS n_id,
+                 {_COS.format(a='q.qv', b='e.v')} AS cos_sim
+          FROM q CROSS JOIN e WHERE e.vec_id != q.q_id),
+ truthr AS (SELECT q_id, n_id, trnk FROM (
+   SELECT *, row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, n_id) AS trnk
+   FROM tsim) t
+   WHERE trnk <= {_EVAL_K}),
+ j AS (SELECT s.q_id, s.srnk, t.trnk, {gain} AS gain
+       FROM sysr s LEFT JOIN truthr t
+         ON s.q_id = t.q_id AND s.n_id = t.n_id),
+ idcg AS (SELECT CAST(list_sum(list_transform(range(1, {_EVAL_K + 1}),
+            r -> {_GAIN_SQL.format(r="r")})) AS BIGINT) AS idcg)
+SELECT q_id,
+       CAST(count(trnk) AS BIGINT) AS n_hits,
+       CAST((count(trnk) * 1000000) // {_EVAL_K} AS BIGINT) AS recall_ppm,
+       CAST(coalesce(max(CASE WHEN trnk = 1 THEN 1000000 // srnk END), 0)
+            AS BIGINT) AS rr_ppm,
+       CAST(sum(CASE WHEN trnk IS NOT NULL THEN gain ELSE 0 END)
+            AS BIGINT) AS dcg,
+       CAST((sum(CASE WHEN trnk IS NOT NULL THEN gain ELSE 0 END)
+             * 1000000) // max(idcg.idcg) AS BIGINT) AS ndcg_ppm
+FROM j CROSS JOIN idcg
+GROUP BY q_id
+"""
+    )
+
+
+@register("ann_recall_eval", oracle=_ann_recall_eval_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVALUATION as a first-class operator: per query,
+    recall@K, reciprocal rank of the true nearest neighbor, and binary-
+    relevance nDCG@K of the IVFADC system list (the exact composition
+    embedding_ivfpq_topk verifies) against the exact-cosine truth list.
+    A production vector stack runs exactly this harness on every index /
+    codebook / n_probe change — the recall ladder the ANN family's tests
+    pin (tests/test_ann_recall.py) becomes a driver-verifiable query.
+
+    Determinism: every metric is an exact integer — recall/MRR/nDCG in
+    parts-per-million via integer DIV, DCG gains floored at 1e9 scale
+    from log2 of the K fixed rank positions — so no float aggregation
+    order can flip a hash (the jac_ppm discipline).
+
+    Scale shape: the system side is the pinned IVFADC plan (map-side
+    encode/probe, one top-K window). The truth side is brute-force ONLY
+    over the evaluation query sample (queries broadcast, corpus never
+    shuffles — eval cost scales with sample size, not corpus²; recall
+    is always measured on a sample in production). The metric fold is
+    one LEFT join of two K-row-per-query lists plus a per-query
+    partial agg."""
+    from migrate_cassandra_to_mysql_spark.plans._work import memo
+
+    emb = T(spark, sf_dir, "embeddings")
+    cells = memo(
+        ("ivfpq_cells", sf_dir),
+        lambda: similarity.first_k_cell_centroids(emb, 4),
+    )
+    centers = memo(
+        ("pq_centers", sf_dir),
+        lambda: similarity.first_k_pq_centers(emb, 4, 4),
+    )
+    sysr = similarity.ivfpq_topk(
+        emb,
+        n_cells=4, m=4, n_centers=4, query_mod=100, k=_EVAL_K, n_probe=2,
+        cell_centroids=cells, centers=centers,
+    ).select("q_id", "n_id", F.col("rnk").alias("srnk"))
+    truthr = similarity.brute_force_topk(
+        emb, F.col("vec_id") % 100 == 0, k=_EVAL_K
+    ).select("q_id", "n_id", F.col("rnk").alias("trnk"))
+    # the truth list is eval-sample x K rows — broadcast at any corpus
+    # size (un-hinted, post-window stats made Catalyst sort-merge it)
+    j = sysr.join(F.broadcast(truthr), ["q_id", "n_id"], "left").select(
+        "q_id",
+        "srnk",
+        "trnk",
+        F.expr(_GAIN_SQL.format(r="srnk")).alias("gain"),
+    )
+    idcg_expr = (
+        f"aggregate(sequence(1, {_EVAL_K}), CAST(0 AS BIGINT), "
+        f"(acc, r) -> acc + {_GAIN_SQL.format(r='r')})"
+    )
+    return (
+        j.groupBy("q_id")
+        .agg(
+            F.count("trnk").cast("long").alias("n_hits"),
+            F.expr(
+                f"CAST((count(trnk) * 1000000) DIV {_EVAL_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(coalesce(max(CASE WHEN trnk = 1 THEN "
+                "1000000 DIV srnk END), 0) AS BIGINT)"
+            ).alias("rr_ppm"),
+            F.expr(
+                "CAST(sum(CASE WHEN trnk IS NOT NULL THEN gain "
+                "ELSE 0 END) AS BIGINT)"
+            ).alias("dcg"),
+            F.expr(
+                "CAST((sum(CASE WHEN trnk IS NOT NULL THEN gain "
+                f"ELSE 0 END) * 1000000) DIV ({idcg_expr}) AS BIGINT)"
+            ).alias("ndcg_ppm"),
+        )
+    )
+
+
 def _rerank_oracle(shortlist: int = 20, k: int = 3) -> str:
     """ADC-shortlist + exact-re-rank oracle, built on the IVFADC oracle's
     CTE chain (single source of truth for the codebook/encode/probe
