@@ -26,10 +26,22 @@ VEC_ID_SHIFT = 10_000_000
 
 
 def synthesize_sf1(
-    spark: SparkSession, src_sf_dir: str, out_dir: str, copies: int = 10
+    spark: SparkSession,
+    src_sf_dir: str,
+    out_dir: str,
+    copies: int = 10,
+    tables: "tuple[str, ...]" = (
+        "documents",
+        "orders",
+        "lineitem",
+        "events",
+        "embeddings",
+    ),
 ) -> None:
-    """Write documents/orders/lineitem/events/embeddings scaled `copies`× under
-    out_dir.
+    """Write the selected tables scaled `copies`× under out_dir
+    (default: all five scale-suite tables; the sf5 smoke passes just
+    documents+embeddings so a 50× synthesis doesn't pay for 30M
+    lineitem rows it never reads).
 
     Only the tables the heavy headline plans scan; each write is a flat
     map over the source (explode of a literal copy array — no shuffle)
@@ -43,7 +55,8 @@ def synthesize_sf1(
     ).alias("_copy")
 
     docs = T(spark, src_sf_dir, "documents")
-    (
+    if "documents" in tables:
+        (
         docs.select("*", copy_col)
         .select(
             (F.col("doc_id") + F.col("_copy") * F.lit(DOC_ID_SHIFT)).alias(
@@ -56,10 +69,11 @@ def synthesize_sf1(
         )
         .repartition(8)
         .write.parquet(f"{out_dir}/documents.parquet")
-    )
+        )
 
     orders = T(spark, src_sf_dir, "orders")
-    (
+    if "orders" in tables:
+        (
         orders.select("*", copy_col)
         .select(
             (F.col("o_orderkey") + F.col("_copy") * F.lit(ORDERKEY_SHIFT))
@@ -68,10 +82,11 @@ def synthesize_sf1(
         )
         .repartition(8)
         .write.parquet(f"{out_dir}/orders.parquet")
-    )
+        )
 
     li = T(spark, src_sf_dir, "lineitem")
-    (
+    if "lineitem" in tables:
+        (
         li.select("*", copy_col)
         .select(
             (F.col("l_orderkey") + F.col("_copy") * F.lit(ORDERKEY_SHIFT))
@@ -88,10 +103,11 @@ def synthesize_sf1(
         )
         .repartition(8)
         .write.parquet(f"{out_dir}/lineitem.parquet")
-    )
+        )
 
     ev = T(spark, src_sf_dir, "events")
-    (
+    if "events" in tables:
+        (
         ev.select("*", copy_col)
         .select(
             (F.col("event_id") + F.col("_copy") * F.lit(ORDERKEY_SHIFT))
@@ -102,10 +118,11 @@ def synthesize_sf1(
         )
         .repartition(8)
         .write.parquet(f"{out_dir}/events.parquet")
-    )
+        )
 
     emb = T(spark, src_sf_dir, "embeddings")
-    (
+    if "embeddings" in tables:
+        (
         emb.select("*", copy_col)
         .select(
             (F.col("vec_id") + F.col("_copy") * F.lit(VEC_ID_SHIFT)).alias(
@@ -121,7 +138,7 @@ def synthesize_sf1(
         )
         .repartition(8)
         .write.parquet(f"{out_dir}/embeddings.parquet")
-    )
+        )
 
 
 def clustered_embeddings(

@@ -1,0 +1,265 @@
+"""sf5 scale smoke (VERDICT r10 #1): execute the "100x" clause past 10x.
+
+The sf1 suite proves the plans complete at 10x; this module synthesizes
+BOTH an sf1 (10 copies) and an sf5 (50 copies) dataset in one session
+and pins, for the three scale-critical serving chains — persisted BM25
+serve, IVFPQ rerank serve, incremental-LSH dedup — that:
+
+(a) each chain COMPLETES at sf5 under the test session's default driver
+    memory (a broadcast cliff or driver materialization fails loudly);
+(b) the physical plan's feature vector at sf5 matches sf1 — strictly
+    for the hint-pinned index chains (no new exchanges, no BNLJ, no
+    Python eval at 5x the data), and scale-AWARE for the un-hinted
+    dedup joins: Catalyst may legitimately flip a stats-driven
+    broadcast join to sort-merge as the inputs outgrow the broadcast
+    threshold (that flip is the CORRECT behavior — the contract is
+    that the join count is conserved, nothing becomes a nested-loop
+    or Python fallback, and exchanges grow only by the flipped joins'
+    shuffle pairs);
+(c) runtime scales <= linearly in copies against the same-session sf1
+    measurement (generous 1.6x noise slack + 5s fixed-overhead
+    allowance — a quadratic blowup reads 5x over the bound).
+
+Measurement conventions (learned from the r11 calibration run):
+- The QUERY SET is held FIXED across scales. The ivfpq catalog row
+  samples queries at vec_id % 100 == 0, so its query count grows with
+  the corpus and serve cost grows ~copies^2 BY CONSTRUCTION (queries x
+  probed candidates) — a sampling-convention artifact, not a plan
+  regression. Serving cost must be measured per fixed query workload;
+  copy 0 preserves the original ids, so the same ids exist at every
+  scale.
+- The incremental-dedup BATCH is held fixed (the original sf0.1 docs)
+  while the indexed corpus grows — the daily-ingest shape.
+
+Results are also appended to /tmp/sf5_scale_measurements.json for the
+round-close BENCH_r{N}_local.json record.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.plans import catalog
+from migrate_cassandra_to_mysql_spark.scale_data import (
+    DOC_ID_SHIFT,
+    synthesize_sf1,
+)
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+)
+from plan_snapshot import plan_features  # noqa: E402
+
+pytestmark = pytest.mark.scale
+
+_SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+_COPIES_SF1 = 10
+_COPIES_SF5 = 50
+_SLACK = 1.6
+_FIXED_OVERHEAD_SEC = 5.0
+_MEASURE_FILE = "/tmp/sf5_scale_measurements.json"
+
+
+def _record(key: str, payload: dict) -> None:
+    data = {}
+    if os.path.exists(_MEASURE_FILE):
+        with open(_MEASURE_FILE) as f:
+            data = json.load(f)
+    data[key] = payload
+    with open(_MEASURE_FILE, "w") as f:
+        json.dump(data, f, indent=1)
+
+
+@pytest.fixture(scope="module")
+def scale_dirs(spark):
+    """{'sf1': dir, 'sf5': dir} with documents+embeddings only (the
+    three chains read nothing else; a 50x lineitem synthesis would pay
+    for 30M rows nobody scans)."""
+    out = {}
+    for label, copies in (("sf1", _COPIES_SF1), ("sf5", _COPIES_SF5)):
+        d = tempfile.mkdtemp(prefix=f"mc2m_sf5smoke_{label}_")
+        synthesize_sf1(
+            spark, _SRC_SF, d, copies=copies,
+            tables=("documents", "embeddings"),
+        )
+        out[label] = d
+    yield out
+    import shutil
+
+    for d in out.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _feats(df) -> dict:
+    return plan_features(df._jdf.queryExecution().executedPlan().toString())
+
+
+def _timed_noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+def _assert_linear(name: str, t1: float, t5: float, ratio: float) -> None:
+    bound = ratio * t1 * _SLACK + _FIXED_OVERHEAD_SEC
+    assert t5 <= bound, (
+        f"{name}: sf5 ran {t5}s vs sf1 {t1}s — over the <=linear bound "
+        f"{bound:.1f}s ({ratio:.1f} copies ratio x {_SLACK} slack "
+        f"+ {_FIXED_OVERHEAD_SEC}s) — superlinear scale-up"
+    )
+
+
+def test_bm25_persisted_chain_sf5(spark, scale_dirs):
+    """Persisted BM25 build+serve through the CATALOG row (its query is
+    a fixed 4-term literal, so the workload is scale-constant): plan
+    features strictly equal at sf1 and sf5, runtime <= linear."""
+    qs = catalog.queries()
+    out = {}
+    for label in ("sf1", "sf5"):
+        # time from BEFORE plan construction: the memoized index build
+        # runs at construction time (the ADVICE r5 bench rule — moving
+        # it outside the timer hides the chain's linear-cost stage)
+        t0 = time.perf_counter()
+        df = qs["bm25_persisted_topk"](spark, scale_dirs[label])
+        df.write.format("noop").mode("overwrite").save()
+        out[label] = {
+            "feats": _feats(df),
+            "chain_sec": round(time.perf_counter() - t0, 2),
+        }
+        # second call: the index memo is warm — pure serve
+        out[label]["serve_sec"] = _timed_noop(
+            qs["bm25_persisted_topk"](spark, scale_dirs[label])
+        )
+    assert out["sf1"]["feats"] == out["sf5"]["feats"], (
+        "bm25 serve plan drifted between sf1 and sf5:\n"
+        f"{out['sf1']['feats']}\n{out['sf5']['feats']}"
+    )
+    f5 = out["sf5"]["feats"]
+    assert not f5["python_eval"] and f5["broadcast_nested_loop_joins"] <= 1
+    _assert_linear(
+        "bm25_persisted chain",
+        out["sf1"]["chain_sec"],
+        out["sf5"]["chain_sec"],
+        _COPIES_SF5 / _COPIES_SF1,
+    )
+    _record("bm25_persisted_topk", out)
+
+
+def test_ivfpq_rerank_chain_sf5(spark, scale_dirs, tmp_path_factory):
+    """IVFADC build + shortlist/rerank serve at a FIXED 20-query
+    workload (the ids exist at every scale — copy 0 keeps originals).
+    Build cost is <= linear in vectors (map-side encode); serve cost is
+    <= linear in probed-cell size. Plan features strictly equal."""
+    from migrate_cassandra_to_mysql_spark.operators import ivf_index
+    from migrate_cassandra_to_mysql_spark.operators import similarity
+
+    out = {}
+    for label in ("sf1", "sf5"):
+        emb = spark.read.parquet(
+            f"{scale_dirs[label]}/embeddings.parquet"
+        )
+        cells = similarity.first_k_cell_centroids(emb, 4)
+        centers = similarity.first_k_pq_centers(emb, 4, 4)
+        d = str(tmp_path_factory.mktemp(f"sf5_ivfpq_{label}"))
+        t0 = time.perf_counter()
+        ivf_index.build_ivfpq_index(emb, d, cells, centers)
+        build = round(time.perf_counter() - t0, 2)
+        queries = emb.where(
+            (F.col("vec_id") < 2000) & (F.col("vec_id") % 100 == 0)
+        ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        served = ivf_index.ivfpq_search_rerank(
+            spark, d, queries, corpus=emb, k=3, n_probe=2, shortlist=20
+        )
+        feats = _feats(served)
+        serve = _timed_noop(served)
+        rows = served.collect()
+        assert rows and all(r["rnk"] >= 1 for r in rows)
+        out[label] = {
+            "feats": feats, "build_sec": build, "serve_sec": serve,
+            "n_result_rows": len(rows),
+        }
+    assert out["sf1"]["feats"] == out["sf5"]["feats"], (
+        "ivfpq rerank serve plan drifted between sf1 and sf5:\n"
+        f"{out['sf1']['feats']}\n{out['sf5']['feats']}"
+    )
+    assert not out["sf5"]["feats"]["python_eval"]
+    assert out["sf5"]["feats"]["dynamic_pruning"] == out["sf1"]["feats"][
+        "dynamic_pruning"
+    ]
+    ratio = _COPIES_SF5 / _COPIES_SF1
+    _assert_linear(
+        "ivfpq build", out["sf1"]["build_sec"], out["sf5"]["build_sec"],
+        ratio,
+    )
+    _assert_linear(
+        "ivfpq rerank serve (fixed queries)",
+        out["sf1"]["serve_sec"],
+        out["sf5"]["serve_sec"],
+        ratio,
+    )
+    _record("ivfpq_rerank_fixed_queries", out)
+
+
+def test_incremental_lsh_chain_sf5(spark, scale_dirs):
+    """Incremental dedup of a FIXED incoming batch (the original docs,
+    doc_id < DOC_ID_SHIFT) against a corpus that grows 9x -> 49x (the
+    shifted copies). Runtime <= linear in the indexed-corpus ratio.
+    Plan contract is scale-AWARE: Catalyst may flip its un-hinted
+    stats-driven broadcasts to sort-merge joins as the corpus outgrows
+    the broadcast threshold (the correct call at scale) — the join
+    count is conserved, nothing becomes BNLJ/Python, and exchanges
+    grow at most 2 per flipped join + 1 for the window side."""
+    from migrate_cassandra_to_mysql_spark.operators import dedup
+
+    out = {}
+    for label in ("sf1", "sf5"):
+        docs = spark.read.parquet(
+            f"{scale_dirs[label]}/documents.parquet"
+        )
+        batch = docs.where(F.col("doc_id") < DOC_ID_SHIFT)
+        corpus = docs.where(F.col("doc_id") >= DOC_ID_SHIFT)
+        dd = dedup.incremental_lsh_dedup(batch, corpus)
+        feats = _feats(dd)
+        t = _timed_noop(dd)
+        out[label] = {"feats": feats, "chain_sec": t}
+    f1, f5 = out["sf1"]["feats"], out["sf5"]["feats"]
+    joins1 = f1["broadcast_hash_joins"] + f1["sort_merge_joins"]
+    joins5 = f5["broadcast_hash_joins"] + f5["sort_merge_joins"]
+    flipped = max(0, f5["sort_merge_joins"] - f1["sort_merge_joins"])
+    assert joins5 == joins1, f"join count changed at sf5: {f1} vs {f5}"
+    assert f5["broadcast_nested_loop_joins"] == f1[
+        "broadcast_nested_loop_joins"
+    ]
+    assert not f5["python_eval"]
+    assert f5["generates"] == f1["generates"]
+    assert f5["exchanges"] <= f1["exchanges"] + 2 * flipped + flipped, (
+        f"exchange growth beyond the flipped joins' shuffles: {f1} vs {f5}"
+    )
+    # corpus grows (copies-1)x: 9 -> 49
+    _assert_linear(
+        "incremental_lsh chain",
+        out["sf1"]["chain_sec"],
+        out["sf5"]["chain_sec"],
+        (_COPIES_SF5 - 1) / (_COPIES_SF1 - 1),
+    )
+    _record("incremental_lsh_fixed_batch", out)
+
+
+def test_sf5_cardinalities(spark, scale_dirs):
+    """The sf5 corpus really is 50x rows AND distinct keys."""
+    import pyarrow.parquet as pq
+
+    src = pq.ParquetFile(f"{_SRC_SF}/documents.parquet").metadata.num_rows
+    d5 = spark.read.parquet(f"{scale_dirs['sf5']}/documents.parquet")
+    assert d5.count() == _COPIES_SF5 * src
+    assert d5.select("doc_id").distinct().count() == _COPIES_SF5 * src
