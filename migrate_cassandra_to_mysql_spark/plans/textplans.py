@@ -710,7 +710,6 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RM3_FB = 10  # feedback depth (pass-1 top-N)
 _RM3_EXP = 3  # expansion terms
 _RM3_W = 0.5  # expansion term weight (query terms weigh 1.0)
-_RM3_DF_CAP = 4  # expansion terms must have df * 4 <= n_docs
 _RM3_CONTRIB_SQL = (
     "CAST(round("
     "tw * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
@@ -752,11 +751,9 @@ WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
  fbtf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS fb_tf
           FROM tfx WHERE doc_id IN (SELECT doc_id FROM fb)
           GROUP BY tok),
- exp AS (SELECT fbtf.tok FROM fbtf
-         JOIN dfr ON fbtf.tok = dfr.tok CROSS JOIN s1
-         WHERE fbtf.tok NOT IN ({qlist})
-           AND dfr.df * {_RM3_DF_CAP} <= s1.n_docs
-         ORDER BY fb_tf DESC, fbtf.tok LIMIT {_RM3_EXP}),
+ exp AS (SELECT tok FROM fbtf
+         WHERE tok NOT IN ({qlist})
+         ORDER BY fb_tf DESC, tok LIMIT {_RM3_EXP}),
  terms AS (SELECT unnest([{qlist}]) AS tok, CAST(1.0 AS DOUBLE) AS tw
            UNION ALL
            SELECT tok, CAST({_RM3_W} AS DOUBLE) FROM exp),
@@ -778,8 +775,11 @@ def rm3_query_expansion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance-feedback retrieval (RM3, Lavrenko & Croft's
     relevance-model family as used by Anserini/Indri defaults): run the
     fixed keyword query, take the top-10 feedback documents, promote
-    their 3 strongest non-query terms (by total feedback tf, excluding
-    corpus-stop-ish terms with df > n/4) into the query at half weight,
+    their 3 strongest non-query terms (by total feedback tf — no df
+    gate: BM25's idf already self-damps a common expansion term, and a
+    hard df cap would empty the expansion on corpora whose whole
+    vocabulary is common, like this synthetic one) into the query at
+    half weight,
     and re-score the corpus over the expanded weighted term set. This is
     the classic recall-expanding second pass a retrieval stack layers on
     BM25 when the literal query undersells the topic.
@@ -836,19 +836,13 @@ def rm3_query_expansion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfr = tfx.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
-    n1 = s1.select("n_docs")
     fbtf = (
         tfx.join(F.broadcast(fb), "doc_id", "left_semi")
         .groupBy("tok")
         .agg(F.sum("tf").cast("long").alias("fb_tf"))
     )
     exp = (
-        fbtf.join(dfr, "tok")
-        .crossJoin(F.broadcast(n1))
-        .where(
-            ~F.col("tok").isin(*_BM25_TERMS)
-            & (F.col("df") * _RM3_DF_CAP <= F.col("n_docs"))
-        )
+        fbtf.where(~F.col("tok").isin(*_BM25_TERMS))
         .orderBy(F.desc("fb_tf"), F.asc("tok"))
         .limit(_RM3_EXP)
         .select("tok", F.lit(float(_RM3_W)).alias("tw"))

@@ -1,0 +1,149 @@
+"""Semantics tests for the r11 operators (beyond their DuckDB oracles):
+canonical keep picks the best copy, sparse cosine pairs only through
+discriminative terms, RM3 expansion genuinely recalls new documents,
+and the ANN eval metrics satisfy their arithmetic invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.operators import components
+from migrate_cassandra_to_mysql_spark.plans import catalog
+
+
+def test_canonical_keep_picks_best_by_quality(spark):
+    """Unit: within each cluster the canonical is the highest-quality
+    member (ties to lowest id); singletons keep themselves; exactly one
+    keep per component."""
+    clusters = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 1, False), (9, 9, True)],
+        "doc_id long, component long, is_survivor boolean",
+    )
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (9, 5)], "doc_id long, quality long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in components.canonical_keep(clusters, quality).collect()
+    }
+    # doc 2 and 3 tie on quality 30 — lowest id (2) wins; not min-id 1
+    assert out[1]["canonical_id"] == 2 and not out[1]["keep"]
+    assert out[2]["keep"] and out[3]["canonical_id"] == 2
+    assert out[9]["keep"] and out[9]["canonical_id"] == 9
+    by_comp = {}
+    for r in out.values():
+        by_comp.setdefault(r["component"], []).append(r["keep"])
+    assert all(sum(ks) == 1 for ks in by_comp.values())
+
+
+def test_dedup_canonical_keep_originals_beat_clones(spark, sf_dir):
+    """Catalog row: a clone can never be canonical — its original ties
+    it on length with a lower id, so whatever wins the cluster (the
+    original, or an organically-similar LONGER member) always beats the
+    clone; the canonical is always a longest member of its cluster."""
+    rows = catalog.queries()["dedup_canonical_keep"](
+        spark, sf_dir
+    ).collect()
+    clones = [r for r in rows if r["doc_id"] >= 1_000_000]
+    assert clones, "injected clones missing from the output"
+    lengths = {r["doc_id"]: r["n_chars_m"] for r in rows}
+    max_len_by_comp: dict = {}
+    for r in rows:
+        max_len_by_comp[r["component"]] = max(
+            max_len_by_comp.get(r["component"], 0), r["n_chars_m"]
+        )
+    for r in clones:
+        assert not r["keep"]
+        assert lengths[r["canonical_id"]] >= r["n_chars_m"]
+    for r in rows:
+        if r["keep"]:
+            assert r["n_chars_m"] == max_len_by_comp[r["component"]]
+    keeps_per_comp = {}
+    for r in rows:
+        keeps_per_comp.setdefault(r["component"], 0)
+        keeps_per_comp[r["component"]] += int(r["keep"])
+    assert all(v == 1 for v in keeps_per_comp.values())
+
+
+def test_sparse_cosine_pairs_shape(spark, sf_dir):
+    """Pairs are ordered (doc_a < doc_b), cosines in (0, 1] above the
+    threshold, and every pair genuinely shares kept (rare) terms. On
+    this synthetic corpus 30 of 31 vocabulary terms exceed the df cap,
+    so surviving pairs are exactly the docs sharing rare vocabulary —
+    the discriminative-subspace semantics the docstring documents."""
+    from migrate_cassandra_to_mysql_spark.plans.textplans import (
+        _SC_THRESHOLD,
+    )
+
+    rows = catalog.queries()["sparse_cosine_pairs"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["n_shared"] >= 1
+        assert _SC_THRESHOLD <= r["cosine"] <= 1.0
+
+
+def test_rm3_expansion_recalls_new_documents(spark, sf_dir):
+    """The expansion pass must DO something: the RM3 top-20 differs
+    from the plain BM25 top-20 and brings in documents the literal
+    query missed (the recall-expansion the operator exists for)."""
+    qs = catalog.queries()
+    bm = [r["doc_id"] for r in qs["bm25_topk_search"](spark, sf_dir).collect()]
+    rm = [
+        r["doc_id"]
+        for r in qs["rm3_query_expansion_topk"](spark, sf_dir).collect()
+    ]
+    assert len(rm) == 20
+    assert rm != bm
+    assert set(rm) - set(bm), "expansion recalled no new documents"
+
+
+def test_ann_recall_eval_invariants(spark, sf_dir):
+    """Metric arithmetic: recall = hits/K in ppm; rr positive iff the
+    true top-1 made the system list; dcg bounded by the ideal; ndcg in
+    [0, 1e6]; one row per query."""
+    from migrate_cassandra_to_mysql_spark.operators import similarity
+    from migrate_cassandra_to_mysql_spark.plans.vectorplans import _EVAL_K
+    from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+    rows = catalog.queries()["ann_recall_eval"](spark, sf_dir).collect()
+    emb = T(spark, sf_dir, "embeddings")
+    n_queries = emb.where(F.col("vec_id") % 100 == 0).count()
+    assert len(rows) == n_queries
+    import math
+
+    idcg = sum(
+        math.floor(1_000_000_000.0 / math.log2(r + 1.0))
+        for r in range(1, _EVAL_K + 1)
+    )
+    for r in rows:
+        assert r["recall_ppm"] == (r["n_hits"] * 1_000_000) // _EVAL_K
+        assert 0 <= r["ndcg_ppm"] <= 1_000_000
+        assert 0 <= r["dcg"] <= idcg
+        if r["n_hits"] == 0:
+            assert r["rr_ppm"] == 0 and r["dcg"] == 0
+
+    # cross-check one query's n_hits against an independent intersection
+    truth = similarity.brute_force_topk(
+        emb, F.col("vec_id") % 100 == 0, k=_EVAL_K
+    ).collect()
+    sysr = similarity.ivfpq_topk(
+        emb,
+        n_cells=4,
+        m=4,
+        n_centers=4,
+        query_mod=100,
+        k=_EVAL_K,
+        n_probe=2,
+        cell_centroids=similarity.first_k_cell_centroids(emb, 4),
+        centers=similarity.first_k_pq_centers(emb, 4, 4),
+    ).collect()
+    t0 = {r["n_id"] for r in truth if r["q_id"] == 0}
+    s0 = {r["n_id"] for r in sysr if r["q_id"] == 0}
+    want = len(t0 & s0)
+    got = next(r["n_hits"] for r in rows if r["q_id"] == 0)
+    assert got == want
