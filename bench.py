@@ -219,6 +219,10 @@ def main() -> None:
         # r11: ANN recall/MRR/nDCG evaluation harness (shares the ivfpq
         # codebook memo the rerank pair above already paid)
         ("ann_recall_eval", "ann_recall_eval"),
+        # r11: MMR diversity re-rank — candidate gen + the unrolled
+        # bounded-by-k greedy (checkpointed loop stages execute at plan
+        # time, so one timing covers the chain)
+        ("mmr_diversified_topk", "mmr_diversified_topk"),
     ):
         if nm not in qs:
             continue

@@ -56,6 +56,114 @@ def brute_force_topk(
     )
 
 
+# MMR score literals as SHARED STRINGS: Python's 1 - 0.7 is
+# 0.30000000000000004, so building the complement numerically on one
+# side and writing "0.3" on the other would diverge in the last ulp —
+# both engines must compile the identical literal text.
+MMR_LAMBDA_SQL = "0.7"
+MMR_COMPLEMENT_SQL = "0.3"
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_pred,
+    n_candidates: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity pass a retrieval stack runs over its top-N:
+    greedily build a k-list where each pick maximizes
+    lambda * rel(d) - (1 - lambda) * max_{s in selected} sim(d, s),
+    trading relevance against redundancy with what is already shown.
+    Returns (q_id, n_id, step, rel) — step is the greedy pick order.
+
+    Scale shape — everything after candidate generation is BOUNDED BY
+    N (the candidate depth), never the corpus: the exact top-N comes
+    from the brute-force baseline (queries broadcast, corpus never
+    shuffles); candidate-candidate similarities are an N^2-per-query
+    self-join of the candidate list (400 rows/query at N=20); the
+    greedy loop is UNROLLED k-1 times as plan operators (the
+    hybrid-RRF bounded-by-k discipline — each iteration is one
+    anti-join + one max-aggregation + one window over <=N rows per
+    query, all on the same q_id partitioning). The candidate and pair
+    frames are EAGERLY localCheckpoint-ed before the loop (the
+    components.pagerank lineage discipline): each unrolled stage
+    references both, so without truncation the candidate-generation
+    subtree re-expands per stage and the physical plan grows ~4^k
+    (measured: 1361 exchanges in the naive plan vs a handful after) —
+    the checkpoint jobs are bounded by queries x N^2, the same
+    plan-time-work contract as the memoized index builds. No
+    driver-side collect anywhere.
+
+    Determinism: rel and pairwise sims round to 6 dp (the module's
+    cosine discipline); the MMR score is one fixed expression over
+    those rounded inputs with the shared literal lambda text; n_id
+    breaks every tie."""
+    e = _base(embeddings)
+    base = brute_force_topk(embeddings, query_pred, k=n_candidates)
+    cand = base.select("q_id", "n_id", F.col("cos_sim").alias("rel"))
+    va = e.select(F.col("vec_id").alias("n_id"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("s_id"), F.col("v").alias("vb"))
+    pairs = (
+        cand.select("q_id", "n_id")
+        .join(cand.select("q_id", F.col("n_id").alias("s_id")), "q_id")
+        .where(F.col("n_id") != F.col("s_id"))
+        .join(va, "n_id")
+        .join(vb, "s_id")
+        .select(
+            "q_id",
+            "n_id",
+            "s_id",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+    )
+    cand = cand.localCheckpoint(eager=True)
+    pairs = pairs.localCheckpoint(eager=True)
+    w1 = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("n_id"))
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select("q_id", "n_id", "rel", F.lit(1).alias("step"))
+    )
+    mmr_expr = (
+        f"round({MMR_LAMBDA_SQL} * rel - {MMR_COMPLEMENT_SQL} * maxsim, 6)"
+    )
+    for step in range(2, k + 1):
+        picked = sel.select("q_id", "n_id")
+        rem = cand.join(picked, ["q_id", "n_id"], "left_anti")
+        ms = (
+            rem.join(pairs, ["q_id", "n_id"])
+            .join(
+                picked.select("q_id", F.col("n_id").alias("s_id")),
+                ["q_id", "s_id"],
+            )
+            .groupBy("q_id", "n_id")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        wp = Window.partitionBy("q_id").orderBy(
+            F.desc("mmr"), F.asc("n_id")
+        )
+        pick = (
+            rem.join(ms, ["q_id", "n_id"])
+            .withColumn("mmr", F.expr(mmr_expr))
+            .withColumn("rn", F.row_number().over(wp))
+            .where(F.col("rn") == 1)
+            .select("q_id", "n_id", "rel", F.lit(step).alias("step"))
+        )
+        # per-round truncation, exactly like components.pagerank: sel is
+        # referenced three times per stage, so an uncheckpointed union
+        # still compounds the operator tree ~3^k. The LAST stage stays
+        # un-checkpointed so the returned plan (and its pinned feature
+        # vector) shows one representative greedy stage instead of a
+        # bare checkpoint scan.
+        sel = sel.unionByName(pick)
+        if step < k:
+            sel = sel.localCheckpoint(eager=True)
+    return sel.select(
+        "q_id", "n_id", F.col("step").cast("long").alias("step"), "rel"
+    )
+
+
 def near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.4, block_col: str = "label"
 ) -> DataFrame:

@@ -189,7 +189,14 @@ PRIORITY: list[str] = [
     "parts_catalog_profile",
     "price_histogram",
     "deterministic_sample",
-    "events_grouping_sets",
+    # r11: events_grouping_sets out on its green r7-r10 rows (4
+    # consecutive) — multi-level rollup stays covered by its own prior
+    # rows + events_cube's greens, and the events family keeps
+    # events_session_window_native / events_gap_fill / events_dpp_prune
+    # in-window. In: MMR diversified re-ranking (greedy
+    # relevance-vs-redundancy list construction over the cosine top-N,
+    # unrolled bounded-by-k) — the diversity serving pass:
+    "mmr_diversified_topk",
     # reference lifecycle (sources -> sinks -> streaming -> full job).
     # streaming_snapshot_drain / idempotent_sink_roundtrip rotated out in
     # r3b (both hold green r2 driver rows, and snapshot_job_e2e's row

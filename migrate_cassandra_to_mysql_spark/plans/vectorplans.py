@@ -302,6 +302,95 @@ GROUP BY q_id
     )
 
 
+# MMR diversified re-ranking constants (candidate depth / list size).
+_MMR_N = 20
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    """The greedy MMR loop UNROLLED as k-1 chained CTE stages — the
+    literal SQL mirror of the Spark loop (no recursion: each stage is
+    one max-aggregation over the previous selected set plus one
+    window), with the shared lambda literal text so both engines
+    compile the identical double expression."""
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        MMR_COMPLEMENT_SQL,
+        MMR_LAMBDA_SQL,
+    )
+
+    head = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+ sims AS (SELECT q.q_id, e.vec_id AS n_id,
+                 {_COS.format(a='q.qv', b='e.v')} AS rel
+          FROM q CROSS JOIN e WHERE e.vec_id != q.q_id),
+ cand AS (SELECT q_id, n_id, rel FROM (
+   SELECT *, row_number() OVER (PARTITION BY q_id
+                                ORDER BY rel DESC, n_id) AS rn
+   FROM sims) t WHERE rn <= {_MMR_N}),
+ pairs AS (SELECT a.q_id, a.n_id, b.n_id AS s_id,
+                  {_COS.format(a='va.v', b='vb.v')} AS sim
+           FROM cand a JOIN cand b
+             ON a.q_id = b.q_id AND a.n_id != b.n_id
+           JOIN e va ON va.vec_id = a.n_id
+           JOIN e vb ON vb.vec_id = b.n_id),
+ sel1 AS (SELECT q_id, n_id, rel, 1 AS step FROM (
+   SELECT *, row_number() OVER (PARTITION BY q_id
+                                ORDER BY rel DESC, n_id) AS rn
+   FROM cand) t WHERE rn = 1),
+ selall1 AS (SELECT * FROM sel1)"""
+    stages = []
+    for i in range(2, _MMR_K + 1):
+        prev = f"selall{i - 1}"
+        stages.append(f""",
+ ms{i} AS (SELECT c.q_id, c.n_id, c.rel, max(p.sim) AS maxsim
+   FROM cand c
+   JOIN pairs p ON p.q_id = c.q_id AND p.n_id = c.n_id
+   JOIN {prev} s ON s.q_id = p.q_id AND s.n_id = p.s_id
+   WHERE NOT EXISTS (SELECT 1 FROM {prev} s2
+                     WHERE s2.q_id = c.q_id AND s2.n_id = c.n_id)
+   GROUP BY 1, 2, 3),
+ sel{i} AS (SELECT q_id, n_id, rel, {i} AS step FROM (
+   SELECT *, round({MMR_LAMBDA_SQL} * rel
+                   - {MMR_COMPLEMENT_SQL} * maxsim, 6) AS mmr,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY round({MMR_LAMBDA_SQL} * rel
+                           - {MMR_COMPLEMENT_SQL} * maxsim, 6) DESC,
+                     n_id) AS rn
+   FROM ms{i}) t WHERE rn = 1),
+ selall{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{i})""")
+    tail = f"""
+SELECT q_id, n_id, CAST(step AS BIGINT) AS step, rel
+FROM selall{_MMR_K}
+"""
+    return head + "".join(stages) + tail
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware result-list construction: MMR-rerank the exact
+    cosine top-20 candidates of each query into a 5-item list where
+    each greedy pick maximizes lambda*relevance minus (1-lambda)*max
+    similarity to the already-picked items — the redundancy-control
+    pass a RAG/retrieval stack runs so five near-identical chunks
+    don't fill the context window (operators/similarity.mmr_rerank;
+    Carbonell & Goldstein 1998).
+
+    Scale shape: candidate generation is the pinned brute-force
+    baseline over the query sample (queries broadcast, corpus never
+    shuffles); everything after is bounded by N=20 per query — an
+    N^2 candidate-pair self-join and an UNROLLED k-1-stage greedy
+    loop (one anti-join + one max-agg + one window per stage, all
+    bounded-by-N, the hybrid-RRF discipline). The oracle unrolls the
+    identical loop as chained CTEs."""
+    return similarity.mmr_rerank(
+        T(spark, sf_dir, "embeddings"),
+        F.col("vec_id") % 100 == 0,
+        n_candidates=_MMR_N,
+        k=_MMR_K,
+    )
+
+
 @register("ann_recall_eval", oracle=_ann_recall_eval_oracle())
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality EVALUATION as a first-class operator: per query,

@@ -102,6 +102,74 @@ def test_rm3_expansion_recalls_new_documents(spark, sf_dir):
     assert set(rm) - set(bm), "expansion recalled no new documents"
 
 
+def test_mmr_diversifies_against_plain_topk(spark, sf_dir):
+    """MMR semantics: pick 1 is the plain top-1; exactly k picks per
+    query, all drawn from the candidate top-N; and the MMR list is no
+    MORE redundant than the plain top-k — its average pairwise cosine
+    never exceeds the plain list's (that's the objective it optimizes),
+    with at least one query strictly diversified."""
+    import itertools
+
+    from migrate_cassandra_to_mysql_spark.operators import similarity
+    from migrate_cassandra_to_mysql_spark.plans.vectorplans import (
+        _MMR_K,
+        _MMR_N,
+    )
+    from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+    emb = T(spark, sf_dir, "embeddings")
+    mmr = catalog.queries()["mmr_diversified_topk"](spark, sf_dir).collect()
+    plain = similarity.brute_force_topk(
+        emb, F.col("vec_id") % 100 == 0, k=_MMR_N
+    ).collect()
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        d = sum(x * y for x, y in zip(va, vb))
+        na = sum(x * x for x in va) ** 0.5
+        nb = sum(x * x for x in vb) ** 0.5
+        return d / (na * nb)
+
+    def avg_pairwise(ids):
+        ps = list(itertools.combinations(ids, 2))
+        return sum(cos(a, b) for a, b in ps) / len(ps)
+
+    by_q: dict = {}
+    for r in mmr:
+        by_q.setdefault(r["q_id"], []).append(r)
+    plain_by_q: dict = {}
+    for r in plain:
+        plain_by_q.setdefault(r["q_id"], []).append(r)
+
+    strictly_diversified = 0
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["step"])
+        assert [r["step"] for r in rows] == list(range(1, _MMR_K + 1))
+        cand_ids = {r["n_id"] for r in plain_by_q[q]}
+        assert {r["n_id"] for r in rows} <= cand_ids
+        top1 = min(
+            plain_by_q[q], key=lambda r: (-r["cos_sim"], r["n_id"])
+        )["n_id"]
+        assert rows[0]["n_id"] == top1
+        plain_k = [
+            r["n_id"]
+            for r in sorted(
+                plain_by_q[q], key=lambda r: (-r["cos_sim"], r["n_id"])
+            )[:_MMR_K]
+        ]
+        mmr_ids = [r["n_id"] for r in rows]
+        red_mmr = avg_pairwise(mmr_ids)
+        red_plain = avg_pairwise(plain_k)
+        assert red_mmr <= red_plain + 1e-9
+        if mmr_ids != plain_k:
+            strictly_diversified += 1
+    assert strictly_diversified >= 1
+
+
 def test_ann_recall_eval_invariants(spark, sf_dir):
     """Metric arithmetic: recall = hits/K in ppm; rr positive iff the
     true top-1 made the system list; dcg bounded by the ideal; ndcg in
