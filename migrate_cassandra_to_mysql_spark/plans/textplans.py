@@ -357,12 +357,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# sparse_cosine_pairs constants: terms in more than 1/8 of documents are
-# pruned before pairing (the DISCO/prefix-filtering idea: a term with
-# document frequency d fans out O(d^2) candidate pairs, so the hottest
-# terms — which carry the least similarity signal — are exactly the ones
-# that blow up an all-pairs join); pairs below the cosine threshold drop.
-_SC_DF_CAP_FRAC = 8  # keep terms with df * 8 <= n_docs
+# sparse_cosine_pairs constants: pairing goes only through terms with
+# df <= min(max(n_docs/8, 64), 1024) — relative (1/8 of docs) on small
+# corpora, CLAMPED to an absolute ceiling at scale. The clamp is the
+# load-bearing scale bound: a purely relative cap lets a term sit just
+# under n/8 and fan out (n/8)^2/2 pairs — quadratic in corpus size —
+# while the clamp bounds any kept term at 1024^2/2 pairs, making total
+# candidate volume linear in vocabulary. The floor (64) keeps genuinely
+# rare terms pair-eligible on tiny corpora. Pairs below the cosine
+# threshold drop.
+_SC_DF_CAP_FRAC = 8
+_SC_DF_FLOOR = 64
+_SC_DF_CEIL = 1024
 _SC_THRESHOLD = 0.2
 
 
@@ -376,7 +382,8 @@ WITH base AS ({_INJECT_SQL}),
  n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
  df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
  kept AS (SELECT df.tok, df.df FROM df CROSS JOIN n
-          WHERE df.df * {_SC_DF_CAP_FRAC} <= n.n_docs),
+          WHERE df.df <= least(greatest(n.n_docs // {_SC_DF_CAP_FRAC},
+                                        {_SC_DF_FLOOR}), {_SC_DF_CEIL})),
  w AS (SELECT tf.doc_id, tf.tok,
               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / kept.df), 8) AS w
        FROM tf JOIN kept ON tf.tok = kept.tok CROSS JOIN n),
@@ -409,12 +416,16 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape — the join is POSTING-SIZED, never corpus x corpus:
     1. tf is one partial-agg groupBy over exploded tokens; df derives
        from tf (the tfidf_top_terms discipline — no second corpus scan).
-    2. Prefix-filtering by document frequency: terms in more than 1/8
-       of documents are PRUNED before pairing. A term with df d fans
-       out O(d^2) pairs, so this cap bounds the self-join blowup the
-       way DISCO/prefix filtering does at production scale — and the
-       pruned stop-ish terms carry the least similarity signal anyway.
-       The operator is DEFINED as cosine over the pruned term space
+    2. Prefix-filtering by document frequency: pairing goes only
+       through terms with df <= min(max(n/8, 64), 1024) — relative on
+       small corpora, CLAMPED absolute at scale. A term with df d fans
+       out O(d^2) pairs, and a purely relative cap would let a term
+       just under n/8 generate (n/8)^2/2 of them — quadratic in corpus
+       size (caught by the sf1 smoke: the synthesis copytokens sit at
+       n/10); the clamp bounds any kept term at 1024^2/2 pairs, so
+       total candidate volume is linear in vocabulary. The pruned
+       stop-ish terms carry the least similarity signal anyway. The
+       operator is DEFINED as cosine over the pruned term space
        (weights, norms, and pairs all use it — the oracle encodes the
        same).
     3. The posting self-join on tok emits only co-occurring pairs;
@@ -435,9 +446,16 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = base.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    cap = F.least(
+        F.greatest(
+            F.expr(f"n_docs DIV {_SC_DF_CAP_FRAC}"),
+            F.lit(_SC_DF_FLOOR),
+        ),
+        F.lit(_SC_DF_CEIL),
+    )
     kept = (
         dfr.crossJoin(F.broadcast(n))
-        .where(F.col("df") * _SC_DF_CAP_FRAC <= F.col("n_docs"))
+        .where(F.col("df") <= cap)
         .select("tok", "df")
     )
     w = (

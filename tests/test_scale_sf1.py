@@ -741,3 +741,41 @@ def test_late_r10_rows_complete_at_sf1(spark, sf1_dir, name):
     df = catalog.queries()[name](spark, sf1_dir)
     df.write.format("noop").mode("overwrite").save()
     assert df.count() > 0, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_canonical_keep",
+        "rm3_query_expansion_topk",
+        "ann_recall_eval",
+        "mmr_diversified_topk",
+    ],
+)
+def test_r11_rows_complete_at_sf1(spark, sf1_dir, name):
+    """The r11 rows at 10x: the canonical pick adds one bounded window
+    to the LSH chain, RM3's pass 2 joins a 7-row broadcast frame, the
+    eval fold is K rows per sampled query, and MMR is bounded by N^2
+    per query after candidate generation — completion under the test
+    session's memory IS the assertion."""
+    df = catalog.queries()[name](spark, sf1_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert df.count() > 0, name
+
+
+def test_sparse_cosine_completes_and_stays_bounded_at_sf1(
+    spark, sf1_dir
+):
+    """sparse_cosine_pairs at 10x: the CLAMPED df cap (min(max(n/8,
+    64), 1024)) is the load-bearing scale bound — without it the
+    synthesis copytokens (df = n/10, just under a relative n/8 cap)
+    would fan out (n/10)^2/2 candidate pairs, quadratic in copies.
+    Completion with the clamp IS the assertion. The output is EMPTY
+    here by honest construction: copy-synthesis scales every term's
+    document frequency with the corpus (no Heaps'-law tail of new rare
+    terms, unlike real text), so at 10x even the base corpus's rarest
+    term exceeds the clamp and the discriminative subspace is empty —
+    on real corpora new rare vocabulary keeps entering under the cap."""
+    df = catalog.queries()["sparse_cosine_pairs"](spark, sf1_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert df.count() >= 0
