@@ -223,6 +223,13 @@ def main() -> None:
         # bounded-by-k greedy (checkpointed loop stages execute at plan
         # time, so one timing covers the chain)
         ("mmr_diversified_topk", "mmr_diversified_topk"),
+        # r11 (late): Dirichlet query-likelihood retrieval — must price
+        # like bm25_topk_search (identical two-scan + TakeOrdered shape)
+        ("lm_dirichlet_topk", "lm_dirichlet_topk"),
+        # r11 (late): SQ8 train + encode + reconstruct-and-serve — the
+        # per-dim min/max agg plus one brute-force pass over
+        # reconstructed vectors
+        ("sq8_quantized_topk", "sq8_quantized_topk"),
     ):
         if nm not in qs:
             continue

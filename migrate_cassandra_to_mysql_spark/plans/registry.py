@@ -152,11 +152,25 @@ PRIORITY: list[str] = [
     # acceptance harness a production vector stack runs, previously
     # only pinned by tests:
     "ann_recall_eval",
-    # r7 in: the five post-rotation late-r6 operators
-    "bigram_lm_perplexity",
+    # r7 in: the five post-rotation late-r6 operators.
+    # r11 (late): bigram_lm_perplexity out on its green r7-r10 rows (4
+    # consecutive) — n-gram LM arithmetic keeps its prior rows +
+    # tests/test_perplexity.py, and the incoming row computes the SAME
+    # corpus unigram statistics (cf / total tokens) applied in the
+    # retrieval direction. In: Dirichlet-smoothed query-likelihood
+    # retrieval (Zhai & Lafferty), the LM counterpart that A/Bs against
+    # bm25_topk_search on identical query/tokenizer/corpus:
+    "lm_dirichlet_topk",
     "events_session_window_native",
     "zorder_curve_rollup",
-    "customer_hierarchy_recursive",
+    # r11 (late): customer_hierarchy_recursive out on its green r7-r10
+    # rows (4 consecutive) — iterative/recursive plan shapes stay
+    # in-window via part_copurchase_pagerank + dedup_canonical_keep
+    # (connected components) and the hierarchy keeps its prior rows +
+    # tests. In: SQ8 scalar quantization (per-dimension min/max train,
+    # uint8 encode, reconstruct-and-serve) — the codebook-free member
+    # of the quantization family beside the in-window ivfpq rows:
+    "sq8_quantized_topk",
     # r9 in: fixed-table BPE apply (full oracle) replaces the rows-only
     # trainer's slot:
     "bpe_apply_fixed",

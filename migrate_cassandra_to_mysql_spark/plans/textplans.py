@@ -718,6 +718,120 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2001):
+# the language-modeling alternative to BM25 a retrieval stack A/B-tests
+# against it. score(q, d) = sum over query terms of
+# ln((tf + MU * P(t|C)) / (dl + MU)), with the collection model
+# P(t|C) = cf_t / total_tokens. MU is literal TEXT shared by both
+# engines (the MMR-lambda discipline); 60 ~= the corpus mean document
+# length, the standard Dirichlet pseudo-count ballpark.
+_QL_MU = "60.0"
+
+
+def _ql_score_sql() -> str:
+    """The per-document query-likelihood score as one SQL expression
+    over columns tf{i}/cf{i}/dl/tot — shared verbatim by the Spark plan
+    and the DuckDB oracle (identical IEEE expression tree; ln ulp
+    differences absorbed by the final round, the BM25 discipline)."""
+    terms = [
+        f"ln((tf{i} + {_QL_MU} * (CAST(cf{i} AS DOUBLE)"
+        f" / CAST(tot AS DOUBLE))) / (dl + {_QL_MU}))"
+        for i in range(len(_BM25_TERMS))
+    ]
+    return "round(" + " + ".join(terms) + ", 8)"
+
+
+def _ql_oracle() -> str:
+    tf_cols = ",\n              ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    cf_cols = ",\n              ".join(
+        f"CAST(sum(tf{i}) AS BIGINT) AS cf{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    hits = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+ d AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS dl,
+              {tf_cols}
+       FROM t),
+ s AS (SELECT CAST(sum(dl) AS BIGINT) AS tot,
+              {cf_cols}
+       FROM d)
+SELECT doc_id,
+       CAST({hits} AS BIGINT) AS n_hits,
+       {_ql_score_sql()} AS ql
+FROM d, s
+WHERE {hits} > 0
+ORDER BY ql DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("lm_dirichlet_topk", oracle=_ql_oracle())
+def lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001) over the fixed keyword query: rank documents by
+    sum_t ln((tf_td + MU * cf_t / total_tokens) / (dl_d + MU)), top-20.
+    The language-modeling counterpart of bm25_topk_search — same query,
+    same tokenizer, a corpus unigram LM instead of idf — so the two
+    rows A/B the classic probabilistic-vs-LM ranking pair on identical
+    inputs. Scored candidates are docs with >= 1 query-term hit (the
+    retrieval serving shape; pure-smoothing docs rank strictly by
+    shortness and carry no signal).
+
+    Scale shape (the bm25_topk_search discipline exactly): per-term tf
+    and dl are map-side size(filter(...)) HOFs over the token array —
+    no explode, no per-term shuffle; the corpus stats (total token
+    count, per-term collection frequency cf) partial-aggregate to ONE
+    row and ride back as a broadcast join, so the corpus never
+    shuffles; the only ordered exchange is the TakeOrdered top-20. At
+    100 TB: two corpus scans with nothing wide between them, and cf
+    (unlike df) is exactly the statistic a persisted index's lexicon
+    already stores, so the persisted path serves this for free.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", textfns.tokens(F.col("text")).alias("toks")
+    )
+
+    def _eq(term: str):
+        # single-arg closure (see bm25_topk_search: a 2-arg lambda binds
+        # the (element, index) form)
+        return lambda x: x == F.lit(term)
+
+    d = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), _eq(t)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.sum("dl").alias("tot"),
+        *[
+            F.sum(f"tf{i}").alias(f"cf{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    hits = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    return (
+        d.join(F.broadcast(stats))
+        .where(F.expr(f"{hits} > 0"))
+        .select(
+            "doc_id",
+            F.expr(f"CAST({hits} AS BIGINT)").alias("n_hits"),
+            F.expr(_ql_score_sql()).alias("ql"),
+        )
+        .orderBy(F.desc("ql"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 # RM3 pseudo-relevance feedback: pass-1 BM25 picks _RM3_FB feedback
 # docs, their _RM3_EXP strongest non-query non-stop-ish terms join the
 # query at weight _RM3_W, pass-2 scores the corpus over the expanded

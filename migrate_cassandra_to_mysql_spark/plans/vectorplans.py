@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from migrate_cassandra_to_mysql_spark.functions.vectors import cosine
 from migrate_cassandra_to_mysql_spark.operators import similarity
 from migrate_cassandra_to_mysql_spark.plans.registry import register
 from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
@@ -766,6 +767,118 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("label", "pos").agg(
         F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("mean_val"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+# SQ8 scalar quantization: per-dimension corpus min/max -> each
+# component stored as one byte q = floor(255 * (x - mn) / rng + 0.5),
+# served by scoring queries (full precision) against the RECONSTRUCTED
+# vectors mn + q * rng / 255. The floor(+0.5) form is deliberate: both
+# engines share the exact text, sidestepping round-half rounding-mode
+# differences; q is then integral and bit-identical across engines, so
+# only the final cosine fold can differ (ulp, absorbed by round 6 —
+# the module-header discipline).
+_SQ8_QUANT_SQL = (
+    "CASE WHEN {rng} = 0.0 THEN 0.0"
+    " ELSE floor(255.0 * ({x} - {mn}) / {rng} + 0.5) END"
+)
+
+
+@register(
+    "sq8_quantized_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+ ex AS (SELECT e.vec_id, u.pos, u.val
+        FROM e, (SELECT unnest(v) AS val,
+                        generate_subscripts(v, 1) AS pos) u),
+ d AS (SELECT pos, min(val) AS mn, max(val) - min(val) AS rng
+       FROM ex GROUP BY pos),
+ r AS (SELECT ex.vec_id, ex.pos,
+              d.mn + ({_SQ8_QUANT_SQL.format(x='ex.val', mn='d.mn',
+                                             rng='d.rng')})
+                     * d.rng / 255.0 AS rv
+       FROM ex JOIN d USING (pos)),
+ recon AS (SELECT vec_id, list(rv ORDER BY pos) AS rvec
+           FROM r GROUP BY vec_id),
+ q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+ sims AS (SELECT q.q_id, rc.vec_id AS n_id,
+                 {_COS.format(a='q.qv', b='rc.rvec')} AS cos_sq
+          FROM q JOIN recon rc ON rc.vec_id != q.q_id),
+ ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sq DESC, n_id) AS rnk
+            FROM sims)
+SELECT q_id, n_id, cos_sq, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+""",
+)
+def sq8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-5: per-dimension corpus min/max train a
+    uint8 scalar quantizer (the SQ member of the quantization family —
+    PQ/IVFPQ trade accuracy for memory via codebooks, SQ8 via 4x
+    per-component narrowing with NO codebook), queries score against
+    the reconstructed vectors. The oracle replays quantize+reconstruct
+    per (vec_id, pos) and must match exactly: the quantized codes are
+    integral and bit-identical across engines (shared floor(+0.5)
+    text), so this row pins the full train -> encode -> serve loop.
+
+    Scale shape: the per-dimension min/max "training" is posexplode +
+    groupBy(pos) with map-side partial aggregation — shuffle volume is
+    partitions x dim rows (KBs), never the corpus; the 2x64-double
+    stats row broadcasts back and encode/reconstruct are pure map-side
+    zip_with chains (at 100 TB you persist qcode as a byte array — 4x
+    smaller scans — and keep the mins/rngs sidecar with the index
+    manifest; reconstruction happens on scan, never a second shuffle).
+    Queries broadcast against the corpus exactly like
+    embedding_topk_cosine; the only wide op is the per-query rank.
+    """
+    from pyspark.sql.window import Window
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select("vec_id", F.posexplode("v").alias("pos0", "val"))
+    dims = ex.groupBy("pos0").agg(
+        F.min("val").alias("mn"),
+        (F.max("val") - F.min("val")).alias("rng"),
+    )
+    stats = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "mn"))),
+            lambda s: s.mn,
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "rng"))),
+            lambda s: s.rng,
+        ).alias("rngs"),
+    )
+    quant = _SQ8_QUANT_SQL.format(x="p.x", mn="p.mn", rng="rng")
+    recon = (
+        e.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.expr(
+                "zip_with(zip_with(v, mins, (x, mn) -> struct(x, mn)),"
+                f" rngs, (p, rng) -> p.mn + ({quant}) * rng / 255.0)"
+            ).alias("rvec"),
+        )
+    )
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(recon)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(cosine(F.col("qv"), F.col("rvec")), 6).alias("cos_sq"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sq"), F.asc("n_id"))
+    return sims.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= 5
     )
 
 

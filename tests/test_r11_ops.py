@@ -215,3 +215,115 @@ def test_ann_recall_eval_invariants(spark, sf_dir):
     want = len(t0 & s0)
     got = next(r["n_hits"] for r in rows if r["q_id"] == 0)
     assert got == want
+
+
+def test_lm_dirichlet_matches_pure_python_reference(spark, sf_dir):
+    """Third-engine check for lm_dirichlet_topk: recompute the Dirichlet
+    query-likelihood ranking in pure Python (pandas + math) from the raw
+    parquet and require the identical top-20 (ids AND 8-dp scores)."""
+    import math
+
+    import pandas as pd
+
+    from migrate_cassandra_to_mysql_spark.plans.textplans import (
+        _BM25_TERMS,
+        _QL_MU,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    toks = docs["text"].map(lambda t: t.strip().split())
+    dl = toks.map(len)
+    tf = {t: toks.map(lambda ts, t=t: ts.count(t)) for t in _BM25_TERMS}
+    tot = float(dl.sum())
+    cf = {t: float(tf[t].sum()) for t in _BM25_TERMS}
+    mu = float(_QL_MU)
+    scored = []
+    for i in range(len(docs)):
+        hits = sum(int(tf[t].iat[i]) for t in _BM25_TERMS)
+        if hits == 0:
+            continue
+        s = sum(
+            math.log(
+                (tf[t].iat[i] + mu * (cf[t] / tot)) / (dl.iat[i] + mu)
+            )
+            for t in _BM25_TERMS
+        )
+        scored.append((round(s, 8), int(docs["doc_id"].iat[i]), hits))
+    scored.sort(key=lambda r: (-r[0], r[1]))
+    want = scored[:20]
+
+    got = (
+        catalog.queries()["lm_dirichlet_topk"](spark, sf_dir)
+        .orderBy(F.desc("ql"), F.asc("doc_id"))
+        .collect()
+    )
+    assert [(r["ql"], r["doc_id"], r["n_hits"]) for r in got] == [
+        (pytest.approx(s, abs=2e-8), d, h) for s, d, h in want
+    ]
+    # log-probabilities: every score is strictly negative
+    assert all(r["ql"] < 0 for r in got)
+
+
+def test_lm_dirichlet_smoothing_prefers_shorter_on_equal_tf(spark, sf_dir):
+    """Semantics: with tf and the corpus model fixed, the score is
+    strictly decreasing in document length — the Dirichlet denominator
+    (dl + MU) is the length normalization."""
+    import math
+
+    from migrate_cassandra_to_mysql_spark.plans.textplans import _QL_MU
+
+    mu = float(_QL_MU)
+    p_c = 0.01  # any collection probability
+
+    def score(tf, dl):
+        return math.log((tf + mu * p_c) / (dl + mu))
+
+    assert score(3, 20) > score(3, 40) > score(3, 80)
+    # and increasing in tf at fixed length
+    assert score(4, 40) > score(3, 40) > score(0, 40)
+
+
+def test_sq8_reconstruction_error_bounded(sf_dir):
+    """Quantizer invariant, independent of both engines: numpy-replayed
+    SQ8 reconstruction error is bounded by rng / (2 * 255) per
+    component (half a quantization step), and codes are integral in
+    [0, 255]."""
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    v = np.stack(emb["embedding"].map(np.asarray)).astype(np.float64)
+    mn = v.min(axis=0)
+    rng = v.max(axis=0) - mn
+    safe = np.where(rng == 0.0, 1.0, rng)
+    q = np.where(rng == 0.0, 0.0, np.floor(255.0 * (v - mn) / safe + 0.5))
+    assert q.min() >= 0 and q.max() <= 255
+    assert np.array_equal(q, np.floor(q))
+    recon = mn + q * rng / 255.0
+    err = np.abs(recon - v)
+    assert (err <= rng / 510.0 + 1e-12).all()
+
+
+def test_sq8_topk_recall_against_exact(spark, sf_dir):
+    """Serving quality: 8-bit scalar quantization over 64 dims barely
+    moves cosine, so the SQ8 top-5 must overlap the exact-cosine top-5
+    almost everywhere (>= 4 of 5 on average here; exactness is already
+    pinned by the DuckDB oracle — this pins that the APPROXIMATION is
+    good, which the oracle cannot see)."""
+    from migrate_cassandra_to_mysql_spark.operators import similarity
+    from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+    exact = similarity.brute_force_topk(
+        T(spark, sf_dir, "embeddings"), F.col("vec_id") % 100 == 0, k=5
+    ).collect()
+    sq8 = catalog.queries()["sq8_quantized_topk"](spark, sf_dir).collect()
+    q_ids = {r["q_id"] for r in exact}
+    assert q_ids == {r["q_id"] for r in sq8}
+    overlaps = []
+    for qid in q_ids:
+        t = {r["n_id"] for r in exact if r["q_id"] == qid}
+        s = {r["n_id"] for r in sq8 if r["q_id"] == qid}
+        overlaps.append(len(t & s) / 5.0)
+    assert sum(overlaps) / len(overlaps) >= 0.8

@@ -750,13 +750,17 @@ def test_late_r10_rows_complete_at_sf1(spark, sf1_dir, name):
         "rm3_query_expansion_topk",
         "ann_recall_eval",
         "mmr_diversified_topk",
+        "lm_dirichlet_topk",
+        "sq8_quantized_topk",
     ],
 )
 def test_r11_rows_complete_at_sf1(spark, sf1_dir, name):
     """The r11 rows at 10x: the canonical pick adds one bounded window
     to the LSH chain, RM3's pass 2 joins a 7-row broadcast frame, the
-    eval fold is K rows per sampled query, and MMR is bounded by N^2
-    per query after candidate generation — completion under the test
+    eval fold is K rows per sampled query, MMR is bounded by N^2
+    per query after candidate generation, Dirichlet-LM is the BM25
+    two-scan shape, and SQ8's training agg shuffles partitions x dim
+    rows regardless of corpus size — completion under the test
     session's memory IS the assertion."""
     df = catalog.queries()[name](spark, sf1_dir)
     df.write.format("noop").mode("overwrite").save()
