@@ -230,6 +230,12 @@ def main() -> None:
         # per-dim min/max agg plus one brute-force pass over
         # reconstructed vectors
         ("sq8_quantized_topk", "sq8_quantized_topk"),
+        # r11 (late): degree-ordered triangle count — support-pruned
+        # edge build + wedge/closure equi-joins, all edge-sized
+        ("part_copurchase_triangles", "part_copurchase_triangles"),
+        # r11 (late): per-user EWMA — one user_id exchange, one Window
+        # node with 15 lags, per-row codegen chain
+        ("events_ewma_smoothing", "events_ewma_smoothing"),
     ):
         if nm not in qs:
             continue

@@ -161,8 +161,23 @@ PRIORITY: list[str] = [
     # retrieval (Zhai & Lafferty), the LM counterpart that A/Bs against
     # bm25_topk_search on identical query/tokenizer/corpus:
     "lm_dirichlet_topk",
-    "events_session_window_native",
-    "zorder_curve_rollup",
+    # r11 (late): events_session_window_native out on its green r7-r10
+    # rows (4 consecutive) — event-time windowed aggregation stays
+    # in-window via streaming_hourly_rollup (watermarked windows under
+    # a real stream) + events_gap_fill + events_dpp_prune, and
+    # sessionization keeps its prior greens + the sessionize twin's
+    # rows + unit suites. In: per-user EWMA smoothing over event order
+    # (depth-16, dyadic-exact decay weights) — the exponential-decay
+    # member of the rolling-feature family:
+    "events_ewma_smoothing",
+    # r11 (late): zorder_curve_rollup out on its green r7-r10 rows (4
+    # consecutive) — layout management stays driver-gated via
+    # events_dpp_prune (partition-pruned serving) and the compaction/
+    # GC/soak machinery keeps its sf1 gates + unit suites. In:
+    # degree-ordered triangle counting on the support-pruned
+    # co-purchase graph — the community-density member of the graph
+    # family beside pagerank (centrality) and components (reachability):
+    "part_copurchase_triangles",
     # r11 (late): customer_hierarchy_recursive out on its green r7-r10
     # rows (4 consecutive) — iterative/recursive plan shapes stay
     # in-window via part_copurchase_pagerank + dedup_canonical_keep

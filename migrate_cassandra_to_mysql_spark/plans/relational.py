@@ -1408,3 +1408,86 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_o_totalprice").cast("double").alias("new_price"),
         F.col("new_o_orderstatus").alias("new_status"),
     )
+
+
+# EWMA constants. Decay 0.75 is DYADIC-EXACT: 0.75^i and every partial
+# weight sum fit a 53-bit mantissa exactly for i <= 15, so the weight
+# literals below (emitted via repr -> shortest-roundtrip text) parse to
+# bit-identical doubles in Spark and DuckDB, and the whole per-row
+# expression — a FIXED left-associated chain, not an aggregation — is
+# IEEE-identical cross-engine with no DECIMAL detour and no pow()
+# (whose libm may differ between engines).
+_EWMA_DECAY = 0.75
+_EWMA_DEPTH = 16
+_EWMA_W = [_EWMA_DECAY**i for i in range(_EWMA_DEPTH)]
+_EWMA_CW = [sum(_EWMA_W[: n + 1]) for n in range(_EWMA_DEPTH)]
+
+
+def _ewma_expr_sql() -> str:
+    """round(num / den, 8) over columns v0..v15 and rn — shared verbatim
+    by the Spark plan and the DuckDB oracle."""
+    num = " + ".join(
+        f"coalesce(v{i}, 0.0) * {_EWMA_W[i]!r}"
+        for i in range(_EWMA_DEPTH)
+    )
+    den_cases = " ".join(
+        f"WHEN {n + 1} THEN {_EWMA_CW[n]!r}"
+        for n in range(_EWMA_DEPTH - 1)
+    )
+    den = (
+        f"CASE (CASE WHEN rn < {_EWMA_DEPTH} THEN rn"
+        f" ELSE {_EWMA_DEPTH} END) {den_cases}"
+        f" ELSE {_EWMA_CW[_EWMA_DEPTH - 1]!r} END"
+    )
+    return f"round(({num}) / ({den}), 8)"
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n           ".join(
+        f"lag(value, {i}) OVER w AS v{i}" for i in range(1, _EWMA_DEPTH)
+    )
+    return f"""
+WITH x AS (SELECT user_id, event_id,
+           value AS v0,
+           row_number() OVER w AS rn,
+           {lags}
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+SELECT user_id, event_id, {_ewma_expr_sql()} AS ewma
+FROM x
+"""
+
+
+@register("events_ewma_smoothing", oracle=_ewma_oracle())
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the event value per
+    user over event order (depth-16 window, decay 0.75, weights
+    renormalized over the rows actually present so early events aren't
+    biased toward zero) — the exponential-decay feature beside the
+    uniform rolling mean (events_sliding_windows / moving_order_spend):
+    recency-weighted user activity is the standard online-feature shape.
+
+    Scale shape: ONE hash exchange on user_id feeds a single Window
+    node computing all 15 lags + row_number in the same pass (one sort,
+    no per-lag shuffles); the EWMA itself is a per-row codegen
+    expression chain. The depth cap (16) is the state bound: memory per
+    window frame is O(depth) regardless of a user's event count, and
+    truncating 0.75^16 < 1% weight is the documented approximation.
+    Determinism: dyadic-exact weight literals + fixed association make
+    the arithmetic bit-identical cross-engine (see _EWMA_DECAY note).
+    """
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    x = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("v0"),
+        F.row_number().over(w).alias("rn"),
+        *[
+            F.lag("value", i).over(w).alias(f"v{i}")
+            for i in range(1, _EWMA_DEPTH)
+        ],
+    )
+    return x.select(
+        "user_id", "event_id", F.expr(_ewma_expr_sql()).alias("ewma")
+    )

@@ -582,3 +582,152 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_out", F.lit(0).cast("long")).alias("n_out"),
         F.round("rank", 8).alias("pagerank"),
     )
+
+
+# Triangle counting constants: the co-purchase graph keeps only edges
+# with support >= _TRI_SUPPORT (pairs bought together in at least that
+# many distinct orders). The support cut is the standard market-basket
+# pruning AND the scale bound: random co-occurrence grows with the
+# corpus but REPEATED co-occurrence stays rare (measured: 116k raw
+# pairs -> 3.4k support>=2 edges at sf0.01, 1.2M -> 3.6k at sf0.1), so
+# the triangle phase runs on a near-constant-density signal graph.
+_TRI_SUPPORT = 2
+
+
+def _triangles_oracle() -> str:
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+               FROM lineitem),
+ und AS (SELECT a.p AS a, b.p AS b
+         FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+         GROUP BY 1, 2 HAVING count(*) >= {_TRI_SUPPORT}),
+ deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+         FROM (SELECT a AS n FROM und
+               UNION ALL SELECT b AS n FROM und) t
+         GROUP BY n),
+ ori AS (SELECT CASE WHEN (da.d, u.a) < (db.d, u.b)
+                     THEN u.a ELSE u.b END AS src,
+                CASE WHEN (da.d, u.a) < (db.d, u.b)
+                     THEN u.b ELSE u.a END AS dst,
+                CASE WHEN (da.d, u.a) < (db.d, u.b)
+                     THEN db.d ELSE da.d END AS dst_d
+         FROM und u
+         JOIN deg da ON da.n = u.a
+         JOIN deg db ON db.n = u.b),
+ wedge AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+           FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+           WHERE (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)),
+ tri AS (SELECT wedge.u, wedge.v, wedge.w
+         FROM wedge JOIN ori e3
+           ON e3.src = wedge.v AND e3.dst = wedge.w)
+SELECT part_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT u AS part_id FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri) x
+GROUP BY part_id
+ORDER BY n_triangles DESC, part_id
+LIMIT 20
+"""
+
+
+@register("part_copurchase_triangles", oracle=_triangles_oracle())
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting over the support-pruned part
+    co-purchase graph: parts are linked when >= 2 distinct orders
+    contain both, and each part is ranked by how many co-purchase
+    triangles it participates in (top-20) — the cluster-coefficient /
+    community-density primitive beside pagerank (global centrality)
+    and connected components (reachability) in the graph family.
+
+    Scale shape — each step is the technique a 100 TB graph needs:
+    1. Pair expansion is bounded by order width (<= 7 items per TPC-H
+       order, O(49) pairs per order, never quadratic in lineitem); the
+       support cut then shrinks the graph to repeated-signal edges
+       (measured near-constant ~3.5k edges from sf0.01 to sf0.1 while
+       raw pairs grew 10x).
+    2. Edges are ORIENTED from lower to higher (degree, id) rank — the
+       classic wedge-bounding trick (Schank/Wagner; cf. Suri-Vassilvitskii
+       MapReduce triangles): every out-neighborhood is O(sqrt(m)), so
+       wedge volume is O(m^1.5) worst-case instead of sum(deg^2), and
+       each triangle is generated EXACTLY once from its lowest-rank
+       apex (no /3 correction, no duplicate pairs).
+    3. The wedge build is one self-equi-join on the apex; closure is
+       one equi-join of (v, w) against the oriented edge list — all
+       shuffles are edge-sized, nothing touches lineitem again.
+    The pruned edge frame and its orientation are re-referenced 2-3
+    times downstream (deg from und; e1/e2/e3 from ori), so both are
+    EAGERLY localCheckpoint'ed: without that, Catalyst inlines the
+    whole lineitem self-join once per reference (first cut of this plan
+    measured 184 exchanges / 45 broadcast joins; checkpointed it's the
+    wedge+closure+rollup core only) — the pagerank/MMR lineage
+    discipline, affordable because the support cut makes both frames
+    KB-sized at any corpus scale.
+    Determinism: counts are exact integers; rank ties inside the
+    orientation break on node id, so the oriented edge set — and hence
+    every wedge — is identical in both engines.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    right = items.select("ok", F.col("p").alias("b"))
+    und = (
+        items.join(right, "ok")
+        .where(F.col("p") < F.col("b"))
+        .select(F.col("p").alias("a"), "b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _TRI_SUPPORT)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    lower = F.struct(F.col("da"), F.col("a")) < F.struct(
+        F.col("db"), F.col("b")
+    )
+    ori = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(lower, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = ori.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("dst_d").alias("vd"),
+    )
+    e2 = ori.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("w"),
+        F.col("dst_d").alias("wd"),
+    )
+    wedge = (
+        e1.join(e2, "u")
+        .where(
+            F.struct(F.col("vd"), F.col("v"))
+            < F.struct(F.col("wd"), F.col("w"))
+        )
+        .select("u", "v", "w")
+    )
+    e3 = ori.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedge.join(e3, ["v", "w"]).select("u", "v", "w")
+    return (
+        tri.select(F.col("u").alias("part_id"))
+        .unionAll(tri.select(F.col("v")))
+        .unionAll(tri.select(F.col("w")))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("part_id"))
+        .limit(20)
+    )

@@ -327,3 +327,90 @@ def test_sq8_topk_recall_against_exact(spark, sf_dir):
         s = {r["n_id"] for r in sq8 if r["q_id"] == qid}
         overlaps.append(len(t & s) / 5.0)
     assert sum(overlaps) / len(overlaps) >= 0.8
+
+
+def test_triangles_match_pure_python_reference(spark, sf_dir):
+    """Third-engine check for part_copurchase_triangles: rebuild the
+    support-pruned graph in pandas, enumerate triangles by brute force
+    over the (tiny) pruned edge set, and require the identical top-20
+    per-node participation counts."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    from collections import Counter, defaultdict
+
+    pair_support: Counter = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        for a, b in combinations(parts, 2):
+            pair_support[(a, b)] += 1
+    edges = {e for e, s in pair_support.items() if s >= 2}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri_count: Counter = Counter()
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c: count each triangle once
+                tri_count[a] += 1
+                tri_count[b] += 1
+                tri_count[c] += 1
+    want = sorted(
+        ((n, c) for n, c in tri_count.items()), key=lambda t: (-t[1], t[0])
+    )[:20]
+
+    got = catalog.queries()["part_copurchase_triangles"](
+        spark, sf_dir
+    ).collect()
+    assert [(r["part_id"], r["n_triangles"]) for r in got] == want
+    assert want, "test corpus has no triangles — assertion vacuous"
+
+
+def test_ewma_matches_pure_python_and_first_row_identity(spark, sf_dir):
+    """Third-engine check for events_ewma_smoothing: recompute the
+    renormalized depth-16 EWMA in pure Python per user and require
+    identical 8-dp values; a user's FIRST event must equal its own
+    value (weight renormalization, not zero-padding)."""
+    import pandas as pd
+
+    from migrate_cassandra_to_mysql_spark.plans.relational import (
+        _EWMA_DECAY,
+        _EWMA_DEPTH,
+    )
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "event_id", "value"]
+    ].sort_values(["user_id", "event_id"])
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        vals = list(grp["value"])
+        ids = list(grp["event_id"])
+        for i in range(len(vals)):
+            lo = max(0, i - _EWMA_DEPTH + 1)
+            window = vals[lo : i + 1][::-1]  # most recent first
+            num = sum(
+                (v if v == v and v is not None else 0.0)
+                * _EWMA_DECAY**j
+                for j, v in enumerate(window)
+            )
+            den = sum(_EWMA_DECAY**j for j in range(len(window)))
+            want[(uid, ids[i])] = round(num / den, 8)
+
+    got = catalog.queries()["events_ewma_smoothing"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert want[(r["user_id"], r["event_id"])] == pytest.approx(
+            r["ewma"], abs=2e-8
+        ), (r["user_id"], r["event_id"])
+    # first event per user: ewma == value exactly (den == 1)
+    firsts = ev.groupby("user_id").head(1)
+    by_key = {(r["user_id"], r["event_id"]): r["ewma"] for r in got}
+    for _, row in firsts.iterrows():
+        v = row["value"]
+        if v == v:  # skip NaN
+            assert by_key[(row["user_id"], row["event_id"])] == round(v, 8)

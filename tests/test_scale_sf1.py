@@ -752,6 +752,8 @@ def test_late_r10_rows_complete_at_sf1(spark, sf1_dir, name):
         "mmr_diversified_topk",
         "lm_dirichlet_topk",
         "sq8_quantized_topk",
+        "part_copurchase_triangles",
+        "events_ewma_smoothing",
     ],
 )
 def test_r11_rows_complete_at_sf1(spark, sf1_dir, name):
