@@ -236,6 +236,9 @@ def main() -> None:
         # r11 (late): per-user EWMA — one user_id exchange, one Window
         # node with 15 lags, per-row codegen chain
         ("events_ewma_smoothing", "events_ewma_smoothing"),
+        # r11 (late): association rules — support-cut pairs + two
+        # KB-sized count joins + TakeOrdered
+        ("copurchase_association_rules", "copurchase_association_rules"),
     ):
         if nm not in qs:
             continue

@@ -366,8 +366,16 @@ PRIORITY: list[str] = [
     # late-r6: q13/q21 out on their green r5 rows (the r6 window keeps
     # q2/q10/q12 + the scalar suite for TPC-H shape diversity) to admit
     # the remaining late-r6 operators — new ops earn driver rows in
-    # their own round:
-    "events_gap_fill",
+    # their own round.
+    # r11 (late): events_gap_fill out on its green r7-r10 rows (4
+    # consecutive) — LOCF/gap semantics keep its prior rows + unit
+    # tests, the sequence/expansion shape stays in-window via
+    # doc_chunking, and per-key ordered-window machinery via the
+    # incoming events_ewma_smoothing. In: market-basket association
+    # rules (support/confidence/lift, Apriori's rule stage) — the
+    # frequent-itemset primitive beside the graph family's structural
+    # views of the same co-purchase pairs:
+    "copurchase_association_rules",
     # r10 (mid-round): bm25_topk_search out on its green r7-r9 rows for
     # the r10-NEW hybrid retrieval row — new ops earn their driver row
     # in their own round. Family coverage is strictly kept: the incoming

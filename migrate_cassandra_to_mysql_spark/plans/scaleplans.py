@@ -731,3 +731,90 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("part_id"))
         .limit(20)
     )
+
+
+def _assoc_oracle() -> str:
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+               FROM lineitem),
+ n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+ cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS np FROM items GROUP BY p),
+ pr AS (SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS support
+        FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= {_TRI_SUPPORT})
+SELECT part_a, part_b, support,
+       round(CAST(support AS DOUBLE) / ca.np, 8) AS conf_ab,
+       round(CAST(support AS DOUBLE) / cb.np, 8) AS conf_ba,
+       round(CAST(support * n.n_orders AS DOUBLE)
+             / CAST(ca.np * cb.np AS DOUBLE), 8) AS lift
+FROM pr
+JOIN cnt ca ON ca.p = pr.part_a
+JOIN cnt cb ON cb.p = pr.part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register("copurchase_association_rules", oracle=_assoc_oracle())
+def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over part co-purchases: for every
+    support>={_TRI_SUPPORT} pair, directional confidence
+    P(b|a) = support/n_a (and P(a|b)) plus lift =
+    support*N / (n_a*n_b), top-20 by lift — the frequent-itemset
+    primitive (Agrawal-Srikant Apriori's rule stage) beside the graph
+    family's structural views of the same pair data.
+
+    Scale shape: pair expansion bounded by order width (O(49)/order),
+    support cut before anything joins (the Apriori downward-closure
+    idea: only frequent pairs reach the rule stage — measured ~3.5k
+    pairs at both sf0.01 and sf0.1); item counts partial-aggregate and
+    join the PRUNED pair set (two KB-sized equi-joins), N rides as a
+    1-row broadcast; the only ordered exchange is TakeOrdered(20).
+    Determinism: every metric is a ratio of exact BIGINTs evaluated
+    with shared expression text — identical IEEE division in both
+    engines — and the (lift, part_a, part_b) order is total.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = items.agg(
+        F.countDistinct("ok").cast("long").alias("n_orders")
+    )
+    cnt = items.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("np")
+    )
+    right = items.select("ok", F.col("p").alias("part_b"))
+    pr = (
+        items.join(right, "ok")
+        .where(F.col("p") < F.col("part_b"))
+        .select(F.col("p").alias("part_a"), "part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= _TRI_SUPPORT)
+    )
+    ca = cnt.select(F.col("p").alias("part_a"), F.col("np").alias("na"))
+    cb = cnt.select(F.col("p").alias("part_b"), F.col("np").alias("nb"))
+    return (
+        pr.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.expr("round(CAST(support AS DOUBLE) / na, 8)").alias(
+                "conf_ab"
+            ),
+            F.expr("round(CAST(support AS DOUBLE) / nb, 8)").alias(
+                "conf_ba"
+            ),
+            F.expr(
+                "round(CAST(support * n_orders AS DOUBLE)"
+                " / CAST(na * nb AS DOUBLE), 8)"
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

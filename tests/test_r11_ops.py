@@ -414,3 +414,58 @@ def test_ewma_matches_pure_python_and_first_row_identity(spark, sf_dir):
         v = row["value"]
         if v == v:  # skip NaN
             assert by_key[(row["user_id"], row["event_id"])] == round(v, 8)
+
+
+def test_association_rules_match_pure_python_reference(spark, sf_dir):
+    """Third-engine check for copurchase_association_rules: recompute
+    support/confidence/lift in pure Python from the raw parquet and
+    require the identical top-20 (keys AND 8-dp metrics); lift's
+    direction-symmetry and the confidence bound must hold."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    item_cnt = Counter(li["l_partkey"])
+    n_orders = li["l_orderkey"].nunique()
+    support: Counter = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        for a, b in combinations(sorted(set(grp["l_partkey"])), 2):
+            support[(a, b)] += 1
+    rows = []
+    for (a, b), s in support.items():
+        if s < 2:
+            continue
+        rows.append(
+            (
+                round(s * n_orders / (item_cnt[a] * item_cnt[b]), 8),
+                a,
+                b,
+                s,
+                round(s / item_cnt[a], 8),
+                round(s / item_cnt[b], 8),
+            )
+        )
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    want = [(a, b, s, cab, cba, l) for l, a, b, s, cab, cba in rows[:20]]
+
+    got = catalog.queries()["copurchase_association_rules"](
+        spark, sf_dir
+    ).collect()
+    assert [
+        (
+            r["part_a"],
+            r["part_b"],
+            r["support"],
+            r["conf_ab"],
+            r["conf_ba"],
+            r["lift"],
+        )
+        for r in got
+    ] == want
+    for r in got:
+        assert 0 < r["conf_ab"] <= 1 and 0 < r["conf_ba"] <= 1
+        assert r["lift"] > 0

@@ -754,6 +754,7 @@ def test_late_r10_rows_complete_at_sf1(spark, sf1_dir, name):
         "sq8_quantized_topk",
         "part_copurchase_triangles",
         "events_ewma_smoothing",
+        "copurchase_association_rules",
     ],
 )
 def test_r11_rows_complete_at_sf1(spark, sf1_dir, name):
