@@ -444,7 +444,18 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    n = base.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # tf, n, w, n2 are each re-referenced downstream (tf by df and w;
+    # n by kept and w; w by the self-join twice and the norms; n2 by
+    # both join sides). Un-checkpointed, Catalyst inlines the WHOLE
+    # upstream once per reference — the executed plan read the corpus
+    # 16 times (measured; zero ReusedExchange). Eager localCheckpoint
+    # caps it at two corpus scans (tf, n): at 100 TB "persist the
+    # tokenized posting projection" is exactly the serving discipline
+    # the BM25 rows document, and w/n2 are posting-/doc-sized.
+    tf = tf.localCheckpoint(eager=True)
+    n = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).localCheckpoint(eager=True)
     dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     cap = F.least(
         F.greatest(
@@ -470,12 +481,12 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 8,
             ).alias("w"),
         )
-    )
+    ).localCheckpoint(eager=True)
     n2 = w.groupBy("doc_id").agg(
         F.sum(
             F.round(F.col("w") * F.col("w"), 10).cast("decimal(30,10)")
         ).alias("n2")
-    )
+    ).localCheckpoint(eager=True)
     a, b = w.alias("a"), w.alias("b")
     dot = (
         a.join(
