@@ -667,9 +667,15 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     every wedge — is identical in both engines.
     """
     li = T(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # items feeds both sides of the pair self-join — checkpoint so the
+    # lineitem scan + distinct run once (the association-rules note):
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     right = items.select("ok", F.col("p").alias("b"))
     und = (
         items.join(right, "ok")
@@ -776,9 +782,18 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — and the (lift, part_a, part_b) order is total.
     """
     li = T(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # items feeds n, cnt, and both sides of the pair self-join — four
+    # downstream references that would each inline the lineitem scan +
+    # distinct (the sparse-cosine/triangle lesson): eager localCheckpoint
+    # caps it at ONE lineitem scan, materializing the distinct
+    # order-item projection once.
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = items.agg(
         F.countDistinct("ok").cast("long").alias("n_orders")
     )

@@ -23,6 +23,9 @@ export PYTHONPATH="$PWD"
 echo "== plan guard (baseline must already be regenerated + committed) =="
 python -m pytest tests/test_plan_snapshot.py -q
 
+echo "== plan scale-outlier audit (r11: caught 16x corpus re-reads) =="
+python tools/plan_audit.py
+
 echo "== full default test suite =="
 python -m pytest tests/ -q
 
