@@ -159,7 +159,8 @@ def main() -> None:
     # persisted-rerank row is timed twice: the first call pays the
     # one-time memoized index build (the train-once cost), the second is
     # the pure serving path — the number the layout exists to optimize.
-    extra: dict[str, float] = {}
+    # float timings, plus dict-valued `<key>_samples` metadata rows
+    extra: dict[str, object] = {}
     for nm, key in (
         ("dup_ngram_spans", "dup_ngram_spans"),
         ("ivfpq_persisted_rerank_topk", "ivfpq_persisted_rerank_build_and_serve"),
@@ -256,10 +257,14 @@ def main() -> None:
             # driver run to a 3x reading (5.44s vs a 1.8-2.5s committed
             # band); serves are sub-3s so the extra samples are cheap,
             # and the spread makes host noise visible in the artifact
-            # instead of masquerading as a regression.
+            # instead of masquerading as a regression. The key itself
+            # stays a FLOAT (the median) so every extras entry is
+            # cross-round comparable (r11 ADVICE: the r11 dict-at-key
+            # shape broke tooling that diffs BENCH_r*.json numerically);
+            # sample count + spread ride a sibling `<key>_samples` row.
             samples = sorted(_timed_run() for _ in range(3))
-            extra[key] = {
-                "median": samples[1],
+            extra[key] = samples[1]
+            extra[key + "_samples"] = {
                 "n": 3,
                 "spread": round(samples[-1] - samples[0], 3),
             }

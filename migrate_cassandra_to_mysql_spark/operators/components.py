@@ -334,3 +334,174 @@ def pagerank(
         ed.unpersist()
         nodes.unpersist()
         dangling.unpersist()
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """(node, degree) for the k-core of an UNDIRECTED simple graph —
+    the maximal subgraph where every node keeps degree >= k — after
+    `rounds` synchronous peeling iterations (Matula-Beck peeling, the
+    bulk-synchronous form every Pregel-style system uses): each round
+    drops every node whose CURRENT degree is < k, then drops edges
+    touching dropped nodes; fixed-point reached when a round removes
+    nothing. `rounds` bounds the work (a differential twin unrolls the
+    same count); the returned `degree` is recomputed on the final edge
+    set. k-core is the density/cohesion primitive beside triangle
+    counting (local clustering) and pagerank (global centrality) —
+    the classic spam/anomaly and community-seed filter.
+
+    `edges` holds one row per undirected edge with a < b (the
+    support-pruned co-purchase convention).
+
+    Scale shape: every round is ONE union-groupBy degree count plus one
+    semi-join edge filter — all edge-sized, nothing node-quadratic; the
+    edge frame is EAGERLY localCheckpoint-ed per round (the pagerank
+    lineage discipline: each round's frame is referenced by degree
+    count AND filter, so unpersisted lineage would double the plan per
+    round), with the previous round's blocks freed. Peeling only ever
+    SHRINKS the edge set, so per-round cost is monotonically
+    non-increasing — the worst case is the first round on the full
+    (already support-pruned) graph."""
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    e = e.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n")
+        pruned = (
+            e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        prev = e
+        e = pruned
+        free_local_checkpoint(prev)
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, dist) = minimum hop count from any seed node, for every
+    node reachable within `max_hops` over a DIRECTED edge list (pass
+    both directions for an undirected graph) — synchronous frontier
+    expansion (parallel BFS, the Pregel hello-world): each round
+    extends every known distance by one hop and keeps the per-node
+    minimum. Exact integer distances, so the result is deterministic
+    under any partitioning. Unreached nodes are absent (no sentinel).
+
+    `seeds` is a 1-column DataFrame of starting node ids (dist 0).
+
+    Scale shape: per round one equi-join of the edge list against the
+    CURRENT distance frame plus one min-groupBy — both keyed on node
+    id; only (node, dist) pairs shuffle, never payloads. The distance
+    frame is referenced twice per round (join + union), so each round
+    is EAGERLY localCheckpoint-ed with the previous round's blocks
+    freed (pagerank discipline). Rounds = max_hops, a fixed bound the
+    oracle twin unrolls identically."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    dist = (
+        seeds.toDF("node")
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        step = e.join(dist, e["src"] == dist["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.lit(1)).cast("long").alias("dist"),
+        )
+        new = (
+            dist.unionAll(step)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        prev = dist
+        dist = new
+        free_local_checkpoint(prev)
+    return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, community) after `rounds` SYNCHRONOUS label-propagation
+    iterations (Raghavan et al. 2007, the near-linear community
+    detector) with a fully deterministic update: every node starts
+    labeled with its own id; each round every node adopts the label
+    carried by the MOST of its in-neighbors, ties broken toward the
+    SMALLEST label (the tie rule that makes the sync variant
+    reproducible — textbook async LPA visits nodes in random order,
+    which no differential harness can pin). Pass both directions for
+    an undirected graph. Nodes with no in-edges keep their label.
+
+    Distinct from connected_components (pure reachability): LPA splits
+    a connected blob into internally-dense groups — the community
+    primitive between components (too coarse) and triangles (too
+    local).
+
+    Scale shape: per round ONE edge-keyed equi-join + one
+    (node, label) count groupBy + one max_by reduction — all shuffles
+    carry (node, label, count) triples only. The label frame is
+    referenced twice per round (neighbor join + keep-own coalesce), so
+    rounds are EAGERLY localCheckpoint-ed, previous blocks freed. The
+    deterministic argmax is a single max_by(struct) partial-agg, never
+    a window sort."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        counts = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("n"), "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        # deterministic argmax: max count, ties to the smallest label —
+        # one partial-aggregating max_by over an orderable struct (lbl
+        # negated so "larger struct" = higher count then lower label).
+        best = counts.groupBy("n").agg(
+            F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias(
+                "m"
+            )
+        ).select(F.col("n"), (-F.col("m.neg")).alias("new_lbl"))
+        new_labels = (
+            labels.join(best, labels["node"] == best["n"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev = labels
+        labels = new_labels
+        free_local_checkpoint(prev)
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -268,8 +268,17 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> None:
     lexicon, and stats TOGETHER; appending in place instead made the new
     tombstones visible immediately, so that reader anti-joined the new
     set while scoring with tombstone-inclusive df/n_docs/sum_dl —
-    matching neither rebuilt-with nor rebuilt-without."""
+    matching neither rebuilt-with nor rebuilt-without.
+
+    Concurrency (r11 ADVICE): the whole read-enlarge-stage-swap-refresh
+    sequence runs under its own maintainer lockfile (`deletes.rmw`,
+    distinct from swap_live_dir's per-promotion lock, which guards only
+    the flip): two concurrent deleters would otherwise each read the
+    same base set and the second swap would silently discard the
+    first's tombstones. A second deleter now fails LOUDLY with the
+    single-maintainer error instead of losing rows."""
     from migrate_cassandra_to_mysql_spark.operators.layout import (
+        _maintainer_lock,
         swap_live_dir,
     )
 
@@ -278,16 +287,17 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> None:
             [(int(i),) for i in doc_ids], "doc_id long"
         )
     new = doc_ids.select(F.col("doc_id").cast("long"))
-    existing = _load_deletes(spark, index_dir)
-    enlarged = new if existing is None else existing.unionByName(new)
-    (
-        enlarged.distinct()
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/deletes.new")
-    )
-    swap_live_dir(index_dir, "deletes")
-    _refresh_derived(spark, index_dir)
+    with _maintainer_lock(index_dir, "deletes.rmw", 3600.0):
+        existing = _load_deletes(spark, index_dir)
+        enlarged = new if existing is None else existing.unionByName(new)
+        (
+            enlarged.distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/deletes.new")
+        )
+        swap_live_dir(index_dir, "deletes")
+        _refresh_derived(spark, index_dir)
 
 
 def _refresh_derived(spark: SparkSession, index_dir: str) -> None:

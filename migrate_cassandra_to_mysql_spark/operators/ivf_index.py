@@ -513,8 +513,16 @@ def delete_vectors(spark: SparkSession, index_dir: str, vec_ids) -> None:
     swap_live_dir — a NEW version dir — so a reader whose manifest pins
     the previous deletes version keeps the old set until THIS deletion's
     manifest commit; appending into the live version dir instead leaked
-    the new tombstones to manifest-pinned readers before the commit."""
+    the new tombstones to manifest-pinned readers before the commit.
+
+    Concurrency (r11 ADVICE, same fix as delete_docs): the
+    read-enlarge-stage-swap sequence runs under its own `deletes.rmw`
+    maintainer lockfile — swap_live_dir's lock guards only the
+    promotion, so without this two concurrent deleters could each read
+    the same base set and the second swap would silently discard the
+    first's tombstones. A second deleter now fails loudly instead."""
     from migrate_cassandra_to_mysql_spark.operators.layout import (
+        _maintainer_lock,
         commit_live_snapshot,
         swap_live_dir,
     )
@@ -524,16 +532,17 @@ def delete_vectors(spark: SparkSession, index_dir: str, vec_ids) -> None:
             [(int(i),) for i in vec_ids], "vec_id long"
         )
     new = vec_ids.select(F.col("vec_id").cast("long"))
-    existing = _load_vec_deletes(spark, index_dir)
-    enlarged = new if existing is None else existing.unionByName(new)
-    (
-        enlarged.distinct()
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/deletes.new")
-    )
-    swap_live_dir(index_dir, "deletes")
-    commit_live_snapshot(index_dir, ("codes", "deletes"))
+    with _maintainer_lock(index_dir, "deletes.rmw", 3600.0):
+        existing = _load_vec_deletes(spark, index_dir)
+        enlarged = new if existing is None else existing.unionByName(new)
+        (
+            enlarged.distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/deletes.new")
+        )
+        swap_live_dir(index_dir, "deletes")
+        commit_live_snapshot(index_dir, ("codes", "deletes"))
 
 
 def _load_vec_deletes(spark: SparkSession, index_dir: str):

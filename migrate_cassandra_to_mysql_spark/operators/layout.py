@@ -356,6 +356,14 @@ def merge_sharded_layer(
         groups = [("", list(range(len(srcs))))]
 
     agg = {"files_in": 0, "files_out": 0, "bytes": 0, "partitions": 0}
+    if not groups:
+        # Empty-but-valid shard set (r11 ADVICE): zero partition dirs
+        # across every shard. Still materialize dst_new_dir so the
+        # caller's swap_live_dir promotes an empty version instead of
+        # raising FileNotFoundError on the missing `.new` staging name —
+        # merging empty indexes succeeds with a zeroed aggregate.
+        _os.makedirs(dst_new_dir, exist_ok=True)
+        return agg
     with _cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
         for res in ex.map(lambda g: _move(*g), groups):
             agg["files_in"] += res["files_in"]

@@ -739,3 +739,41 @@ def test_filtered_search_on_merged_index_with_tombstones(
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert (got["bm25"].to_numpy() == want["bm25"].to_numpy()).all()
     assert not (set(got["doc_id"]) & set(victims))
+
+
+def test_delete_docs_rmw_lock_rejects_concurrent_deleter(
+    spark, sf_dir, tmp_path_factory
+):
+    """Tombstone RMW serialization (r11 ADVICE): the whole
+    read-enlarge-stage-swap sequence in delete_docs holds a
+    `deletes.rmw` maintainer lockfile — a second deleter arriving while
+    it is held must fail LOUDLY (single-maintainer error), because
+    proceeding would read the same base set and silently discard the
+    first deleter's tombstones at swap. After release the same call
+    succeeds and the tombstone set is exactly the union."""
+    import os
+
+    d = str(tmp_path_factory.mktemp("invidx_rmw_lock"))
+    docs = T(spark, sf_dir, "documents")
+    inverted_index.build_inverted_index(docs, d)
+    ids = [int(r["doc_id"]) for r in docs.select("doc_id").head(4)]
+
+    inverted_index.delete_docs(spark, d, ids[:2])
+
+    # Simulate a concurrent deleter mid-sequence: its RMW lock is held.
+    lock = os.path.join(d, ".deletes.rmw.swap.lock")
+    with open(lock, "w") as f:
+        f.write("999999\n")
+    try:
+        with pytest.raises(RuntimeError, match="another maintainer"):
+            inverted_index.delete_docs(spark, d, ids[2:])
+    finally:
+        os.unlink(lock)
+
+    # Released: the retry lands and the set is the exact union.
+    inverted_index.delete_docs(spark, d, ids[2:])
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{d}/deletes").collect()
+    }
+    assert got == set(ids)

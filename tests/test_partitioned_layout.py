@@ -40,3 +40,33 @@ def test_partitioned_write_roundtrip_complete(spark, sf_dir):
         "ship_year"
     ).parquet(out)
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_merge_sharded_layer_empty_shards_yield_empty_version(spark):
+    """Empty-but-valid shard set (r11 ADVICE): merging layers that have
+    ZERO hive partition dirs must still materialize the `.new` staging
+    dir with a zeroed aggregate, so the caller's swap_live_dir promotes
+    an empty version instead of dying with FileNotFoundError."""
+    import os
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        merge_sharded_layer,
+        swap_live_dir,
+    )
+
+    root = tempfile.mkdtemp()
+    srcs = [f"{root}/shard{i}/postings" for i in range(2)]
+    for s in srcs:
+        os.makedirs(s)  # exists, but holds no partition dirs
+    parent = f"{root}/merged"
+    os.makedirs(parent)
+    dst_new = f"{parent}/postings.new"
+
+    agg = merge_sharded_layer(
+        spark, srcs, dst_new, [lambda df: df, lambda df: df]
+    )
+    assert agg == {"files_in": 0, "files_out": 0, "bytes": 0, "partitions": 0}
+    assert os.path.isdir(dst_new)
+    # The caller's promotion completes instead of raising.
+    swap_live_dir(parent, "postings")
+    assert os.path.islink(f"{parent}/postings")

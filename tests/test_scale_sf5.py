@@ -255,6 +255,139 @@ def test_incremental_lsh_chain_sf5(spark, scale_dirs):
     _record("incremental_lsh_fixed_batch", out)
 
 
+def test_sparse_cosine_clamp_sf5(spark, scale_dirs):
+    """APSS quadratic-risk defense executed at sf5 (VERDICT r11 #5): the
+    ABSOLUTE df-cap clamp — min(max(n/8, 64), 1024) — is what keeps the
+    posting self-join from going quadratic as the corpus grows.
+
+    Two corpora per scale, because the raw synthesis alone is a vacuous
+    smoke here (its ~31-term vocabulary plus the per-copy marker all
+    have df >> cap at 50k+ docs, so the clamp empties the kept set and
+    the pair stage runs on nothing):
+
+    1. RAW synthesized corpus — pins the FALL-OUT defense: every term of
+       a fixed vocabulary eventually crosses the absolute cap and the
+       kept set goes to zero (a purely relative cap n/k would have kept
+       the densest terms and gone quadratic — the r11 lesson).
+    2. RARE-ENRICHED corpus (each doc gains one `rt<doc_id % G>` token
+       with G scaled so per-term df ~ 64 at every scale — the realistic
+       long-tail shape APSS exists for): pins the WORK bound — kept
+       terms grow linearly with copies, every kept df <= cap, so
+       candidate-pair volume (sum of C(df,2)) and runtime stay <=
+       linear-in-copies with the clamp active, and the plan keeps its
+       join count with no BNLJ/Python fallback."""
+    import shutil
+
+    from migrate_cassandra_to_mysql_spark.plans.textplans import (
+        _SC_DF_CAP_FRAC,
+        _SC_DF_CEIL,
+        _SC_DF_FLOOR,
+        _inject_dups_spark,
+    )
+    from migrate_cassandra_to_mysql_spark.functions import text as textfns
+
+    _RARE_DF = 64  # target docs per rare token
+
+    def _clamp_stats(base):
+        n_docs = base.count()
+        cap = min(max(n_docs // _SC_DF_CAP_FRAC, _SC_DF_FLOOR), _SC_DF_CEIL)
+        dfr = (
+            base.select(
+                "doc_id",
+                F.explode(textfns.tokens(F.col("text"))).alias("tok"),
+            )
+            .groupBy("doc_id", "tok")
+            .count()
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        s = (
+            dfr.where(F.col("df") <= cap)
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.coalesce(
+                    F.sum(F.col("df") * (F.col("df") - 1) / 2), F.lit(0.0)
+                ).alias("volume"),
+                F.coalesce(F.max("df"), F.lit(0)).alias("max_df"),
+            )
+            .collect()[0]
+        )
+        assert s["max_df"] <= cap  # clamp active: no kept term above it
+        assert s["volume"] <= s["n_kept"] * cap * (cap - 1) / 2
+        return n_docs, cap, int(s["n_kept"]), int(s["volume"])
+
+    qs = catalog.queries()
+    out = {}
+    enriched_dirs = []
+    try:
+        for label in ("sf1", "sf5"):
+            src = spark.read.parquet(
+                f"{scale_dirs[label]}/documents.parquet"
+            )
+            # 1. raw corpus: the fixed vocabulary has fallen out entirely
+            n_raw, _, kept_raw, _ = _clamp_stats(_inject_dups_spark(src))
+            assert kept_raw == 0, (
+                f"raw {label}: expected total fall-out, kept {kept_raw}"
+            )
+            # 2. rare-enriched corpus, written where the catalog row reads
+            g = max(1, n_raw // _RARE_DF)
+            d = tempfile.mkdtemp(prefix=f"mc2m_sf5_rare_{label}_")
+            enriched_dirs.append(d)
+            src.withColumn(
+                "text",
+                F.concat(
+                    F.col("text"), F.lit(" rt"), F.col("doc_id") % g
+                ),
+            ).write.parquet(f"{d}/documents.parquet")
+
+            t0 = time.perf_counter()
+            df = qs["sparse_cosine_pairs"](spark, d)
+            df.write.format("noop").mode("overwrite").save()
+            chain = round(time.perf_counter() - t0, 2)
+            n_docs, cap, n_kept, volume = _clamp_stats(
+                _inject_dups_spark(
+                    spark.read.parquet(f"{d}/documents.parquet")
+                )
+            )
+            assert n_kept > 0 and volume > 0, (
+                f"enriched {label} still vacuous: {n_kept} kept terms"
+            )
+            out[label] = {
+                "feats": _feats(df),
+                "chain_sec": chain,
+                "n_docs": n_docs,
+                "cap": cap,
+                "n_kept_terms": n_kept,
+                "pair_volume": volume,
+            }
+    finally:
+        for d in enriched_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    f1, f5 = out["sf1"]["feats"], out["sf5"]["feats"]
+    joins1 = f1["broadcast_hash_joins"] + f1["sort_merge_joins"]
+    joins5 = f5["broadcast_hash_joins"] + f5["sort_merge_joins"]
+    assert joins5 == joins1, f"join count changed at sf5: {f1} vs {f5}"
+    assert f5["broadcast_nested_loop_joins"] == f1[
+        "broadcast_nested_loop_joins"
+    ]
+    assert not f5["python_eval"]
+    ratio = _COPIES_SF5 / _COPIES_SF1
+    # the long-tail work measure scales linearly, never quadratically
+    assert out["sf5"]["pair_volume"] <= (
+        out["sf1"]["pair_volume"] * ratio * _SLACK
+    ), (
+        f"candidate-pair volume superlinear: {out['sf1']['pair_volume']}"
+        f" -> {out['sf5']['pair_volume']} at {ratio}x copies"
+    )
+    _assert_linear(
+        "sparse_cosine chain",
+        out["sf1"]["chain_sec"],
+        out["sf5"]["chain_sec"],
+        ratio,
+    )
+    _record("sparse_cosine_clamped", out)
+
+
 def test_sf5_cardinalities(spark, scale_dirs):
     """The sf5 corpus really is 50x rows AND distinct keys."""
     import pyarrow.parquet as pq

@@ -11,7 +11,18 @@ Rules (each with an explicit allowlist of documented exceptions):
     densest honest plans — tpch_scalar_suite, window suites — sit
     around 10-13);
   - single-partition exchanges capped at 4 (scalar-stat suites
-    legitimately run a few global aggregates).
+    legitimately run a few global aggregates);
+  - executed FileScan count capped at 6, with explicit per-row budgets
+    for the documented exceptions (multi-table TPC-H joins and the
+    component-verification suites whose POINT is one scan per joined
+    component operator). This is the rule that makes the r11 multi-scan
+    class (rm3 read documents 7x, scd2 read orders 9x, pagerank read
+    lineitem 2x — all fixed r12 via eager localCheckpoint on the
+    re-referenced frames) a failing gate instead of a judge finding.
+    Note the complementary strict gate: tests/test_plan_snapshot.py
+    dict-compares EVERY feature against the committed baseline, so any
+    scan-count DRIFT fails pytest; this audit bounds the committed
+    state itself.
 
 Exit non-zero on any violation: wired into tools/round_close.sh so a
 future plan regression fails the round-close ritual, not a judge pass.
@@ -31,6 +42,19 @@ PYTHON_EVAL_ALLOWED = {
 MAX_BNLJ = 3
 MAX_EXCHANGES = 14
 MAX_SINGLE_PARTITION = 4
+MAX_FILE_SCANS = 6
+# Documented exceptions to the scan cap. Suites join N independent
+# component operators on purpose (each earns a driver row through one
+# catalog slot; a production pipeline would fuse them into one pass);
+# the TPC-H rows join/sub-query many DISTINCT tables — neither is the
+# same-table re-read amplification the cap exists to catch.
+FILE_SCAN_BUDGETS = {
+    "doc_signal_suite": 9,  # 6 signal components joined on doc_id
+    "q2_min_cost_supplier": 9,  # 4 tables + correlated min-cost subquery
+    "corpus_curation": 8,  # signal components + decision join
+    "q8_market_share": 8,  # 8-table TPC-H join
+    "tpch_scalar_suite": 8,  # union of scalar TPC-H queries
+}
 
 
 def main() -> int:
@@ -60,6 +84,14 @@ def main() -> int:
             print(
                 f"FAIL {name}: {f['single_partition_exchanges']}"
                 f" single-partition exchanges > {MAX_SINGLE_PARTITION}"
+            )
+            bad += 1
+        scan_budget = FILE_SCAN_BUDGETS.get(name, MAX_FILE_SCANS)
+        if f.get("file_scans", 0) > scan_budget:
+            print(
+                f"FAIL {name}: {f['file_scans']} file scans"
+                f" > {scan_budget} — re-referenced frame re-reading"
+                f" its source per reference? (eager localCheckpoint)"
             )
             bad += 1
     print(f"plan_audit: {len(baseline)} plans checked, {bad} findings")

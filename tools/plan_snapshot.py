@@ -54,6 +54,15 @@ def plan_features(plan: str) -> dict:
         # date-partitioned fact scans (events_dpp_prune): a plan that
         # loses its dynamicpruning subquery reads every partition.
         "dynamic_pruning": "dynamicpruning" in plan,
+        # Read amplification (VERDICT r11 #4): the executed source-scan
+        # count is the feature that catches a re-referenced frame
+        # inlining its upstream scan once per reference (rm3 read the
+        # corpus 7x, scd2 9x — invisible to the exchange/join counts).
+        # Eagerly-checkpointed plans legitimately pin near 0 here: their
+        # single build-time scan ran inside the checkpoint job, and the
+        # serving plan reads executor-local blocks.
+        "file_scans": plan.count("FileScan"),
+        "reused_exchanges": plan.count("ReusedExchange"),
     }
 
 
