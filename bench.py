@@ -240,6 +240,20 @@ def main() -> None:
         # r11 (late): association rules — support-cut pairs + two
         # KB-sized count joins + TakeOrdered
         ("copurchase_association_rules", "copurchase_association_rules"),
+        # r12: the three iterative graph rows — peeling / frontier /
+        # label rounds execute at plan-build time (eager checkpoints),
+        # so one timing covers each chain end to end
+        ("kcore_decomposition", "kcore_decomposition"),
+        ("bfs_shortest_hops", "bfs_shortest_hops"),
+        ("label_propagation_communities", "label_propagation_communities"),
+        # r12: positional phrase match — postings filtered to the two
+        # phrase terms before the position join
+        ("phrase_proximity_topk", "phrase_proximity_topk"),
+        # r12: per-group OLS — one fact pass + 25-group solve
+        ("ols_trend_by_nation", "ols_trend_by_nation"),
+        # r12: one-pass multi-width eval + binary-code serving chain
+        ("matryoshka_ann_eval", "matryoshka_ann_eval"),
+        ("bq_hamming_topk", "bq_hamming_topk"),
     ):
         if nm not in qs:
             continue

@@ -126,8 +126,16 @@ PRIORITY: list[str] = [
     #     streaming_click_attribution_outer), label_centroids (->
     #     stratified_sample + kmeans parity suite), tfidf_top_terms
     #     (-> bm25_topk_search + bm25_persisted_topk).
-    # bench headliners retained in-window:
-    "snapshot_sanitize",
+    # r12: snapshot_sanitize out on its green r1-r11 rows (11
+    # consecutive — the window's longest holder). The sanitize
+    # projection/NULL-scrub semantics stay driver-gated through
+    # snapshot_job_e2e (whose e2e row runs the same sanitize stage
+    # inside the full pipeline), bench.py still times it cold+warm
+    # every round, and entry() keeps it as the smoke flagship. In:
+    # positional phrase + proximity retrieval — the positional-index
+    # operator class (Lucene phrase / sloppy-phrase) that bag-of-words
+    # BM25 cannot express:
+    "phrase_proximity_topk",
     # r10: minhash_lsh_candidates out on its green r1-r9 rows (bench.py
     # still times it cold+warm) to admit the r10-NEW incremental
     # (asymmetric) dedup — new ops earn their driver row in their own
@@ -136,7 +144,14 @@ PRIORITY: list[str] = [
     # keeps ngram_jaccard_pruned, dup_ngram_spans and dedup_clusters
     # in-window:
     "incremental_dedup_lsh",
-    "ngram_jaccard_pruned",
+    # r12: ngram_jaccard_pruned out on its green r2-r11 rows (10
+    # consecutive; bench.py still RAW-gates its warm serve every
+    # round). The pairwise-dedup family keeps incremental_dedup_lsh,
+    # dup_ngram_spans, sparse_cosine_pairs and dedup_canonical_keep
+    # in-window — strictly finer shingle/posting coverage. In: k-core
+    # decomposition — iterative degree peeling, the cohesion/backbone
+    # member of the graph family:
+    "kcore_decomposition",
     # r9 in: the skew A/B trio (plain vs salted on the same keys plus
     # the standalone plain join) replaces salted_skew_join's slot:
     "skew_ab_salted",
@@ -202,7 +217,14 @@ PRIORITY: list[str] = [
     "bm25_tombstone_topk",
     # r7 in (q16 retained r9 as the anti-join shape holder); r9 in:
     # the four scalar-suite TPC-H members, individually verified
-    "q16_supplier_relation_count",
+    # r12: q16_supplier_relation_count out on its green r7-r11 rows (5
+    # consecutive). The anti-join shape it held stays in-window through
+    # the tombstone serving rows (bm25/ivfpq broadcast anti-joins every
+    # round) and its own 5-round green history; TPC-H breadth keeps
+    # q6/q14/q17/q19 below. In: per-group OLS trend fit — closed-form
+    # normal equations over exact BIGINT sufficient statistics, the
+    # regression primitive beyond corr/covar:
+    "ols_trend_by_nation",
     "q6_forecast_revenue",
     "q14_promo_revenue_ratio",
     "q17_small_quantity_revenue",
@@ -235,12 +257,28 @@ PRIORITY: list[str] = [
     # r2-r5 rows (snapshot_job_e2e's row gates the same reconcile +
     # checkpoint lifecycle end-to-end) to admit two of the four late-r6
     # operators below.
-    "streaming_hourly_rollup",
+    # r12: streaming_hourly_rollup out on its green r3b-r11 rows (8
+    # consecutive). Streaming stays driver-gated in-window via
+    # streaming_click_attribution_outer (watermark-expiry semantics
+    # under a real stream, the harder contract) and keeps its prior
+    # rows + the streaming unit suites; windowed event-time aggregation
+    # also rides events_ewma_smoothing's ordered windows. In: label
+    # propagation communities — deterministic synchronous LPA, the
+    # community member of the graph family between components
+    # (reachability) and triangles (local closure):
+    "label_propagation_communities",
     # r9: chunk_pack_suite out on its green r3b-r8 rows; its two
     # component operators take the slots individually:
     "doc_chunking",
     "sequence_packing",
-    "pyds_pushdown_scan",
+    # r12: pyds_pushdown_scan out on its green r7-r11 rows (5
+    # consecutive). Source-pushdown coverage stays via the plan-pinned
+    # PushedFilters/ReadSchema contracts (tests/test_plan_shapes.py +
+    # the 162-entry plan baseline) and every window row's parquet scans;
+    # the Python DataSource API keeps tests/test_pydatasource.py. In:
+    # multi-source BFS shortest hops — frontier expansion with exact
+    # integer distances, the reachability-with-distance primitive:
+    "bfs_shortest_hops",
     "snapshot_job_e2e",
     # r5 rotation: snapshot_cdc_diff out on its green r4 row (lifecycle
     # family keeps snapshot_job_e2e + snapshot_merge_upsert rows); admits
@@ -267,7 +305,16 @@ PRIORITY: list[str] = [
     # second pass a retrieval stack layers on BM25:
     "rm3_query_expansion_topk",
     "doc_signal_suite",
-    "multimodal_suite",
+    # r12: multimodal_suite out on its green r3-r11 rows (9
+    # consecutive). The Arrow-batched binary-decode family stays
+    # driver-gated via audio_meta_decode (in-window, the same
+    # mapInPandas decode contract over RIFF containers) plus the image
+    # suite's prior rows + tests/test_extension_ops.py; the plan-audit
+    # python_eval allowlist still pins all three multimodal plans. In:
+    # Matryoshka truncation acceptance eval — prefix-dim recall/top1
+    # vs the full-dim exact ranking, all-integer metrics (the
+    # dimension-vs-quality harness beside ann_recall_eval):
+    "matryoshka_ann_eval",
     # r11: dedup_clusters out on its green r3-r10 rows (8 consecutive)
     # for the incoming dedup_canonical_keep, which embeds the IDENTICAL
     # LSH-candidates -> connected-components resolution as its first
@@ -385,10 +432,17 @@ PRIORITY: list[str] = [
     # round), and bm25_tombstone_topk keeps the persisted BM25 index
     # path in-window:
     "hybrid_rrf_search",
-    # r7: corpus_divergence out on its green r6 row to admit the r7-new
-    # dynamic-partition-pruning showcase (runtime probe dates -> DPP
-    # subquery in the fact scan's PartitionFilters; plan-pinned):
-    "events_dpp_prune",
+    # r12: events_dpp_prune out on its green r7-r11 rows (5
+    # consecutive). The DPP contract stays a FAILING gate out-of-window:
+    # its plan baseline entry pins dynamic_pruning=true (strict
+    # dict-equality in tests/test_plan_snapshot.py) and
+    # tests/test_plan_shapes.py pins the dynamicpruning subquery;
+    # partition-pruned serving also rides the ivfpq probed-cell
+    # PartitionFilters rows in-window. In: binary-quantized retrieval
+    # (sign codes + XOR/popcount Hamming shortlist + exact rerank) —
+    # the 64x-compression member of the quantization family beside
+    # SQ8 and IVFADC:
+    "bq_hamming_topk",
     "part_copurchase_pagerank",
 ]
 

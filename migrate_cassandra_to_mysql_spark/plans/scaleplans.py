@@ -856,3 +856,268 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+# Shared construction for the graph-family rows below: the support-
+# pruned undirected co-purchase graph (one row per edge, a < b), the
+# same cut the triangle/association rows document — the Apriori
+# downward-closure prune that holds the signal graph near-constant
+# while raw pairs grow with the corpus (measured ~3.4k edges at sf0.01,
+# ~3.6k at sf0.1 while raw pairs grew 10x).
+_UND_SQL = f"""items AS MATERIALIZED (
+   SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+ und AS MATERIALIZED (
+   SELECT a.p AS a, b.p AS b
+   FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+   GROUP BY 1, 2 HAVING count(*) >= {_TRI_SUPPORT})"""
+# Oracle CTEs for the iterative rows are generated per round (the
+# pagerank/scd2 discipline: the oracle applies the IDENTICAL update
+# rule every round instead of hand-duplicating) and MATERIALIZED:
+# DuckDB inlines plain CTEs per reference, and the per-round frames are
+# each referenced 2-3 times — unmaterialized, an 8-round unroll
+# expands 3^8 subtrees and exhausts file handles on the lineitem scan
+# (the SQL mirror of the exact lineage blowup the Spark side solves
+# with eager localCheckpoint).
+
+
+def _und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _UND_SQL, eagerly checkpointed at both stages
+    (the af1744d single-scan edge build): ONE lineitem scan builds the
+    distinct order-item projection; the pair self-join + support cut
+    materialize once and every downstream round references the
+    checkpointed KB-sized edge frame."""
+    li = T(spark, sf_dir, "lineitem")
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    right = items.select("ok", F.col("p").alias("b"))
+    return (
+        items.join(right, "ok")
+        .where(F.col("p") < F.col("b"))
+        .select(F.col("p").alias("a"), "b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _TRI_SUPPORT)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    ctes = [_UND_SQL, "e0 AS MATERIALIZED (SELECT a, b FROM und)"]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+   SELECT n, CAST(count(*) AS BIGINT) AS d
+   FROM (SELECT a AS n FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1}) t
+   GROUP BY n),
+ k{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE d >= {_KCORE_K}),
+ e{i} AS MATERIALIZED (
+   SELECT e.a, e.b FROM e{i - 1} e
+   JOIN k{i} ka ON ka.n = e.a JOIN k{i} kb ON kb.n = e.b)"""
+        )
+    last = f"e{_KCORE_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + f"""
+SELECT n AS part_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS n FROM {last} UNION ALL SELECT b FROM {last}) t
+GROUP BY n
+"""
+    )
+
+
+@register("kcore_decomposition", oracle=_kcore_oracle())
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=2) of the support-pruned part co-purchase graph
+    (Matula-Beck peeling, 8 synchronous rounds): iteratively drop
+    every part whose current co-purchase degree is < k until the
+    remaining subgraph is mutually dense — the cohesion/backbone
+    primitive beside triangles (local density), pagerank (centrality)
+    and components (reachability), and the classic spam/anomaly and
+    community-seed filter in graph curation. Emits every core member
+    with its degree INSIDE the core.
+
+    Round count: peeling reaches its fixed point in 1 / 4 / 6 rounds at
+    sf0.001 / 0.01 / 0.1 (measured; the synthetic graph gets SPARSER
+    per-node as parts outgrow orders, so deeper cores empty at scale —
+    k=2 keeps the cycle-containing backbone non-trivial at every tested
+    scale); 8 rounds gives convergence slack and the oracle unrolls
+    the identical count, so extra rounds are no-op filters on a stable
+    edge set.
+
+    Scale shape: ONE lineitem scan (checkpointed edge build), then every
+    peel round is one union-groupBy degree count + one double semi-join
+    filter over the KB-sized signal graph — edge-sized shuffles
+    throughout, each round eagerly checkpointed with the previous
+    round's blocks freed (operators/components.kcore; the pagerank
+    lineage discipline). Peeling only shrinks the edge set, so round
+    cost is monotonically non-increasing. Exact integer degrees — no
+    float anywhere."""
+    from migrate_cassandra_to_mysql_spark.operators.components import kcore
+
+    und = _und_edges(spark, sf_dir)
+    return kcore(und, k=_KCORE_K, rounds=_KCORE_ROUNDS).select(
+        F.col("node").alias("part_id"),
+        F.col("degree").alias("core_degree"),
+    )
+
+
+_BFS_HOPS = 4
+_BFS_SEED_MOD = 100
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        _UND_SQL,
+        """sym AS MATERIALIZED (
+   SELECT a AS src, b AS dst FROM und
+   UNION ALL SELECT b, a FROM und)""",
+        f"""dist0 AS MATERIALIZED (
+   SELECT n AS node, CAST(0 AS BIGINT) AS dist
+   FROM (SELECT a AS n FROM und UNION SELECT b FROM und) t
+   WHERE n % {_BFS_SEED_MOD} = 0)""",
+    ]
+    for i in range(1, _BFS_HOPS + 1):
+        ctes.append(
+            f"""dist{i} AS MATERIALIZED (
+   SELECT node, min(dist) AS dist FROM (
+     SELECT node, dist FROM dist{i - 1}
+     UNION ALL
+     SELECT e.dst AS node, d.dist + 1
+     FROM sym e JOIN dist{i - 1} d ON e.src = d.node
+   ) t GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + f"""
+SELECT node AS part_id, CAST(dist AS BIGINT) AS dist
+FROM dist{_BFS_HOPS}
+"""
+    )
+
+
+@register("bfs_shortest_hops", oracle=_bfs_oracle())
+def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source shortest hop distances over the co-purchase graph
+    (synchronous frontier BFS, the Pregel primitive): every part whose
+    id is a multiple of 100 seeds at distance 0; each round extends
+    every known distance one hop and keeps the per-node minimum; parts
+    unreached within 4 hops are absent. This is the reachability-
+    with-distance member of the graph family — "how many co-purchase
+    steps from the promoted SKU set" — and the building block of
+    radius/influence analyses.
+
+    Scale shape: ONE lineitem scan (checkpointed edge build); each of
+    the 4 rounds is one equi-join of the symmetric edge list against
+    the current (node, dist) frame + one min-groupBy — 16-byte pairs
+    shuffle, never payloads; rounds eagerly checkpointed, previous
+    blocks freed (operators/components.bfs_hops). Distances are exact
+    integers; min() is order-independent, so the result is identical
+    under any partitioning — zero float tolerance needed."""
+    from migrate_cassandra_to_mysql_spark.operators.components import (
+        bfs_hops,
+    )
+
+    und = _und_edges(spark, sf_dir)
+    sym = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    seeds = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .distinct()
+        .where(F.col("n") % _BFS_SEED_MOD == 0)
+        .select("n")
+    )
+    return bfs_hops(sym, seeds, max_hops=_BFS_HOPS).select(
+        F.col("node").alias("part_id"), F.col("dist").cast("long").alias("dist")
+    )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        _UND_SQL,
+        """sym AS MATERIALIZED (
+   SELECT a AS src, b AS dst FROM und
+   UNION ALL SELECT b, a FROM und)""",
+        """l0 AS MATERIALIZED (
+   SELECT n AS node, n AS lbl
+   FROM (SELECT a AS n FROM und UNION SELECT b FROM und) t)""",
+    ]
+    for i in range(1, _LPA_ROUNDS + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+   SELECT e.dst AS n, l.lbl, CAST(count(*) AS BIGINT) AS c
+   FROM sym e JOIN l{i - 1} l ON e.src = l.node GROUP BY 1, 2),
+ b{i} AS MATERIALIZED (
+   SELECT n, lbl AS new_lbl FROM (
+     SELECT n, lbl,
+            row_number() OVER (PARTITION BY n
+                               ORDER BY c DESC, lbl ASC) AS rn
+     FROM c{i}) t WHERE rn = 1),
+ l{i} AS MATERIALIZED (
+   SELECT l.node, coalesce(b.new_lbl, l.lbl) AS lbl
+   FROM l{i - 1} l LEFT JOIN b{i} b ON l.node = b.n)"""
+        )
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + f"""
+SELECT node AS part_id, CAST(lbl AS BIGINT) AS community
+FROM l{_LPA_ROUNDS}
+"""
+    )
+
+
+@register("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection over the co-purchase graph by synchronous
+    label propagation (Raghavan et al. 2007) with the deterministic
+    update rule: start every part labeled with its own id; each of the
+    4 rounds every part adopts the label carried by the MOST of its
+    neighbors, ties to the smallest label. Splits a connected blob
+    into internally-dense purchase communities — finer than connected
+    components (pure reachability), coarser than triangles (local
+    closure); the "which products cluster together" primitive behind
+    assortment and substitution analyses. Measured at sf0.01: 1,880
+    parts resolve into 349 communities (largest 81) — structure the
+    component view cannot see (the graph is one near-connected blob).
+
+    Scale shape: ONE lineitem scan (checkpointed edge build); each
+    round is one edge-keyed equi-join + one (node, label) count + one
+    max_by(struct) partial-agg argmax — no window over the node set,
+    no sort; shuffles carry (node, label, count) triples only; rounds
+    eagerly checkpointed, previous blocks freed
+    (operators/components.label_propagation). The count-desc/label-asc
+    tie-break is total, so the sync update — unlike textbook async
+    LPA's random visit order — is bit-reproducible under any
+    partitioning AND differentially testable (the oracle unrolls the
+    identical rounds)."""
+    from migrate_cassandra_to_mysql_spark.operators.components import (
+        label_propagation,
+    )
+
+    und = _und_edges(spark, sf_dir)
+    sym = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    return label_propagation(sym, rounds=_LPA_ROUNDS).select(
+        F.col("node").alias("part_id"),
+        F.col("community").cast("long").alias("community"),
+    )

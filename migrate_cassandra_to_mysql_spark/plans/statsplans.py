@@ -508,3 +508,120 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("tok"))
         .limit(20)
     )
+
+
+# Per-group OLS trend fit: shared expression text evaluated over exact
+# BIGINT sufficient statistics. num/den are the closed-form normal-
+# equation terms; both engines compute them from identical integers, so
+# the double divisions are bit-identical — and the outputs FLOOR-
+# quantize to whole cents (the kmeans discipline): round(x, 8) at 1e7
+# magnitude diverges at the last ulp between the engines' decimal
+# rounding implementations (measured 7e-9), while floor of an identical
+# double has no tie to disagree on. Whole-cent coefficients lose
+# nothing at these magnitudes.
+_OLS_SLOPE_SQL = (
+    "CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)"
+)
+_OLS_INTERCEPT_SQL = (
+    "CAST(floor((CAST(sy AS DOUBLE)"
+    " - (CAST(n * sxy - sx * sy AS DOUBLE)"
+    "    / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))"
+    " / CAST(n AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _ols_oracle() -> str:
+    return f"""
+WITH yr AS (
+  SELECT n.n_name,
+         CAST(year(o.o_orderdate) - 1992 AS BIGINT) AS x,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS y_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+ s AS (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y_cents) AS BIGINT) AS sy,
+         CAST(sum(x * y_cents) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM yr GROUP BY 1)
+SELECT n_name, n AS n_years,
+       {_OLS_SLOPE_SQL} AS slope_cents_per_year,
+       {_OLS_INTERCEPT_SQL} AS intercept_cents
+FROM s WHERE n >= 2
+ORDER BY n_name
+"""
+
+
+@register("ols_trend_by_nation", oracle=_ols_oracle())
+def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend fit — the regression
+    primitive an analytics engine needs beyond corr/covar: for every
+    nation, fit revenue_cents = intercept + slope * (order_year - 1992)
+    over its yearly order-revenue series via the closed-form normal
+    equations (slope = (nΣxy - ΣxΣy) / (nΣx² - (Σx)²)). This is the
+    trend/forecast building block (and the 2-parameter special case of
+    the distributed-sufficient-statistics pattern any GLM solver maps
+    onto): one pass computes the per-group sufficient statistics, the
+    solve is per-group O(1) arithmetic — no iteration, no driver-side
+    math.
+
+    Scale shape: TWO aggregations and nothing else — per-(nation, year)
+    exact DECIMAL revenue sums (map-side partial agg over the orders
+    scan after two dimension equi-joins; customer co-partitions with
+    orders on the join key, nation broadcasts), then per-nation BIGINT
+    sufficient statistics (25 groups). At 100 TB the fact table is
+    touched exactly once; everything downstream of the first groupBy is
+    KB-sized.
+
+    Determinism: yearly revenue quantizes to exact BIGINT cents via the
+    DECIMAL sum (no float accumulation anywhere); x is a small exact
+    integer; the sufficient statistics are exact BIGINTs evaluated into
+    slope/intercept through SHARED expression text — one IEEE division
+    each, bit-identical cross-engine. Groups with a single year are
+    excluded (den = 0)."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yr = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") - F.lit(1992))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                * F.lit(100)
+            )
+            .cast("long")
+            .alias("y_cents")
+        )
+    )
+    s = yr.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y_cents").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y_cents")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return (
+        s.where(F.col("n") >= 2)
+        .select(
+            "n_name",
+            F.col("n").alias("n_years"),
+            F.expr(_OLS_SLOPE_SQL).alias("slope_cents_per_year"),
+            F.expr(_OLS_INTERCEPT_SQL).alias("intercept_cents"),
+        )
+        .orderBy("n_name")
+    )

@@ -2622,3 +2622,103 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.dup_ngram_spans)."""
     base = _inject_dups_spark(T(spark, sf_dir, "documents", spread=True))
     return dedup.dup_ngram_spans(base, k=5, min_docs=2)
+
+
+# Positional phrase / proximity retrieval: the fixed two-term phrase and
+# the proximity window. Distances are position differences, so the
+# 0-based (Spark posexplode) vs 1-based (DuckDB generate_subscripts)
+# origin cancels; every metric is an exact BIGINT.
+_PHRASE_A = "table"
+_PHRASE_B = "scan"
+_PROX_WINDOW = 3
+
+
+def _phrase_oracle() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+ p AS (SELECT doc_id, unnest(toks) AS tok,
+              generate_subscripts(toks, 1) AS pos FROM t),
+ pf AS (SELECT doc_id, tok, pos FROM p
+        WHERE tok IN ('{_PHRASE_A}', '{_PHRASE_B}')),
+ pr AS (SELECT a.doc_id, b.pos - a.pos AS d
+        FROM pf a JOIN pf b
+          ON a.doc_id = b.doc_id
+         AND a.tok = '{_PHRASE_A}' AND b.tok = '{_PHRASE_B}'
+         AND b.pos - a.pos BETWEEN 1 AND {_PROX_WINDOW})
+SELECT doc_id,
+       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_phrase,
+       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       CAST(3 * sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)
+            + sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS prox_score
+FROM pr GROUP BY doc_id
+ORDER BY prox_score DESC, doc_id LIMIT 20
+"""
+
+
+@register("phrase_proximity_topk", oracle=_phrase_oracle())
+def phrase_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase + proximity retrieval — the operator class bag-
+    of-words BM25 cannot express: rank documents for the fixed query
+    phrase "table scan" by exact-phrase occurrences (adjacent
+    positions) and near-miss proximity pairs (the first term followed
+    by the second within 3 tokens), score = 3*n_phrase + n_near,
+    top-20. This is the
+    positional-index member of the retrieval family (Lucene phrase/
+    sloppy-phrase queries, Indri #1/#uwN operators): the posting
+    payload gains token POSITIONS and matching becomes position
+    arithmetic instead of set membership.
+
+    Scale shape: posexplode produces the positional postings, and the
+    scan-side filter keeps ONLY the two phrase terms' rows before
+    anything shuffles (posting lists for 2 terms, KB-sized at any
+    corpus — the same prune-before-join discipline as the df clamp);
+    the filtered frame is eagerly checkpointed (referenced by both
+    phrase sides — one documents scan total) and the position match is
+    one doc-keyed equi-join with a bounded range predicate (per-doc
+    occurrence counts are tf-bounded, so the fan-out is quadratic only
+    in a single doc's tf of the two terms, never in the corpus). Exact
+    integer counts; TakeOrdered-20 with a total (score, doc_id)
+    order."""
+    t = T(spark, sf_dir, "documents").select(
+        "doc_id", textfns.tokens(F.col("text")).alias("toks")
+    )
+    p = t.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    pf = p.where(
+        F.col("tok").isin(_PHRASE_A, _PHRASE_B)
+    ).localCheckpoint(eager=True)
+    a = pf.where(F.col("tok") == _PHRASE_A).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = pf.where(F.col("tok") == _PHRASE_B).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    pr = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_b"))
+        & (F.col("pb") - F.col("pa") >= 1)
+        & (F.col("pb") - F.col("pa") <= _PROX_WINDOW),
+    ).select("doc_id", (F.col("pb") - F.col("pa")).alias("d"))
+    return (
+        pr.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_phrase"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_near"),
+        )
+        .select(
+            "doc_id",
+            "n_phrase",
+            "n_near",
+            (F.lit(3) * F.col("n_phrase") + F.col("n_near"))
+            .cast("long")
+            .alias("prox_score"),
+        )
+        .orderBy(F.desc("prox_score"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -1466,3 +1466,353 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# Matryoshka truncation evaluation: prefix dims evaluated against the
+# full-dim exact ranking. MRL-style embeddings front-load information
+# into leading dimensions so a serving stack can trade dims for cost;
+# the acceptance question is "how much of the full-dim top-k does a
+# d-dim prefix keep" — answered here with all-integer metrics.
+_MAT_DIMS = (16, 32)
+_MAT_FULL = 64
+_MAT_K = 10
+
+
+def _mat_cos(d: int, a: str = "q.qv", b: str = "e.v") -> str:
+    sa, sb = f"{a}[1:{d}]", f"{b}[1:{d}]"
+    return (
+        f"round(list_dot_product({sa}, {sb}) / "
+        f"(sqrt(list_dot_product({sa}, {sa}))"
+        f" * sqrt(list_dot_product({sb}, {sb}))), 6)"
+    )
+
+
+def _matryoshka_oracle() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "q AS (SELECT vec_id AS q_id, v AS qv FROM e"
+        " WHERE vec_id % 100 = 0)",
+    ]
+    for d in (*_MAT_DIMS, _MAT_FULL):
+        ctes.append(
+            f"""r{d} AS (
+   SELECT q_id, n_id, rnk FROM (
+     SELECT q.q_id, e.vec_id AS n_id,
+            row_number() OVER (PARTITION BY q.q_id
+                               ORDER BY {_mat_cos(d)} DESC, e.vec_id)
+              AS rnk
+     FROM q JOIN e ON e.vec_id != q.q_id) t
+   WHERE rnk <= {_MAT_K})"""
+        )
+    overlaps = "\n  UNION ALL\n  ".join(
+        f"""SELECT CAST({d} AS BIGINT) AS trunc_dim, t.q_id,
+         CAST(count(*) AS BIGINT) AS n_overlap,
+         CAST(max(CASE WHEN t.rnk = 1 AND s.rnk = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS top1_match
+  FROM r{_MAT_FULL} t JOIN r{d} s
+    ON t.q_id = s.q_id AND t.n_id = s.n_id
+  GROUP BY t.q_id"""
+        for d in _MAT_DIMS
+    )
+    dims_list = ", ".join(str(d) for d in _MAT_DIMS)
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + f""",
+ ov AS (
+  {overlaps}),
+ base AS (SELECT q_id, CAST(unnest([{dims_list}]) AS BIGINT) AS trunc_dim
+          FROM q)
+SELECT b.q_id, b.trunc_dim,
+       coalesce(o.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+       CAST(coalesce(o.n_overlap, 0) * 1000000 // {_MAT_K} AS BIGINT)
+         AS recall_ppm,
+       coalesce(o.top1_match, CAST(0 AS BIGINT)) AS top1_match
+FROM base b LEFT JOIN ov o
+  ON b.q_id = o.q_id AND b.trunc_dim = o.trunc_dim
+ORDER BY b.trunc_dim, b.q_id
+"""
+    )
+
+
+@register("matryoshka_ann_eval", oracle=_matryoshka_oracle())
+def matryoshka_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation acceptance eval: for each query and
+    each prefix width d in (16, 32), how much of the FULL-64d exact
+    cosine top-10 does the d-dim prefix ranking keep — per-query
+    overlap count, recall@10 in exact ppm, and whether the top-1
+    neighbor survives. This is the dimension-vs-quality acceptance
+    harness a serving stack runs before switching its shortlist stage
+    to truncated vectors (the Matryoshka Representation Learning
+    deployment pattern: score coarse on a prefix, refine on the full
+    vector) — the truncation counterpart of ann_recall_eval (which
+    grades IVFADC against the same kind of truth list).
+
+    Scale shape: ONE brute-force pass computes every prefix cosine —
+    the corpus joins the broadcast query set exactly once and all
+    three widths evaluate per-row in that single join (slicing the
+    SAME stored vector; no re-embedding, matching how MRL serving
+    reads one index) — then each width is a per-query
+    WindowGroupLimit top-{k} over the already-scored frame (the scored
+    frame is eagerly checkpointed: three rankings reference it). The
+    metric joins touch only {k}-row lists per query. The corpus frame
+    itself is checkpointed once after the cast (query pick + join
+    would otherwise re-scan the parquet). The documented eval-sample
+    brute-force contract, same as ann_recall_eval.
+
+    Determinism: cosines round to 6 dp with (sim DESC, id) total-order
+    tie-breaks; every metric is an exact integer (ppm via
+    non-negative integer division, identical in both engines)."""
+    from pyspark.sql.window import Window
+
+    from migrate_cassandra_to_mysql_spark.functions.vectors import (
+        cosine,
+        to_double_array,
+    )
+
+    e = (
+        T(spark, sf_dir, "embeddings")
+        .select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    sims = (
+        q.join(e, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            *[
+                F.round(
+                    cosine(
+                        F.slice(F.col("qv"), 1, d),
+                        F.slice(F.col("v"), 1, d),
+                    ),
+                    6,
+                ).alias(f"cos_{d}")
+                for d in (*_MAT_DIMS, _MAT_FULL)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def ranked(d: int):
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc(f"cos_{d}"), F.asc("n_id")
+        )
+        return (
+            sims.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _MAT_K)
+            .select("q_id", "n_id", "rnk")
+        )
+
+    full = ranked(_MAT_FULL)
+    parts = []
+    for d in _MAT_DIMS:
+        s = ranked(d).select(
+            F.col("q_id").alias("s_qid"),
+            F.col("n_id").alias("s_nid"),
+            F.col("rnk").alias("s_rnk"),
+        )
+        ov = (
+            full.join(
+                s,
+                (F.col("q_id") == F.col("s_qid"))
+                & (F.col("n_id") == F.col("s_nid")),
+            )
+            .groupBy("q_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_overlap"),
+                F.max(
+                    F.when(
+                        (F.col("rnk") == 1) & (F.col("s_rnk") == 1), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("top1_match"),
+            )
+            .select(
+                F.lit(d).cast("long").alias("trunc_dim"),
+                "q_id",
+                "n_overlap",
+                "top1_match",
+            )
+        )
+        parts.append(ov)
+    ov_all = parts[0].unionByName(parts[1])
+    base = q.select("q_id").crossJoin(
+        spark.range(1).select(
+            F.explode(
+                F.array(*[F.lit(d).cast("long") for d in _MAT_DIMS])
+            ).alias("trunc_dim")
+        )
+    )
+    return (
+        base.join(ov_all, ["q_id", "trunc_dim"], "left")
+        .select(
+            "q_id",
+            "trunc_dim",
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias(
+                "n_overlap"
+            ),
+            F.expr(
+                f"CAST(coalesce(n_overlap, 0) * 1000000 DIV {_MAT_K}"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.coalesce(F.col("top1_match"), F.lit(0).cast("long")).alias(
+                "top1_match"
+            ),
+        )
+        .orderBy("trunc_dim", "q_id")
+    )
+
+
+# Binary (sign) quantization: 64 dims -> 64 bits packed as two BIGINT
+# words (32 low dims, 32 high — bit 63 of a single word would overflow
+# signed BIGINT). The packing is pure integer construction off exact
+# float comparisons (v[i] >= 0), so codes are bit-identical
+# cross-engine with no rounding discipline needed; only the final
+# rerank cosine needs the usual round-6.
+_BQ_SHORTLIST = 30
+_BQ_K = 5
+
+
+def _bq_pack_duck(v: str, lo: int) -> str:
+    """DuckDB: word of bits lo..lo+31 of the sign pattern of `v`."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, 33), i -> "
+        f"CASE WHEN {v}[i + {lo}] >= 0 THEN (CAST(1 AS BIGINT) << (i - 1))"
+        f" ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+
+
+def _bq_pack_spark(v: str, lo: int) -> str:
+    """Spark SQL twin of _bq_pack_duck (element_at is 1-based too)."""
+    return (
+        f"CAST(aggregate(transform(sequence(1, 32), i -> "
+        f"CASE WHEN element_at({v}, i + {lo}) >= 0"
+        f" THEN shiftleft(CAST(1 AS BIGINT), i - 1)"
+        f" ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT),"
+        f" (a, x) -> a + x) AS BIGINT)"
+    )
+
+
+def _bq_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ codes AS (SELECT vec_id, v,
+                  {_bq_pack_duck('v', 0)} AS w1,
+                  {_bq_pack_duck('v', 32)} AS w2
+           FROM e),
+ q AS (SELECT vec_id AS q_id, v AS qv, w1 AS qw1, w2 AS qw2
+       FROM codes WHERE vec_id % 100 = 0),
+ ham AS (SELECT q.q_id, c.vec_id AS n_id, c.v,
+                CAST(bit_count(xor(q.qw1, c.w1))
+                     + bit_count(xor(q.qw2, c.w2)) AS BIGINT) AS hamming,
+                q.qv
+         FROM q JOIN codes c ON c.vec_id != q.q_id),
+ short AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY hamming, n_id) AS srn
+    FROM ham) t WHERE srn <= {_BQ_SHORTLIST}),
+ rer AS (SELECT q_id, n_id, hamming,
+                {_COS.format(a='qv', b='v')} AS cos_sim
+         FROM short)
+SELECT q_id, n_id, hamming, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, n_id) AS rnk
+      FROM rer) t
+WHERE rnk <= {_BQ_K}
+"""
+
+
+@register("bq_hamming_topk", oracle=_bq_oracle())
+def bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval (1-bit/dim sign codes + Hamming
+    shortlist + exact re-rank): pack every vector's sign pattern into
+    two 64-bit words, shortlist the top-30 nearest by Hamming distance
+    (two XOR+popcount ops per comparison — the cheapest similarity
+    computable), then re-rank the shortlist by exact cosine and emit
+    the top-5. This is the 64x-compression member of the
+    quantization family — beside SQ8 (8-bit/dim) and PQ/IVFADC
+    (codebook subquantizers) — and the binary-code serving pattern
+    (Faiss IndexBinaryFlat / SPTAG-style sign hashing): at 100 TB the
+    code table is vectors/8 bytes, small enough to pin in memory, and
+    the Hamming scan is pure register arithmetic.
+
+    Scale shape: encoding is one map-side projection (integer bit
+    packing, no shuffle); the Hamming stage joins the broadcast query
+    codes against the code table and keeps 30 rows per query via
+    WindowGroupLimit BEFORE any expensive float math; the exact cosine
+    touches only shortlist rows. The flat scan is the correctness
+    baseline exactly like embedding_topk_cosine — the IVF-bucketed
+    variant composes by swapping the code-table scan for probed cells.
+
+    Determinism: codes are exact integers off `v[i] >= 0` comparisons
+    (no float arithmetic), Hamming is exact, shortlist breaks ties on
+    (hamming, id); only the final rerank cosine rounds to 6 dp with the
+    (sim DESC, id) total order. XOR spells `xor()` in DuckDB and `^` in
+    Spark SQL (DuckDB's `^` is POWER) — same exact-integer
+    semantics."""
+    from pyspark.sql.window import Window
+
+    from migrate_cassandra_to_mysql_spark.functions.vectors import (
+        cosine,
+        to_double_array,
+    )
+
+    codes = (
+        T(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            to_double_array(F.col("embedding")).alias("v"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            F.expr(_bq_pack_spark("v", 0)).alias("w1"),
+            F.expr(_bq_pack_spark("v", 32)).alias("w2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    q = codes.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    ham = q.join(codes, F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        "v",
+        "qv",
+        F.expr(
+            "CAST(bit_count(qw1 ^ w1) + bit_count(qw2 ^ w2) AS BIGINT)"
+        ).alias("hamming"),
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("n_id"))
+    short = ham.withColumn("srn", F.row_number().over(ws)).where(
+        F.col("srn") <= _BQ_SHORTLIST
+    )
+    rer = short.select(
+        "q_id",
+        "n_id",
+        "hamming",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("n_id")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= _BQ_K)
+        .select(
+            "q_id",
+            "n_id",
+            "hamming",
+            "cos_sim",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
