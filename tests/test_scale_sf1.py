@@ -786,3 +786,35 @@ def test_sparse_cosine_completes_and_stays_bounded_at_sf1(
     df = catalog.queries()["sparse_cosine_pairs"](spark, sf1_dir)
     df.write.format("noop").mode("overwrite").save()
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "kcore_decomposition",
+        "bfs_shortest_hops",
+        "label_propagation_communities",
+        "phrase_proximity_topk",
+        # ols_trend_by_nation is absent: the synthesis carries no
+        # customer/nation dimensions, and the op is scale-trivial
+        # anyway (one fact pass to 25x7 sufficient-statistic rows).
+        "matryoshka_ann_eval",
+        "bq_hamming_topk",
+    ],
+)
+def test_r12_rows_complete_at_sf1(spark, sf1_dir, name):
+    """The r12 rows at 10x. The graph trio runs on a ~300x-denser edge
+    set than sf0.1 here, and that is the POINT of this smoke: copy
+    synthesis replicates every basket 10x, so the support>=2 cut keeps
+    ~the raw pair set (~1.2M edges) instead of the ~3.6k real-data
+    signal graph — the peel/frontier/label loops execute at genuine
+    bulk-graph size (edge-sized shuffles per round, eager per-round
+    checkpoints) under the test session's memory. Phrase match stays
+    two-term-posting-sized; OLS is two aggregations at any scale; the
+    matryoshka/BQ brute-force rows grow with queries x corpus by their
+    eval-sample construction (the documented convention — the fixed-
+    workload scaling claim lives in the sf5 suite's pinned-query
+    tests), and completion here bounds that cost at 10x."""
+    df = catalog.queries()[name](spark, sf1_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert df.count() > 0, name
