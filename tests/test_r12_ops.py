@@ -309,3 +309,19 @@ def test_bq_hamming_matches_numpy(spark, sf_dir):
         ham_by_id = dict(zip(ids[mask], ham[mask]))
         for r in got_sorted:
             assert r["hamming"] == int(ham_by_id[r["n_id"]])
+
+
+def test_kcore_early_exit_matches_full_unroll(spark):
+    """Peeling stops at its fixed point: a generous round bound returns
+    the identical core as the exact convergence depth (post-fixed-point
+    rounds are no-op filters), so the bound is cost-free slack."""
+    g = _und(spark, [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6)])
+    fast = {
+        (r["node"], r["degree"])
+        for r in components.kcore(g, k=2, rounds=3).collect()
+    }
+    slack = {
+        (r["node"], r["degree"])
+        for r in components.kcore(g, k=2, rounds=50).collect()
+    }
+    assert fast == slack == {(1, 2), (2, 2), (3, 2)}
