@@ -311,7 +311,18 @@ def minhash_signatures(
     conv('') -> NULL lanes, which concat_ws then DROPS from band keys,
     merging distinct bands into spurious candidates.
     """
-    sh = _raw_shingles(docs, text_col, k)
+    return _signatures_from_shingles(
+        _raw_shingles(docs, text_col, k), n_hashes
+    )
+
+
+def _signatures_from_shingles(sh: DataFrame, n_hashes: int) -> DataFrame:
+    """minhash_signatures' aggregation over an explicit (doc_id, shingle)
+    frame — min() is duplicate-insensitive, so callers may feed either
+    the raw multiset (minhash_signatures) or an exploded distinct set
+    (incremental_lsh_dedup, which reuses one checkpointed shingle-set
+    frame for BOTH its signature and its exact-verification stages
+    instead of re-reading + re-shingling the source per stage)."""
     n_groups = (n_hashes + 7) // 8
     m = sh.select(
         "doc_id",
@@ -689,8 +700,28 @@ def incremental_lsh_dedup(
     """
     n_bands = n_hashes // band_size
 
-    def band_rows(docs: DataFrame, id_alias: str) -> DataFrame:
-        sig = minhash_signatures(docs, text_col, k, n_hashes)
+    # Each side's shingle SETS feed two stages — band/signature
+    # generation AND exact verification — so they are computed once and
+    # eagerly checkpointed (r12; un-checkpointed, each side's source was
+    # read + re-shingled twice: 4 scans -> 2). Signatures off the
+    # distinct set equal signatures off the raw multiset (min() is
+    # duplicate-insensitive), and at 100 TB the corpus side of this is
+    # exactly the precomputed signature/band artifact the docstring
+    # describes — materialized once, probed by every batch.
+    shsets_new = shingle_sets(docs_new, text_col, k).localCheckpoint(
+        eager=True
+    )
+    shsets_old = shingle_sets(docs_old, text_col, k).localCheckpoint(
+        eager=True
+    )
+
+    def band_rows(shsets: DataFrame, id_alias: str) -> DataFrame:
+        sig = _signatures_from_shingles(
+            shsets.select(
+                "doc_id", F.explode("shset").alias("shingle")
+            ),
+            n_hashes,
+        )
         keys = [
             F.concat_ws(
                 "|",
@@ -704,17 +735,17 @@ def incremental_lsh_dedup(
         )
 
     cand = (
-        band_rows(docs_new, "new_id")
-        .join(band_rows(docs_old, "old_id"), ["band", "band_key"])
+        band_rows(shsets_new, "new_id")
+        .join(band_rows(shsets_old, "old_id"), ["band", "band_key"])
         .select("new_id", "old_id")
         .distinct()
     )
-    sh_new = shingle_sets(docs_new, text_col, k).select(
+    sh_new = shsets_new.select(
         F.col("doc_id").alias("new_id"),
         F.col("shset").alias("sh_a"),
         F.size("shset").cast("long").alias("na"),
     )
-    sh_old = shingle_sets(docs_old, text_col, k).select(
+    sh_old = shsets_old.select(
         F.col("doc_id").alias("old_id"),
         F.col("shset").alias("sh_b"),
         F.size("shset").cast("long").alias("nb"),

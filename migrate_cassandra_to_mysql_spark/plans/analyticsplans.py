@@ -168,11 +168,17 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 1 day -> first purchase within 3 days. Each stage is a
     broadcast join of the (shrinking) per-user stage table back onto
     events, then a partial-agg min — event rows are never shuffled, only
-    re-scanned with a tighter stage filter."""
+    re-scanned with a tighter stage filter (3 scans by design). The
+    per-user stage frames are each referenced TWICE (next stage's join
+    + the stage count), so they are eagerly checkpointed — without
+    that, lineage inlining doubled the executed plan to 6 events scans
+    (caught by the r12 file_scans baseline feature; the stage frames
+    are per-user-sized, the same bound that already makes them
+    broadcastable)."""
     e = T(spark, sf_dir, "events")
     s1 = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
-    )
+    ).localCheckpoint(eager=True)
     s2 = (
         e.join(F.broadcast(s1.where(F.col("t1").isNotNull())), "user_id")
         .where(
@@ -182,7 +188,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-    )
+    ).localCheckpoint(eager=True)
     s3 = (
         e.join(F.broadcast(s2), "user_id")
         .where(

@@ -453,14 +453,22 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (approx_count_distinct) keeps its accuracy contract in
     tests/test_approx.py. Scale: the k-smallest pass is a per-partition
     top-k (TakeOrdered) — only k rows per partition reach the driver-side
-    merge, and the estimate is O(1) memory at any corpus size."""
+    merge, and the estimate is O(1) memory at any corpus size. Each
+    column's distinct-hash frame feeds BOTH the kth-min and the exact
+    count, so it is eagerly checkpointed: un-checkpointed lineage
+    re-ran the scan + the distinct shuffle once per reference (6
+    lineitem scans; caught by the r12 file_scans baseline feature) —
+    the checkpoint write is |distinct| 8-byte rows, strictly cheaper
+    than repeating the full distinct exchange."""
     li = T(spark, sf_dir, "lineitem")
     branches = []
     for col in ("l_orderkey", "l_partkey", "l_suppkey"):
         h = F.conv(
             F.substring(F.md5(F.col(col).cast("string")), 1, 12), 16, 10
         ).cast("long")
-        hashes = li.select(h.alias("h")).distinct()
+        hashes = li.select(h.alias("h")).distinct().localCheckpoint(
+            eager=True
+        )
         kth = (
             hashes.orderBy("h")
             .limit(_KMV_K)
