@@ -254,6 +254,10 @@ def main() -> None:
         # r12: one-pass multi-width eval + binary-code serving chain
         ("matryoshka_ann_eval", "matryoshka_ann_eval"),
         ("bq_hamming_topk", "bq_hamming_topk"),
+        # late-r12: seeded-teleport PPR — must price like the global
+        # pagerank loop (same edge build, same per-round shuffles;
+        # personalization only changes the teleport vector)
+        ("part_copurchase_ppr", "part_copurchase_ppr"),
     ):
         if nm not in qs:
             continue

@@ -336,6 +336,114 @@ def pagerank(
         dangling.unpersist()
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> DataFrame:
+    """(node, rank) after synchronous power iterations of PERSONALIZED
+    PageRank (random-walk-with-restart) over a directed edge list:
+
+        rank'(v) = (1-d) * t(v) + d * sum_{u->v} rank(u)/outdeg(u)
+
+    where the teleport vector t restarts the walk at the SEED set
+    instead of uniformly: t(v) = 1/|S| for v in `seeds` (a 1-column
+    DataFrame of node ids), 0 elsewhere; rank_0 = t. The result is a
+    seed-relative affinity score — the recommendation / related-items
+    primitive (Page et al. 1999 §6 personalized vector; Tong et al.
+    2006 RWR) beside global pagerank's query-independent centrality.
+
+    Determinism contract (identical to `pagerank`, shared with the
+    DuckDB oracle twin): contributions round to 12 dp and sum as
+    DECIMAL(28,12) — exact and order-independent, so a 1000-executor
+    run is bit-identical to a single-threaded one; teleport terms are
+    combined with the same IEEE ops ((1.0-d) * (1.0/|S|)) on both
+    engines. With seeds = ALL nodes the recursion is exactly global
+    pagerank's (t = uniform), pinned by test.
+
+    Scale shape (the `pagerank` discipline): the loop shuffles only
+    (node, rank) pairs against a persisted (src, dst, outdeg) edge
+    frame; the seed indicator is a broadcast join (seed sets are
+    query-sized by contract — a user's context, a product's cluster);
+    |S| rides as a broadcast 1-row aggregate. Each round's ranks are
+    EAGERLY localCheckpoint-ed (materialize + truncate lineage, O(1)
+    plan depth) with the previous round's blocks freed. Mass that
+    walks into dangling nodes leaves the system (the simple variant
+    the oracle mirrors; the catalog feeds symmetric co-purchase graphs
+    where every node has out-edges, so no mass is lost there — pinned
+    by the mass-conservation test).
+
+    The reference has no graph step (snapshot_use_pyspark.py:216-224
+    scans are row-parallel); engine-added training-pipeline surface.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_out"))
+    ed = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    ns_df = s.agg(F.count(F.lit(1)).cast("long").alias("n_seeds"))
+    # Teleport vector: the per-node restart mass. Left-join the seed
+    # flag onto the node set (broadcast — seed sets are query-sized),
+    # then persist: `tp` is referenced every round by the rank update.
+    tp = (
+        nodes.join(
+            F.broadcast(s.withColumn("is_seed", F.lit(1))), "node", "left"
+        )
+        .crossJoin(F.broadcast(ns_df))
+        .select(
+            "node",
+            F.when(
+                F.col("is_seed").isNotNull(),
+                F.lit(1.0) / F.col("n_seeds"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("tp"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    teleport = F.lit(1.0) - F.lit(damping)
+    ranks = tp.select("node", F.col("tp").alias("rank")).localCheckpoint(
+        eager=True
+    )
+    try:
+        for _ in range(n_iter):
+            contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+                "dst",
+                F.round(F.col("rank") / F.col("n_out"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            new_ranks = (
+                tp.join(sums, tp["node"] == sums["dst"], "left")
+                .select(
+                    "node",
+                    (
+                        teleport * F.col("tp")
+                        + F.lit(damping)
+                        * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            prev = ranks
+            ranks = new_ranks
+            free_local_checkpoint(prev)
+        return ranks
+    finally:
+        ed.unpersist()
+        nodes.unpersist()
+        tp.unpersist()
+
+
 def kcore(
     edges: DataFrame,
     k: int = 3,

@@ -304,7 +304,20 @@ PRIORITY: list[str] = [
     # weighted term expansion -> pass-2 re-score), the recall-expanding
     # second pass a retrieval stack layers on BM25:
     "rm3_query_expansion_topk",
-    "doc_signal_suite",
+    # r12 (late): doc_signal_suite out on its green r3-r11 rows (9
+    # consecutive — the window's longest remaining holder after the r12
+    # rotations). Per-doc signal coverage stays via those nine driver
+    # rows, the component unit suites (tests/test_extension_ops.py,
+    # tests/test_properties.py), its own plan-baseline pin (strict
+    # dict-equality keeps the 9-scan suite shape a failing gate), and
+    # the in-window rows that consume the same tokenizer machinery
+    # (doc_chunking / sequence_packing / weighted_sample_topk). In:
+    # personalized PageRank (random-walk-with-restart) — the
+    # query-dependent affinity member completing the graph family
+    # (centrality=pagerank, reachability=bfs, cohesion=kcore,
+    # community=lpa, closure=triangles), seeded teleport over the same
+    # co-purchase graph:
+    "part_copurchase_ppr",
     # r12: multimodal_suite out on its green r3-r11 rows (9
     # consecutive). The Arrow-batched binary-decode family stays
     # driver-gated via audio_meta_decode (in-window, the same

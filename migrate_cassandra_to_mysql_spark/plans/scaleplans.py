@@ -607,6 +607,125 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_oracle(n_iter: int = 5, n_seeds: int = 3) -> str:
+    """DuckDB twin of operators/components.personalized_pagerank over
+    the part co-purchase graph: the same seeded power iterations
+    unrolled as generated CTEs, with the pagerank determinism contract
+    (12-dp DECIMAL contribution sums; teleport combined with the same
+    IEEE ops). Seeds are the n_seeds smallest node ids — deterministic
+    and scale-stable (the query-sized seed-set contract)."""
+    d = "CAST(0.85 AS DOUBLE)"
+    ctes = [
+        f"""items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+           FROM lineitem),
+ pairs AS (SELECT DISTINCT i1.p AS src, i2.p AS dst
+           FROM items i1 JOIN items i2 ON i1.ok = i2.ok AND i1.p <> i2.p),
+ outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS n_out
+            FROM pairs GROUP BY src),
+ nodes AS (SELECT src AS node FROM pairs
+           UNION SELECT dst FROM pairs),
+ seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {n_seeds}),
+ ns AS (SELECT CAST(count(*) AS BIGINT) AS n_seeds FROM seeds),
+ t AS (SELECT nodes.node,
+              CASE WHEN s.node IS NOT NULL
+                   THEN CAST(1.0 AS DOUBLE) / ns.n_seeds
+                   ELSE CAST(0.0 AS DOUBLE) END AS tp
+       FROM nodes LEFT JOIN seeds s ON nodes.node = s.node, ns),
+ r0 AS (SELECT node, tp AS pr FROM t)"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""c{i} AS (SELECT p.dst,
+            sum(CAST(round(r.pr / o.n_out, 12) AS DECIMAL(28,12))) AS s
+        FROM pairs p
+        JOIN r{i - 1} r ON p.src = r.node
+        JOIN outdeg o ON p.src = o.src
+        GROUP BY p.dst),
+ r{i} AS (SELECT t.node,
+            (CAST(1.0 AS DOUBLE) - {d}) * t.tp
+            + {d} * coalesce(CAST(c{i}.s AS DOUBLE), CAST(0.0 AS DOUBLE))
+              AS pr
+          FROM t LEFT JOIN c{i} ON t.node = c{i}.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n ".join(ctes)
+        + f"""
+SELECT r{n_iter}.node AS part_id,
+       CAST(CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_seed,
+       round(r{n_iter}.pr, 8) AS ppr
+FROM r{n_iter} LEFT JOIN seeds s ON r{n_iter}.node = s.node
+"""
+    )
+
+
+@register("part_copurchase_ppr", oracle=_ppr_oracle())
+def part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random-walk-with-restart) over the part
+    co-purchase graph, seeded at the 3 smallest part ids: 5 synchronous
+    power iterations, damping 0.85, teleport mass restarting at the
+    SEED set instead of uniformly. The query-dependent affinity member
+    of the graph family — global pagerank ranks parts by overall
+    centrality; this ranks them by proximity to a context (the
+    "customers who bought X also bought" recommendation primitive,
+    Tong et al. 2006 RWR).
+
+    Scale shape: identical to part_copurchase_pagerank — the
+    single-scan checkpointed edge build (items feeds both sides of the
+    pair self-join ONCE), pair dedup partitioned wide before
+    aggregation, and a loop that shuffles only (node, rank) pairs
+    against the persisted edge frame with O(1)-deep lineage. The seed
+    set is query-sized by contract and rides as a broadcast join; at
+    100 TB the walk frontier is the same node-sized state as global
+    pagerank — personalization changes the teleport vector, not the
+    data movement. Determinism: 12-dp DECIMAL contribution sums,
+    oracle-identical with zero float tolerance.
+    """
+    from migrate_cassandra_to_mysql_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    o = items.select("ok", F.col("p").alias("dst"))
+    n_dedup = max(64, spark.sparkContext.defaultParallelism * 8)
+    pairs = (
+        items.join(o, "ok")
+        .where(F.col("p") != F.col("dst"))
+        .select(F.col("p").alias("src"), "dst")
+        .repartition(n_dedup, "src", "dst")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    # 3 rows, referenced three times (teleport build, |S| aggregate,
+    # final is_seed flag) — checkpoint so the node-set distinct runs
+    # once (the single-scan discipline; the re-reads would be over the
+    # pairs checkpoint, not parquet, but still a full distinct each):
+    seeds = (
+        pairs.select(F.col("src").alias("node"))
+        .union(pairs.select(F.col("dst").alias("node")))
+        .distinct()
+        .orderBy("node")
+        .limit(3)
+        .localCheckpoint(eager=True)
+    )
+    ranks = personalized_pagerank(pairs, seeds, n_iter=5, damping=0.85)
+    return ranks.join(
+        F.broadcast(seeds.withColumn("flag", F.lit(1))), "node", "left"
+    ).select(
+        F.col("node").alias("part_id"),
+        F.coalesce("flag", F.lit(0)).cast("long").alias("is_seed"),
+        F.round("rank", 8).alias("ppr"),
+    )
+
+
 # Triangle counting constants: the co-purchase graph keeps only edges
 # with support >= _TRI_SUPPORT (pairs bought together in at least that
 # many distinct orders). The support cut is the standard market-basket

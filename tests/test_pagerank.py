@@ -136,3 +136,121 @@ def test_catalog_query_shape(spark, sf_dir):
     # co-purchased parts outrank the uniform floor somewhere
     assert out["pagerank"].max() > out["pagerank"].min()
     assert out["part_id"].is_unique
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (random-walk-with-restart)
+
+
+def _ref_ppr(edges, seeds, damping=0.85, n_iter=5):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    tp = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    rank = dict(tp)
+    for _ in range(n_iter):
+        sums = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            sums[b] += round(rank[a] / out[a], 12)
+        rank = {
+            v: (1.0 - damping) * tp[v] + damping * sums[v] for v in nodes
+        }
+    return rank
+
+
+def test_ppr_matches_python_reference(spark, ring_edges):
+    from migrate_cassandra_to_mysql_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame(ring_edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (3,)], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds, n_iter=5).collect()
+    }
+    ref = _ref_ppr(ring_edges, {0, 3})
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-9, v
+
+
+def test_ppr_all_seeds_equals_global_pagerank(spark, ring_edges):
+    # teleporting to ALL nodes uniformly IS global pagerank — the
+    # recursion coincides term by term, so ranks must be bit-identical
+    # (same rounding discipline on both paths)
+    from migrate_cassandra_to_mysql_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame(ring_edges, "src long, dst long")
+    all_nodes = (
+        df.select(F.col("src").alias("node"))
+        .union(df.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ppr = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, all_nodes, n_iter=4).collect()
+    }
+    pr = {r["node"]: r["rank"] for r in pagerank(df, n_iter=4).collect()}
+    assert ppr == pr
+
+
+def test_ppr_mass_conserved_and_seed_locality(spark, ring_edges):
+    from migrate_cassandra_to_mysql_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame(ring_edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    ranks = personalized_pagerank(df, seeds, n_iter=8)
+    total = ranks.agg(F.sum("rank").alias("s")).collect()[0]["s"]
+    # ring has no dangling nodes -> restart mass + walk mass stays 1
+    assert abs(total - 1.0) < 1e-9
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    # the seed holds the restart mass: strictly the highest rank (its
+    # successors split a damped copy of it — node 0 fans out to {1, 5})
+    assert got[0] == max(got.values())
+    # walk mass reaches every node within 8 hops of the seed, and each
+    # non-seed node holds strictly less than the damped seed mass
+    assert all(v > 0 for v in got.values())
+    assert all(v < got[0] for k, v in got.items() if k != 0)
+
+
+def test_ppr_partitioning_invariance(spark, ring_edges):
+    from migrate_cassandra_to_mysql_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    df1 = spark.createDataFrame(ring_edges, "src long, dst long")
+    df2 = df1.repartition(7, "dst")
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    a = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df1, seeds, n_iter=4).collect()
+    }
+    b = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df2, seeds, n_iter=4).collect()
+    }
+    assert a == b  # bit-identical, not approximately equal
+
+
+def test_ppr_catalog_query_shape(spark, sf_dir):
+    from migrate_cassandra_to_mysql_spark.plans.scaleplans import (
+        part_copurchase_ppr,
+    )
+
+    out = part_copurchase_ppr(spark, sf_dir).toPandas()
+    assert out["part_id"].is_unique
+    assert int(out["is_seed"].sum()) == 3
+    # every seed is reachable-from-itself via the symmetric graph, so
+    # seeds keep restart mass: all three outrank every zero-teleport
+    # node that only accumulates walk mass through >= 1 damped hop of
+    # a 3-way-split restart... which cannot exceed the seed floor
+    seed_min = out[out["is_seed"] == 1]["ppr"].min()
+    assert seed_min > 0
+    # non-seed mass exists (the walk spreads) but totals <= 1
+    assert 0.99 < out["ppr"].sum() <= 1.0 + 1e-6
