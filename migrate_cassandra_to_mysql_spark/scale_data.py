@@ -59,7 +59,7 @@ def synthesize_sf1(
         (
         docs.select("*", copy_col)
         .select(
-            (F.col("doc_id") + F.col("_copy") * F.lit(DOC_ID_SHIFT)).alias(
+            (F.col("doc_id") + F.col("_copy").cast("long") * F.lit(DOC_ID_SHIFT)).alias(
                 "doc_id"
             ),
             F.concat(
@@ -76,7 +76,7 @@ def synthesize_sf1(
         (
         orders.select("*", copy_col)
         .select(
-            (F.col("o_orderkey") + F.col("_copy") * F.lit(ORDERKEY_SHIFT))
+            (F.col("o_orderkey") + F.col("_copy").cast("long") * F.lit(ORDERKEY_SHIFT))
             .alias("o_orderkey"),
             *[c for c in orders.columns if c != "o_orderkey"],
         )
@@ -89,7 +89,7 @@ def synthesize_sf1(
         (
         li.select("*", copy_col)
         .select(
-            (F.col("l_orderkey") + F.col("_copy") * F.lit(ORDERKEY_SHIFT))
+            (F.col("l_orderkey") + F.col("_copy").cast("long") * F.lit(ORDERKEY_SHIFT))
             .alias("l_orderkey"),
             # partkey shifts too: derived structures over (orderkey,
             # partkey) — the co-purchase graph, z-order curve — must grow
@@ -97,7 +97,7 @@ def synthesize_sf1(
             # (10x orders on FIXED parts makes the co-purchase graph 10x
             # denser, a different asymptotic than 10x bigger; the r6
             # pagerank sf1 smoke OOM'd a 1 GB driver exactly this way).
-            (F.col("l_partkey") + F.col("_copy") * F.lit(PART_ID_SHIFT))
+            (F.col("l_partkey") + F.col("_copy").cast("long") * F.lit(PART_ID_SHIFT))
             .alias("l_partkey"),
             *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
         )
@@ -110,9 +110,9 @@ def synthesize_sf1(
         (
         ev.select("*", copy_col)
         .select(
-            (F.col("event_id") + F.col("_copy") * F.lit(ORDERKEY_SHIFT))
+            (F.col("event_id") + F.col("_copy").cast("long") * F.lit(ORDERKEY_SHIFT))
             .alias("event_id"),
-            (F.col("user_id") + F.col("_copy") * F.lit(USER_ID_SHIFT))
+            (F.col("user_id") + F.col("_copy").cast("long") * F.lit(USER_ID_SHIFT))
             .alias("user_id"),
             *[c for c in ev.columns if c not in ("event_id", "user_id")],
         )
@@ -125,7 +125,7 @@ def synthesize_sf1(
         (
         emb.select("*", copy_col)
         .select(
-            (F.col("vec_id") + F.col("_copy") * F.lit(VEC_ID_SHIFT)).alias(
+            (F.col("vec_id") + F.col("_copy").cast("long") * F.lit(VEC_ID_SHIFT)).alias(
                 "vec_id"
             ),
             F.transform(

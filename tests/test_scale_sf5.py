@@ -401,3 +401,99 @@ def test_sf5_cardinalities(spark, scale_dirs):
     d5 = spark.read.parquet(f"{scale_dirs['sf5']}/documents.parquet")
     assert d5.count() == _COPIES_SF5 * src
     assert d5.select("doc_id").distinct().count() == _COPIES_SF5 * src
+
+
+@pytest.fixture(scope="module")
+def graph_dirs(spark):
+    """{'sf1': dir, 'sf5': dir} with LINEITEM only — the graph chain's
+    sole input. Kept separate from scale_dirs on purpose: the three
+    serving chains never scan lineitem, so folding a 50x (30M-row)
+    lineitem synthesis into their shared fixture would charge every
+    chain for rows only this test reads."""
+    import shutil
+
+    out = {}
+    for label, copies in (("sf1", _COPIES_SF1), ("sf5", _COPIES_SF5)):
+        d = tempfile.mkdtemp(prefix=f"mc2m_sf5graph_{label}_")
+        synthesize_sf1(
+            spark, _SRC_SF, d, copies=copies, tables=("lineitem",)
+        )
+        out[label] = d
+    yield out
+    for d in out.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ppr_graph_chain_sf5(spark, graph_dirs):
+    """The iterative-graph loop class executed past 10x (the other sf5
+    chains cover serving and dedup; this pins the power-iteration
+    shape). Copy synthesis shifts BOTH l_orderkey and l_partkey, so the
+    co-purchase graph scales as `copies` DISJOINT replicas — edges and
+    nodes exactly linear in copies, and the seed set (3 smallest part
+    ids) lands entirely in copy 0's replica.
+
+    Pins, sf1 (10 copies) vs sf5 (50 copies):
+    (a) completion + <= linear chain runtime (timed from BEFORE plan
+        construction — the loop's eager checkpoints execute there);
+    (b) plan-feature equality of the serving frame (no BNLJ, no Python
+        eval at 5x the edges; the loop internals are behind the
+        checkpoint by design, which is WHY the final frame is flat);
+    (c) the RWR locality contract AT SCALE: teleport mass restarts
+        only at the seeds, edges never cross replicas, so total mass
+        stays ~1.0 and every node outside copy 0's replica holds
+        EXACTLY 0.0 — a 5x-bigger graph costs the loop's edge-sized
+        joins but the walk's mass stays on the seed component. That is
+        the personalization scale story: the teleport vector changes,
+        not the data movement.
+    (d) node cardinality is exactly copies x the base replica's (the
+        disjoint-replica construction, same spirit as
+        test_sf5_cardinalities)."""
+    from migrate_cassandra_to_mysql_spark.scale_data import PART_ID_SHIFT
+
+    qs = catalog.queries()
+    out = {}
+    for label in ("sf1", "sf5"):
+        t0 = time.perf_counter()
+        df = qs["part_copurchase_ppr"](spark, graph_dirs[label])
+        df.write.format("noop").mode("overwrite").save()
+        t = round(time.perf_counter() - t0, 2)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("is_seed").alias("n_seeds"),
+            F.sum("ppr").alias("mass"),
+            F.max(
+                F.when(
+                    F.col("part_id") >= PART_ID_SHIFT, F.col("ppr")
+                ).otherwise(F.lit(0.0))
+            ).alias("max_offseed_replica"),
+        ).collect()[0]
+        out[label] = {
+            "feats": _feats(df),
+            "chain_sec": t,
+            "n_nodes": agg["n_nodes"],
+            "n_seeds": agg["n_seeds"],
+            "mass": agg["mass"],
+            "max_offseed_replica": agg["max_offseed_replica"],
+        }
+    assert out["sf1"]["feats"] == out["sf5"]["feats"], (
+        f"ppr serving frame drifted: {out['sf1']['feats']}"
+        f" vs {out['sf5']['feats']}"
+    )
+    f5 = out["sf5"]["feats"]
+    assert not f5["python_eval"]
+    assert f5["broadcast_nested_loop_joins"] == 0
+    for label in ("sf1", "sf5"):
+        r = out[label]
+        assert r["n_seeds"] == 3, r
+        # contributions are 12-dp rounded: |mass - 1| <= edges * 5e-13
+        # per iteration; replicas beyond copy 0 hold exactly 0.0
+        assert abs(r["mass"] - 1.0) < 1e-6, r
+        assert r["max_offseed_replica"] == 0.0, r
+    assert out["sf5"]["n_nodes"] == 5 * out["sf1"]["n_nodes"]
+    _assert_linear(
+        "ppr graph chain",
+        out["sf1"]["chain_sec"],
+        out["sf5"]["chain_sec"],
+        _COPIES_SF5 / _COPIES_SF1,
+    )
+    _record("ppr_graph_chain", out)
