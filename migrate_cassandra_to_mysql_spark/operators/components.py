@@ -355,6 +355,9 @@ def personalized_pagerank(
     seed-relative affinity score — the recommendation / related-items
     primitive (Page et al. 1999 §6 personalized vector; Tong et al.
     2006 RWR) beside global pagerank's query-independent centrality.
+    A seed id absent from the edge list's node set is dropped (it still
+    counts in |S|, so its 1/|S| restart mass leaves the system — the
+    caller contract is seeds drawn from the graph).
 
     Determinism contract (identical to `pagerank`, shared with the
     DuckDB oracle twin): contributions round to 12 dp and sum as
@@ -415,7 +418,19 @@ def personalized_pagerank(
     )
     try:
         for _ in range(n_iter):
-            contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+            # Frontier filter — the seeded walk's scale edge over the
+            # global loop: rank is EXACTLY 0.0 until the walk reaches a
+            # node ((1-d)*0.0 + d*0.0 stays 0.0; untouched DECIMAL sums
+            # reduce to 0E-12 -> 0.0), and zero ranks contribute
+            # round(0/n_out) = 0 to every sum, identical to absence. So
+            # the contribution join is FRONTIER-sized — |S| nodes in
+            # round 1, growing hop by hop — instead of node-sized, and
+            # results are bit-identical (pinned by the reference tests,
+            # which run nodes the walk never reaches).
+            frontier = ranks.where(F.col("rank") != 0.0)
+            contrib = ed.join(
+                frontier, ed["src"] == frontier["node"]
+            ).select(
                 "dst",
                 F.round(F.col("rank") / F.col("n_out"), 12)
                 .cast("decimal(28,12)")
