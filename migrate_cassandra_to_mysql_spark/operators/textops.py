@@ -233,18 +233,22 @@ def bigram_lm_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     df-from-tf trick: no second corpus scan, no token-level re-shuffle).
 
     Scale shape: bigram explode → ONE (lang, w1, w2) partial-agg shuffle
-    builds the LM, which is PERSISTED — prefix counts, vocab sizes, and
-    the scoring join all derive from the persisted frame, so the corpus
-    is scanned exactly twice (probe side + LM build) and the LM is never
-    re-derived per consumer (un-persisted, Catalyst re-runs the explode
-    and aggregation for each of the three forks). Prefix/vocab ride back
-    as broadcast (vocabulary-sized / languages-sized) dims; the per-doc
-    reduction sums 12-dp DECIMAL-rounded nll contributions — exact and
+    builds the LM, which is eagerly CHECKPOINTED — prefix counts, vocab
+    sizes, and the scoring join all derive from the materialized frame,
+    so the corpus is scanned exactly twice (probe side + the LM build
+    inside the checkpoint job) and the LM is never re-derived per
+    consumer (un-materialized, Catalyst re-runs the explode and
+    aggregation for each of the three forks; the earlier persist()
+    kept execution single-scan but re-printed the build's FileScan once
+    per consumer, defeating the plan-string scan gate — checkpoint
+    truncates the lineage so the committed plan counts what actually
+    reads the table). Prefix/vocab ride back as broadcast
+    (vocabulary-sized / languages-sized) dims; the per-doc reduction
+    sums 12-dp DECIMAL-rounded nll contributions — exact and
     order-independent (bit-reproducible on any cluster layout).
     Documents with fewer than two tokens have no bigrams and are absent
     from the output.
     """
-    from pyspark.storagelevel import StorageLevel
     b = docs.select(
         "doc_id", "lang", tokens(F.col(text_col)).alias("toks")
     ).select(
@@ -264,7 +268,7 @@ def bigram_lm_perplexity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     lm = (
         b.groupBy("lang", "w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("cb"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     prefix = lm.groupBy("lang", "w1").agg(F.sum("cb").alias("cw1"))
     vocab = lm.groupBy("lang").agg(

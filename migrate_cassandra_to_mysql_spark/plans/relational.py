@@ -168,8 +168,18 @@ FROM src, lossy
 def snapshot_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count reconciliation (A2-A4 + S8): source vs target counts -> diff ->
     OK/MISMATCH verdict, exercising both verdict branches via a simulated
-    lossy target."""
-    li = T(spark, sf_dir, "lineitem")
+    lossy target.
+
+    Read amplification: the four count sides executed four lineitem
+    scans. Counting only needs the two columns the lossy filter reads,
+    so ONE eagerly checkpointed 2-column projection feeds all four
+    count_reconciliation sides — 1 scan, identical verdict rows. (The
+    trade is explicit: materializing a 2-column key projection vs N
+    column-pruned count scans; at one scan per extra consumer the
+    checkpoint wins from the second reference on.)"""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    ).localCheckpoint(eager=True)
     lossy = li.where(~((F.col("l_orderkey") % 997 == 0) & (F.col("l_linenumber") == 1)))
     return count_reconciliation(li, li, "lineitem_full").unionAll(
         count_reconciliation(li, lossy, "lineitem_lossy")
@@ -538,18 +548,27 @@ FROM (SELECT client_id FROM y96 EXCEPT SELECT client_id FROM y97) t
 )
 def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (INTERSECT / EXCEPT / UNION ALL) — SURVEY §2.5 'absent'
-    surface, exposed as one tagged result."""
+    surface, exposed as one tagged result.
+
+    Read amplification: INTERSECT and EXCEPT ALL each reference both
+    year frames, so deriving y96/y97 straight from `orders` executed
+    FOUR full scans (year(date) is not pushdown-able — every scan read
+    the table end to end). The (year, custkey) DISTINCT frame is
+    customer-sized, so both year sets derive from ONE eagerly
+    checkpointed scan; the set ops then shuffle only the distinct
+    frames. Same rows, one orders scan."""
     o = T(spark, sf_dir, "orders")
-    y96 = (
-        o.where(F.year("o_orderdate") == 1996)
-        .select(F.col("o_custkey").alias("client_id"))
+    base = (
+        o.where(F.year("o_orderdate").isin(1996, 1997))
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            F.col("o_custkey").alias("client_id"),
+        )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    y97 = (
-        o.where(F.year("o_orderdate") == 1997)
-        .select(F.col("o_custkey").alias("client_id"))
-        .distinct()
-    )
+    y96 = base.where(F.col("yr") == 1996).select("client_id")
+    y97 = base.where(F.col("yr") == 1997).select("client_id")
     both = y96.intersect(y97).select(F.lit("both").alias("tag"), "client_id")
     only96 = y96.exceptAll(y97).select(F.lit("only_1996").alias("tag"), "client_id")
     return both.unionAll(only96)

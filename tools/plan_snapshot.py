@@ -62,8 +62,30 @@ def plan_features(plan: str) -> dict:
         # single build-time scan ran inside the checkpoint job, and the
         # serving plan reads executor-local blocks.
         "file_scans": plan.count("FileScan"),
+        # Same-table refinement of file_scans: a 6-scan plan can be an
+        # honest 6-table TPC-H join (each table once) or the same table
+        # re-read 6x — only the latter is the read-amplification class.
+        # Grouping key is the scan's Location path list (the table name
+        # for parquet files, the temp dir for partitioned fixtures);
+        # only the MAX per-key count is pinned, so run-varying temp
+        # paths cannot destabilize the baseline.
+        "max_same_table_scans": _max_same_table_scans(plan),
         "reused_exchanges": plan.count("ReusedExchange"),
     }
+
+
+def _max_same_table_scans(plan: str) -> int:
+    import re
+    from collections import Counter
+
+    locs = re.findall(r"Location: \w+\([^)]*\)\[([^\]]*)\]", plan)
+    if not locs:
+        return 0
+    keys = []
+    for loc in locs:
+        m = re.search(r"([\w=.-]+)\.parquet", loc)
+        keys.append(m.group(1) if m else loc.split(",")[0].rstrip("/").rsplit("/", 1)[-1])
+    return max(Counter(keys).values())
 
 
 def snapshot(spark, sf_dir: str = SF_DIR) -> dict:
