@@ -497,3 +497,136 @@ def test_ppr_graph_chain_sf5(spark, graph_dirs):
         _COPIES_SF5 / _COPIES_SF1,
     )
     _record("ppr_graph_chain", out)
+
+
+@pytest.fixture(scope="module")
+def orders_dirs(spark):
+    """{'sf1': dir, 'sf5': dir} with ORDERS only — the SCD2 fold's sole
+    input (same isolation rationale as graph_dirs: don't charge the
+    serving chains for rows only this test reads)."""
+    import shutil
+
+    out = {}
+    for label, copies in (("sf1", _COPIES_SF1), ("sf5", _COPIES_SF5)):
+        d = tempfile.mkdtemp(prefix=f"mc2m_sf5scd2_{label}_")
+        synthesize_sf1(spark, _SRC_SF, d, copies=copies, tables=("orders",))
+        out[label] = d
+    yield out
+    for d in out.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_scd2_fold_chain_sf5(spark, orders_dirs):
+    """The incremental-merge (SCD2 fold) class executed past 10x — the
+    r12 checkpoint rework dropped it from 9 orders scans to 1, and this
+    chain pins that the reworked shape HOLDS at 50x keys: three
+    generations fold over a 7.5M-key base without lineage blowup.
+
+    Timed from BEFORE plan construction (the eager localCheckpoints on
+    the orders projection and each generation frame run there — a
+    noop-only timer would skip the fold's entire build cost).
+
+    Plan contract is scale-AWARE (the LSH chain's convention): the
+    current-slice-vs-snapshot joins are un-hinted, so Catalyst may flip
+    a stats-driven broadcast to sort-merge as generations outgrow the
+    threshold — join count conserved, no BNLJ, no Python eval.
+
+    Cardinality: copy shifts are NOT congruent mod 7/11/13 (ORDERKEY_
+    SHIFT % {7,11,13} != 0), so each replica sees a slightly different
+    update/delete/re-insert mix — history rows scale ~5x, pinned to a
+    [4.8, 5.2] band rather than exactly 5x (each class is near-uniform
+    over a contiguous 1.5M-key range at any offset)."""
+    qs = catalog.queries()
+    out = {}
+    for label in ("sf1", "sf5"):
+        t0 = time.perf_counter()
+        df = qs["scd2_incremental_history"](spark, orders_dirs[label])
+        df.write.format("noop").mode("overwrite").save()
+        t = round(time.perf_counter() - t0, 2)
+        out[label] = {
+            "feats": _feats(df),
+            "chain_sec": t,
+            "n_history": df.count(),
+            "n_open": df.where(F.col("valid_to").isNull()).count(),
+        }
+    f1, f5 = out["sf1"]["feats"], out["sf5"]["feats"]
+    joins1 = f1["broadcast_hash_joins"] + f1["sort_merge_joins"]
+    joins5 = f5["broadcast_hash_joins"] + f5["sort_merge_joins"]
+    flipped = max(0, f5["sort_merge_joins"] - f1["sort_merge_joins"])
+    assert joins5 == joins1, f"join count changed at sf5: {f1} vs {f5}"
+    assert f5["broadcast_nested_loop_joins"] == 0
+    assert not f5["python_eval"]
+    assert f5["exchanges"] <= f1["exchanges"] + 2 * flipped + flipped, (
+        f"exchange growth beyond the flipped joins' shuffles: {f1} vs {f5}"
+    )
+    ratio = out["sf5"]["n_history"] / out["sf1"]["n_history"]
+    assert 4.8 <= ratio <= 5.2, (
+        f"history rows scaled {ratio:.3f}x at 5x keys — the fold "
+        f"lost or duplicated versions ({out})"
+    )
+    assert out["sf5"]["n_open"] > 0
+    _assert_linear(
+        "scd2 fold chain",
+        out["sf1"]["chain_sec"],
+        out["sf5"]["chain_sec"],
+        _COPIES_SF5 / _COPIES_SF1,
+    )
+    _record("scd2_fold_chain", out)
+
+
+@pytest.fixture(scope="module")
+def events_dirs(spark):
+    """{'sf1': dir, 'sf5': dir} with EVENTS only — the ordered-window
+    chain's sole input."""
+    import shutil
+
+    out = {}
+    for label, copies in (("sf1", _COPIES_SF1), ("sf5", _COPIES_SF5)):
+        d = tempfile.mkdtemp(prefix=f"mc2m_sf5events_{label}_")
+        synthesize_sf1(spark, _SRC_SF, d, copies=copies, tables=("events",))
+        out[label] = d
+    yield out
+    for d in out.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ewma_window_chain_sf5(spark, events_dirs):
+    """The per-key ordered-window class executed past 10x. Copy
+    synthesis shifts user_id, so the window population scales as MORE
+    USERS with the SAME per-user event depth — exactly how an event
+    stream grows — and the single hash exchange + one Window node must
+    hold its shape with zero growth: the window frame is O(depth-16)
+    per user regardless of scale, so this chain pins that no
+    stats-driven rewrite sneaks a second exchange or a global sort into
+    the plan at 50x keys. Output rows scale EXACTLY 5x (one row per
+    event, no modulus mixing). Plan features strictly equal (the
+    partitionBy exchange is hint-free but cardinality-independent)."""
+    qs = catalog.queries()
+    out = {}
+    for label in ("sf1", "sf5"):
+        t0 = time.perf_counter()
+        df = qs["events_ewma_smoothing"](spark, events_dirs[label])
+        df.write.format("noop").mode("overwrite").save()
+        t = round(time.perf_counter() - t0, 2)
+        out[label] = {
+            "feats": _feats(df),
+            "chain_sec": t,
+            "n_rows": df.count(),
+            "n_users": df.select("user_id").distinct().count(),
+        }
+    assert out["sf1"]["feats"] == out["sf5"]["feats"], (
+        "ewma window plan drifted between sf1 and sf5:\n"
+        f"{out['sf1']['feats']}\n{out['sf5']['feats']}"
+    )
+    f5 = out["sf5"]["feats"]
+    assert not f5["python_eval"]
+    assert f5["broadcast_nested_loop_joins"] == 0
+    assert out["sf5"]["n_rows"] == 5 * out["sf1"]["n_rows"]
+    assert out["sf5"]["n_users"] == 5 * out["sf1"]["n_users"]
+    _assert_linear(
+        "ewma window chain",
+        out["sf1"]["chain_sec"],
+        out["sf5"]["chain_sec"],
+        _COPIES_SF5 / _COPIES_SF1,
+    )
+    _record("ewma_window_chain", out)
