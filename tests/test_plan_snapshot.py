@@ -42,3 +42,41 @@ def test_all_plans_match_committed_baseline(spark):
         "plan shapes drifted (baseline, current): "
         + json.dumps(diffs, indent=1, sort_keys=True)
     )
+
+
+def test_max_same_table_scans_parser():
+    """The same-table extractor groups scans by their Location path list
+    and reports the worst single source — multi-table joins stay low,
+    same-table re-reads count up, cache/checkpoint-only plans pin 0."""
+    from tools.plan_snapshot import _max_same_table_scans
+
+    multi_table = (
+        "FileScan parquet [a] Location: InMemoryFileIndex(1 paths)"
+        "[file:/data/sf/orders.parquet], X\n"
+        "FileScan parquet [b] Location: InMemoryFileIndex(1 paths)"
+        "[file:/data/sf/lineitem.parquet], X\n"
+        "FileScan parquet [c] Location: InMemoryFileIndex(1 paths)"
+        "[file:/data/sf/nation.parquet], X\n"
+    )
+    assert _max_same_table_scans(multi_table) == 1
+
+    same_table = multi_table + (
+        "FileScan parquet [d] Location: InMemoryFileIndex(1 paths)"
+        "[file:/data/sf/orders.parquet], X\n"
+        "FileScan parquet [e] Location: InMemoryFileIndex(1 paths)"
+        "[file:/data/sf/orders.parquet], X\n"
+    )
+    assert _max_same_table_scans(same_table) == 3
+
+    # checkpointed plans have no FileScan at all
+    assert _max_same_table_scans("WholeStageCodegen\n+- Project") == 0
+
+    # partitioned fixture dirs without a .parquet basename group by the
+    # location string itself (stable within one plan)
+    part_dir = (
+        "FileScan parquet [a] Location: InMemoryFileIndex(12 paths)"
+        "[file:/tmp/x1/date=2026-01-01, ... 11 entries], X\n"
+        "FileScan parquet [b] Location: InMemoryFileIndex(12 paths)"
+        "[file:/tmp/x1/date=2026-01-01, ... 11 entries], X\n"
+    )
+    assert _max_same_table_scans(part_dir) == 2
