@@ -392,10 +392,28 @@ def personalized_pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    # Loud contract check (seed sets are query-sized by contract, so
+    # the probe is a control-plane job): an EMPTY seed set would
+    # otherwise yield tp = 0 everywhere, an empty frontier every
+    # round, and an all-zero rank vector that downstream top-k
+    # consumers would treat as a valid answer.
+    if s.limit(1).count() == 0:
+        raise ValueError(
+            "personalized_pagerank: empty seed set — the restart "
+            "distribution is undefined (every rank would be 0.0)"
+        )
     ns_df = s.agg(F.count(F.lit(1)).cast("long").alias("n_seeds"))
     # Teleport vector: the per-node restart mass. Left-join the seed
     # flag onto the node set (broadcast — seed sets are query-sized),
     # then persist: `tp` is referenced every round by the rank update.
+    # Two columns: `tp` (the restart probability, 1/|S| — the rank_0
+    # init, the same single division as pagerank's 1.0/n init) and
+    # `tp_upd` (the per-round teleport TERM, (1-d)/|S| — again ONE
+    # division). Computing the term as (1-d)*(1/|S|) instead is NOT
+    # IEEE-identical to pagerank's (1-d)/n for every count (e.g. n=6:
+    # the product and the quotient differ in the last ulp), which
+    # would break the all-seeds == global-pagerank bit-equality the
+    # tests pin. The DuckDB oracle twin mirrors the same quotient.
     tp = (
         nodes.join(
             F.broadcast(s.withColumn("is_seed", F.lit(1))), "node", "left"
@@ -409,10 +427,15 @@ def personalized_pagerank(
             )
             .otherwise(F.lit(0.0))
             .alias("tp"),
+            F.when(
+                F.col("is_seed").isNotNull(),
+                (F.lit(1.0) - F.lit(damping)) / F.col("n_seeds"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("tp_upd"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    teleport = F.lit(1.0) - F.lit(damping)
     ranks = tp.select("node", F.col("tp").alias("rank")).localCheckpoint(
         eager=True
     )
@@ -442,7 +465,7 @@ def personalized_pagerank(
                 .select(
                     "node",
                     (
-                        teleport * F.col("tp")
+                        F.col("tp_upd")
                         + F.lit(damping)
                         * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
                     ).alias("rank"),
@@ -498,6 +521,11 @@ def kcore(
     no-op filters, which is exactly what the differential oracle's
     fixed `rounds` unroll computes."""
     e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    # Deliberate even when the caller already checkpointed its edge
+    # frame (one redundant copy of a bounded, support-pruned edge list):
+    # the peeling loop's round-0 lineage must be flat REGARDLESS of
+    # caller discipline, and detecting "input is already a checkpoint
+    # scan" would couple this operator to plan internals.
     e = e.localCheckpoint(eager=True)
     n_edges = e.count()
     for _ in range(rounds):
@@ -605,6 +633,19 @@ def label_propagation(
     rounds are EAGERLY localCheckpoint-ed, previous blocks freed. The
     deterministic argmax is a single max_by(struct) partial-agg, never
     a window sort."""
+    from pyspark.sql.types import NumericType
+
+    for c in (src, dst):
+        if not isinstance(edges.schema[c].dataType, NumericType):
+            raise TypeError(
+                f"label_propagation requires numeric node ids: column "
+                f"{c!r} is {edges.schema[c].dataType.simpleString()}. The "
+                "deterministic tie-break orders by the NEGATED label "
+                "inside max_by — a non-numeric label would silently cast "
+                "to NULL and break the smallest-label tie rule instead "
+                "of failing loudly. Map string ids to dense numeric ids "
+                "first (e.g. hash or zipWithIndex)."
+            )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.localCheckpoint(eager=True)
     labels = (

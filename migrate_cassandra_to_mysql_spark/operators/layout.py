@@ -353,7 +353,20 @@ def merge_sharded_layer(
                     by_part.setdefault(_os.path.basename(d), []).append(i)
         groups = [(name, by_part[name]) for name in sorted(by_part)]
     else:
-        groups = [("", list(range(len(srcs))))]
+        # Flat form: a shard whose layer holds zero data files (a
+        # 0-row dynamic-partition write emits no ingest_batch dirs at
+        # all) must not reach spark.read.parquet — an empty dir fails
+        # schema inference. Skip file-less shards; if EVERY shard is
+        # empty, fall through to the same empty-but-valid guard the
+        # partitioned form uses (late-r12: the r11 ADVICE fix covered
+        # only the partitioned path, so merging empty indexes still
+        # crashed on the flat doclens layer).
+        with_files = [
+            i
+            for i in range(len(srcs))
+            if _glob.glob(f"{srcs[i]}/ingest_batch=*/part-*")
+        ]
+        groups = [("", with_files)] if with_files else []
 
     agg = {"files_in": 0, "files_out": 0, "bytes": 0, "partitions": 0}
     if not groups:

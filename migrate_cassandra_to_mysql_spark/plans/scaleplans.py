@@ -541,6 +541,44 @@ FROM r{n_iter} LEFT JOIN outdeg o ON r{n_iter}.node = o.src
     )
 
 
+def _directed_copurchase_pairs(spark: SparkSession, sf_dir: str):
+    """The checkpointed directed co-purchase edge frame (src, dst)
+    shared by the pagerank and personalized-pagerank rows (hoisted
+    late-r12 — the two plans carried byte-identical copies that had to
+    be fixed in lockstep once already, mirroring _und_edges for the
+    undirected rows).
+
+    Single-scan discipline: `items` feeds both sides of the pair
+    self-join ONCE (the af1744d single-scan edge build; un-checkpointed,
+    the plan scanned lineitem twice). Pair dedup is the memory-heaviest
+    step (pair instances ~ orders x width^2) — repartition by the pair
+    key across many tasks BEFORE aggregating (a low shuffle-partition
+    setting would hold a multi-million-entry hash map per task; the sf1
+    smoke OOM'd a 1 GB driver exactly there), costing no extra exchange
+    since it satisfies the aggregation's distribution requirement. The
+    edge list is re-referenced by every loop round and the callers'
+    outdeg/node builds — checkpointed so the self-join + dedup run
+    once."""
+    li = T(spark, sf_dir, "lineitem")
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    o = items.select("ok", F.col("p").alias("dst"))
+    n_dedup = max(64, spark.sparkContext.defaultParallelism * 8)
+    return (
+        items.join(o, "ok")
+        .where(F.col("p") != F.col("dst"))
+        .select(F.col("p").alias("src"), "dst")
+        .repartition(n_dedup, "src", "dst")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+
+
 @register("part_copurchase_pagerank", oracle=_pagerank_oracle())
 def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph (parts are linked when
@@ -560,42 +598,7 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from migrate_cassandra_to_mysql_spark.operators.components import pagerank
 
-    li = T(spark, sf_dir, "lineitem")
-    # items feeds both sides of the pair self-join — checkpoint so the
-    # lineitem scan + distinct run ONCE (the af1744d single-scan edge
-    # build, back-ported from triangles/association-rules per VERDICT
-    # r11 #3; the un-checkpointed plan scanned lineitem twice):
-    items = (
-        li.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    o = items.select("ok", F.col("p").alias("dst"))
-    # Pair dedup is the memory-heaviest step (pair instances ~ orders x
-    # width^2; distinct pairs are ~same order of magnitude since the key
-    # space is wide). Partition the dedup by the pair key across many
-    # tasks BEFORE aggregating: at a low shuffle-partition setting each
-    # task would otherwise hold a multi-million-entry hash map — the sf1
-    # smoke OOM'd a 1 GB driver exactly there. The repartition satisfies
-    # the aggregation's distribution requirement, so it costs no extra
-    # exchange over plain distinct().
-    n_dedup = max(
-        64, spark.sparkContext.defaultParallelism * 8
-    )
-    # The edge list is re-referenced four times downstream (the loop's
-    # outdeg/edge/node builds plus this plan's own outdeg) — checkpoint
-    # so the self-join + dedup run once (edge-sized, bounded by order
-    # width x support structure):
-    pairs = (
-        items.join(o, "ok")
-        .where(F.col("p") != F.col("dst"))
-        .select(F.col("p").alias("src"), "dst")
-        .repartition(n_dedup, "src", "dst")
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
+    pairs = _directed_copurchase_pairs(spark, sf_dir)
     ranks = pagerank(pairs, n_iter=5, damping=0.85)
     outdeg = pairs.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("n_out")
@@ -629,7 +632,10 @@ def _ppr_oracle(n_iter: int = 5, n_seeds: int = 3) -> str:
  t AS (SELECT nodes.node,
               CASE WHEN s.node IS NOT NULL
                    THEN CAST(1.0 AS DOUBLE) / ns.n_seeds
-                   ELSE CAST(0.0 AS DOUBLE) END AS tp
+                   ELSE CAST(0.0 AS DOUBLE) END AS tp,
+              CASE WHEN s.node IS NOT NULL
+                   THEN (CAST(1.0 AS DOUBLE) - {d}) / ns.n_seeds
+                   ELSE CAST(0.0 AS DOUBLE) END AS tp_upd
        FROM nodes LEFT JOIN seeds s ON nodes.node = s.node, ns),
  r0 AS (SELECT node, tp AS pr FROM t)"""
     ]
@@ -642,7 +648,7 @@ def _ppr_oracle(n_iter: int = 5, n_seeds: int = 3) -> str:
         JOIN outdeg o ON p.src = o.src
         GROUP BY p.dst),
  r{i} AS (SELECT t.node,
-            (CAST(1.0 AS DOUBLE) - {d}) * t.tp
+            t.tp_upd
             + {d} * coalesce(CAST(c{i}.s AS DOUBLE), CAST(0.0 AS DOUBLE))
               AS pr
           FROM t LEFT JOIN c{i} ON t.node = c{i}.dst)"""
@@ -686,24 +692,7 @@ def part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         personalized_pagerank,
     )
 
-    li = T(spark, sf_dir, "lineitem")
-    items = (
-        li.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    o = items.select("ok", F.col("p").alias("dst"))
-    n_dedup = max(64, spark.sparkContext.defaultParallelism * 8)
-    pairs = (
-        items.join(o, "ok")
-        .where(F.col("p") != F.col("dst"))
-        .select(F.col("p").alias("src"), "dst")
-        .repartition(n_dedup, "src", "dst")
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
+    pairs = _directed_copurchase_pairs(spark, sf_dir)
     # 3 rows, referenced three times (teleport build, |S| aggregate,
     # final is_seed flag) — checkpoint so the node-set distinct runs
     # once (the single-scan discipline; the re-reads would be over the

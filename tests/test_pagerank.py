@@ -198,6 +198,33 @@ def test_ppr_all_seeds_equals_global_pagerank(spark, ring_edges):
     assert ppr == pr
 
 
+def test_ppr_all_seeds_equals_global_pagerank_divergent_count(spark):
+    """The bit-equality must hold for EVERY node count, including the
+    counts where (1-d)*(1/n) != (1-d)/n in IEEE doubles (n = 3, 6, 12,
+    19, ...): the teleport TERM is computed as ONE quotient in both
+    pagerank and personalized_pagerank (and both oracles), so the
+    all-seeds recursion coincides ulp for ulp. A 6-node graph is the
+    regression case — the multiply form passes the 10-node fixture by
+    coincidence and fails here."""
+    from migrate_cassandra_to_mysql_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    edges6 = [(i, (i + 1) % 6) for i in range(6)] + [(0, 3)]
+    df = spark.createDataFrame(edges6, "src long, dst long")
+    all_nodes = (
+        df.select(F.col("src").alias("node"))
+        .union(df.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ppr = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, all_nodes, n_iter=4).collect()
+    }
+    pr = {r["node"]: r["rank"] for r in pagerank(df, n_iter=4).collect()}
+    assert ppr == pr
+
+
 def test_ppr_mass_conserved_and_seed_locality(spark, ring_edges):
     from migrate_cassandra_to_mysql_spark.operators.components import (
         personalized_pagerank,
@@ -254,3 +281,14 @@ def test_ppr_catalog_query_shape(spark, sf_dir):
     assert seed_min > 0
     # non-seed mass exists (the walk spreads) but totals <= 1
     assert 0.99 < out["ppr"].sum() <= 1.0 + 1e-6
+
+
+def test_ppr_empty_seed_set_raises(spark, ring_edges):
+    from migrate_cassandra_to_mysql_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame(ring_edges, "src long, dst long")
+    empty = spark.createDataFrame([], "node long")
+    with pytest.raises(ValueError, match="empty seed set"):
+        personalized_pagerank(df, empty, n_iter=2)

@@ -70,3 +70,56 @@ def test_merge_sharded_layer_empty_shards_yield_empty_version(spark):
     # The caller's promotion completes instead of raising.
     swap_live_dir(parent, "postings")
     assert os.path.islink(f"{parent}/postings")
+
+
+def test_merge_sharded_layer_flat_empty_and_mixed_shards(spark):
+    """The FLAT (partitioned=False) form of the empty-shard contract
+    (late r12): the r11 fix guarded only the partitioned path, so a
+    0-doc shard set still crashed on the doclens layer — the flat
+    group was non-empty and spark.read.parquet hit a file-less dir.
+    All-empty: zeroed aggregate + staging dir, swap succeeds. Mixed:
+    file-less shards are skipped, rows from the populated shard move
+    verbatim."""
+    import os
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        merge_sharded_layer,
+        swap_live_dir,
+    )
+
+    root = tempfile.mkdtemp()
+    srcs = [f"{root}/shard{i}/doclens" for i in range(2)]
+    for s in srcs:
+        os.makedirs(s)  # exists, but holds no data files at all
+    parent = f"{root}/merged"
+    os.makedirs(parent)
+    dst_new = f"{parent}/doclens.new"
+
+    agg = merge_sharded_layer(
+        spark, srcs, dst_new, [lambda df: df, lambda df: df],
+        partitioned=False,
+    )
+    assert agg == {"files_in": 0, "files_out": 0, "bytes": 0, "partitions": 0}
+    assert os.path.isdir(dst_new)
+    swap_live_dir(parent, "doclens")
+    assert os.path.islink(f"{parent}/doclens")
+
+    # Mixed: one populated shard, one file-less shard.
+    root2 = tempfile.mkdtemp()
+    srcs2 = [f"{root2}/shard{i}/doclens" for i in range(2)]
+    os.makedirs(srcs2[1])
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "doc_id long, dl long"
+    ).withColumn("ingest_batch", F.lit(0)).write.partitionBy(
+        "ingest_batch"
+    ).parquet(srcs2[0])
+    parent2 = f"{root2}/merged"
+    os.makedirs(parent2)
+    dst_new2 = f"{parent2}/doclens.new"
+    agg2 = merge_sharded_layer(
+        spark, srcs2, dst_new2, [lambda df: df, lambda df: df],
+        partitioned=False,
+    )
+    assert agg2["partitions"] == 1 and agg2["files_out"] >= 1
+    got = spark.read.parquet(f"{dst_new2}/ingest_batch=0")
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]

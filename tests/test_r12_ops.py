@@ -325,3 +325,14 @@ def test_kcore_early_exit_matches_full_unroll(spark):
         for r in components.kcore(g, k=2, rounds=50).collect()
     }
     assert fast == slack == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_label_propagation_rejects_string_node_ids(spark):
+    """The deterministic tie-break negates the label inside max_by —
+    a string label would silently cast to NULL and break the
+    smallest-label rule, so non-numeric node ids must fail loudly."""
+    sym = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    with pytest.raises(TypeError, match="numeric node ids"):
+        components.label_propagation(sym, rounds=1)
