@@ -343,6 +343,7 @@ def personalized_pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 5,
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """(node, rank) after synchronous power iterations of PERSONALIZED
     PageRank (random-walk-with-restart) over a directed edge list:
@@ -367,13 +368,14 @@ def personalized_pagerank(
     engines. With seeds = ALL nodes the recursion is exactly global
     pagerank's (t = uniform), pinned by test.
 
-    Scale shape (the `pagerank` discipline): the loop shuffles only
-    (node, rank) pairs against a persisted (src, dst, outdeg) edge
-    frame; the seed indicator is a broadcast join (seed sets are
-    query-sized by contract — a user's context, a product's cluster);
-    |S| rides as a broadcast 1-row aggregate. Each round's ranks are
-    EAGERLY localCheckpoint-ed (materialize + truncate lineage, O(1)
-    plan depth) with the previous round's blocks freed. Mass that
+    Scale shape (the `pagerank` discipline, plus the SPARSE loop
+    state): the loop shuffles only frontier-sized (node, rank) pairs
+    against a persisted (src, dst, outdeg) edge frame; |S| rides as a
+    broadcast 1-row aggregate; the rank vector carries only nodes the
+    walk has touched (the dense expansion happens once, at the end).
+    Each round's ranks are EAGERLY localCheckpoint-ed (materialize +
+    truncate lineage, O(1) plan depth) with the previous round's
+    blocks freed. Mass that
     walks into dangling nodes leaves the system (the simple variant
     the oracle mirrors; the catalog feeds symmetric co-purchase graphs
     where every node has out-edges, so no mass is lost there — pinned
@@ -385,11 +387,16 @@ def personalized_pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_out"))
     ed = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # Checkpointed, not persisted: the RETURNED frame references the
+    # node set (the final sparse-to-dense expansion), so an unpersist
+    # in `finally` would force the caller's first action to recompute
+    # the distinct; the checkpoint materializes it once and the
+    # serving plan reads executor-local blocks.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
     # Loud contract check (seed sets are query-sized by contract, so
@@ -403,40 +410,37 @@ def personalized_pagerank(
             "distribution is undefined (every rank would be 0.0)"
         )
     ns_df = s.agg(F.count(F.lit(1)).cast("long").alias("n_seeds"))
-    # Teleport vector: the per-node restart mass. Left-join the seed
-    # flag onto the node set (broadcast — seed sets are query-sized),
-    # then persist: `tp` is referenced every round by the rank update.
-    # Two columns: `tp` (the restart probability, 1/|S| — the rank_0
-    # init, the same single division as pagerank's 1.0/n init) and
-    # `tp_upd` (the per-round teleport TERM, (1-d)/|S| — again ONE
-    # division). Computing the term as (1-d)*(1/|S|) instead is NOT
-    # IEEE-identical to pagerank's (1-d)/n for every count (e.g. n=6:
-    # the product and the quotient differ in the last ulp), which
-    # would break the all-seeds == global-pagerank bit-equality the
-    # tests pin. The DuckDB oracle twin mirrors the same quotient.
-    tp = (
-        nodes.join(
-            F.broadcast(s.withColumn("is_seed", F.lit(1))), "node", "left"
-        )
-        .crossJoin(F.broadcast(ns_df))
+    # Seed-only teleport frame (|S| rows): `tp` (the restart
+    # probability, 1/|S| — the rank_0 init, the same single division
+    # as pagerank's 1.0/n init) and `tp_upd` (the per-round teleport
+    # TERM, (1-d)/|S| — again ONE division). Computing the term as
+    # (1-d)*(1/|S|) instead is NOT IEEE-identical to pagerank's
+    # (1-d)/n for every count (e.g. n=6: the product and the quotient
+    # differ in the last ulp), which would break the all-seeds ==
+    # global-pagerank bit-equality the tests pin. The DuckDB oracle
+    # twin mirrors the same quotient.
+    #
+    # The LOOP STATE is kept SPARSE (late r12): a node absent from the
+    # rank frame holds rank exactly 0.0 by construction — (1-d)*0 +
+    # d*round(0/n_out)-sums reduce to 0.0 — so carrying the full node
+    # set through every round only materialized node-sized zero rows
+    # five times over (measured: the node-sized tp-join + checkpoint
+    # dominated the loop at 24M edges). Rounds now touch |frontier| +
+    # |out-neighborhood| rows only; the full node set is expanded ONCE
+    # at the end with an exact-0.0 coalesce, bit-identical output.
+    seed_tp = (
+        s.crossJoin(F.broadcast(ns_df))
         .select(
             "node",
-            F.when(
-                F.col("is_seed").isNotNull(),
-                F.lit(1.0) / F.col("n_seeds"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("tp"),
-            F.when(
-                F.col("is_seed").isNotNull(),
-                (F.lit(1.0) - F.lit(damping)) / F.col("n_seeds"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("tp_upd"),
+            (F.lit(1.0) / F.col("n_seeds")).alias("tp"),
+            ((F.lit(1.0) - F.lit(damping)) / F.col("n_seeds")).alias(
+                "tp_upd"
+            ),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    ranks = tp.select("node", F.col("tp").alias("rank")).localCheckpoint(
+    st = seed_tp.select("node", "tp_upd")
+    ranks = seed_tp.select("node", F.col("tp").alias("rank")).localCheckpoint(
         eager=True
     )
     try:
@@ -451,6 +455,19 @@ def personalized_pagerank(
             # results are bit-identical (pinned by the reference tests,
             # which run nodes the walk never reaches).
             frontier = ranks.where(F.col("rank") != 0.0)
+            # broadcast_frontier=True additionally ships the frontier
+            # to every executor so the EDGE side is never shuffled or
+            # sorted: each round is then one scan of the persisted edge
+            # frame probing a hash map — the RWR serving shape at
+            # scale, where "personalization changes the teleport
+            # vector, not data movement" holds for the edge list too.
+            # Opt-in because it is only safe under the seeded-locality
+            # contract (the frontier is bounded by the seed-REACHABLE
+            # component; all-seeds-style calls would broadcast a
+            # node-sized frame). Join strategy cannot change values:
+            # contributions are 12-dp DECIMAL sums, order-independent.
+            if broadcast_frontier:
+                frontier = F.broadcast(frontier)
             contrib = ed.join(
                 frontier, ed["src"] == frontier["node"]
             ).select(
@@ -460,12 +477,16 @@ def personalized_pagerank(
                 .alias("c"),
             )
             sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            # Sparse update: full-outer of the seed teleport terms and
+            # the walked-mass sums — both frontier-scale. A node in
+            # neither frame keeps exact 0.0 by absence (same IEEE
+            # value the dense form computed for it: 0.0 + d*0.0).
             new_ranks = (
-                tp.join(sums, tp["node"] == sums["dst"], "left")
+                st.join(sums, st["node"] == sums["dst"], "full")
                 .select(
-                    "node",
+                    F.coalesce(st["node"], sums["dst"]).alias("node"),
                     (
-                        F.col("tp_upd")
+                        F.coalesce(F.col("tp_upd"), F.lit(0.0))
                         + F.lit(damping)
                         * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
                     ).alias("rank"),
@@ -475,11 +496,19 @@ def personalized_pagerank(
             prev = ranks
             ranks = new_ranks
             free_local_checkpoint(prev)
-        return ranks
+        # Expand the sparse vector over the full node set ONCE: every
+        # node the walk never reached holds exact 0.0 (the value the
+        # dense loop computed for it each round). Seed ids absent from
+        # the graph's node set drop out here, as before. Under the
+        # seeded-locality contract the sparse vector is bounded, so
+        # the expansion rides the same broadcast the loop uses —
+        # keeping the serving plan exchange-free.
+        final_ranks = F.broadcast(ranks) if broadcast_frontier else ranks
+        return nodes.join(final_ranks, "node", "left").select(
+            "node", F.coalesce("rank", F.lit(0.0)).alias("rank")
+        )
     finally:
         ed.unpersist()
-        nodes.unpersist()
-        tp.unpersist()
 
 
 def kcore(
