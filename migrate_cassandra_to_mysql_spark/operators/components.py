@@ -344,6 +344,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     n_iter: int = 5,
     broadcast_frontier: bool = False,
+    broadcast_row_cap: int = 2_000_000,
 ) -> DataFrame:
     """(node, rank) after synchronous power iterations of PERSONALIZED
     PageRank (random-walk-with-restart) over a directed edge list:
@@ -363,9 +364,10 @@ def personalized_pagerank(
     Determinism contract (identical to `pagerank`, shared with the
     DuckDB oracle twin): contributions round to 12 dp and sum as
     DECIMAL(28,12) — exact and order-independent, so a 1000-executor
-    run is bit-identical to a single-threaded one; teleport terms are
-    combined with the same IEEE ops ((1.0-d) * (1.0/|S|)) on both
-    engines. With seeds = ALL nodes the recursion is exactly global
+    run is bit-identical to a single-threaded one; the teleport term is
+    computed as the single quotient (1.0-d)/|S| on both engines (NOT
+    (1-d)*(1/|S|), which differs in the last ulp at |S|=3,6,12,...).
+    With seeds = ALL nodes the recursion is exactly global
     pagerank's (t = uniform), pinned by test.
 
     Scale shape (the `pagerank` discipline, plus the SPARSE loop
@@ -373,6 +375,12 @@ def personalized_pagerank(
     against a persisted (src, dst, outdeg) edge frame; |S| rides as a
     broadcast 1-row aggregate; the rank vector carries only nodes the
     walk has touched (the dense expansion happens once, at the end).
+    `broadcast_frontier=True` additionally ships the frontier to every
+    executor so the edge frame is never shuffled — guarded by
+    `broadcast_row_cap` (falls back to the shuffle join once the walk
+    has touched more rows than the cap, since a small-world k-hop
+    neighborhood can approach the full node set); either join strategy
+    yields bit-identical ranks (pinned by the A/B test).
     Each round's ranks are EAGERLY localCheckpoint-ed (materialize +
     truncate lineage, O(1) plan depth) with the previous round's
     blocks freed. Mass that
@@ -466,7 +474,15 @@ def personalized_pagerank(
             # component; all-seeds-style calls would broadcast a
             # node-sized frame). Join strategy cannot change values:
             # contributions are 12-dp DECIMAL sums, order-independent.
-            if broadcast_frontier:
+            #
+            # Guard (r12 ADVICE): in small-world graphs the k-hop
+            # neighborhood can approach the FULL node set, so the
+            # "query-sized frontier" assumption is graph-dependent —
+            # fall back to the shuffle join once the sparse rank
+            # vector outgrows broadcast_row_cap. ranks is an eager
+            # localCheckpoint, so the count reads executor-local
+            # blocks (a control-plane job, not a recompute).
+            if broadcast_frontier and ranks.count() <= broadcast_row_cap:
                 frontier = F.broadcast(frontier)
             contrib = ed.join(
                 frontier, ed["src"] == frontier["node"]
@@ -502,8 +518,14 @@ def personalized_pagerank(
         # the graph's node set drop out here, as before. Under the
         # seeded-locality contract the sparse vector is bounded, so
         # the expansion rides the same broadcast the loop uses —
-        # keeping the serving plan exchange-free.
-        final_ranks = F.broadcast(ranks) if broadcast_frontier else ranks
+        # keeping the serving plan exchange-free. The same row-cap
+        # guard applies: a walk that saturated the graph falls back
+        # to the shuffle join here too.
+        final_ranks = (
+            F.broadcast(ranks)
+            if broadcast_frontier and ranks.count() <= broadcast_row_cap
+            else ranks
+        )
         return nodes.join(final_ranks, "node", "left").select(
             "node", F.coalesce("rank", F.lit(0.0)).alias("rank")
         )

@@ -361,6 +361,24 @@ def merge_sharded_layer(
         # partitioned form uses (late-r12: the r11 ADVICE fix covered
         # only the partitioned path, so merging empty indexes still
         # crashed on the flat doclens layer).
+        #
+        # A shard with bare part-* files directly under the layer dir
+        # is the legacy pre-ingest_batch layout index_ingest.py refuses
+        # at stream start — the file-less skip above would otherwise
+        # SILENTLY DROP its rows from the merged index (r12 ADVICE).
+        # Fail loudly with the same migration hint instead.
+        for i in range(len(srcs)):
+            if any(
+                _os.path.isfile(p)
+                for p in _glob.glob(f"{srcs[i]}/part-*")
+            ):
+                raise ValueError(
+                    f"{srcs[i]} holds unpartitioned leaf files (legacy "
+                    "pre-ingest_batch layout); merging would silently "
+                    "drop its rows. Rebuild the shard (build writes "
+                    "ingest_batch=0 now) or move the files under an "
+                    "ingest_batch=0 subdirectory."
+                )
         with_files = [
             i
             for i in range(len(srcs))

@@ -710,7 +710,9 @@ def part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round scans the persisted edge frame once instead of shuffling it
     # — measured 15.4 -> 4.8s for the 5-round loop on the 24M-edge
     # 10-copy graph; results bit-identical (DECIMAL sums are
-    # order-independent; pinned by the broadcast-vs-default test).
+    # order-independent; pinned by tests/test_pagerank.py::
+    # test_ppr_broadcast_frontier_equals_default, with the row-cap
+    # fallback pinned by its _row_cap_fallback twin).
     ranks = personalized_pagerank(
         pairs, seeds, n_iter=5, damping=0.85, broadcast_frontier=True
     )

@@ -292,3 +292,56 @@ def test_ppr_empty_seed_set_raises(spark, ring_edges):
     empty = spark.createDataFrame([], "node long")
     with pytest.raises(ValueError, match="empty seed set"):
         personalized_pagerank(df, empty, n_iter=2)
+
+
+def test_ppr_broadcast_frontier_equals_default(spark, ring_edges):
+    """A/B pin (r12 ADVICE): broadcast_frontier=True changes ONLY the
+    join strategy (frontier ships to executors; the edge frame never
+    shuffles) — ranks must be bit-identical to the default shuffle
+    join, since contributions fold through order-independent 12-dp
+    DECIMAL sums."""
+    from migrate_cassandra_to_mysql_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame(ring_edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    a = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds, n_iter=4).collect()
+    }
+    b = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            df, seeds, n_iter=4, broadcast_frontier=True
+        ).collect()
+    }
+    assert a == b  # bit-identical, not approximately equal
+
+
+def test_ppr_broadcast_row_cap_fallback_equals_default(spark, ring_edges):
+    """The r12 ADVICE guard: when the sparse rank vector outgrows
+    broadcast_row_cap, the loop and the final expansion fall back to
+    the shuffle join — cap=0 forces the fallback on every round, and
+    the result must still be bit-identical."""
+    from migrate_cassandra_to_mysql_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame(ring_edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    a = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds, n_iter=4).collect()
+    }
+    b = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            df,
+            seeds,
+            n_iter=4,
+            broadcast_frontier=True,
+            broadcast_row_cap=0,
+        ).collect()
+    }
+    assert a == b

@@ -84,7 +84,18 @@ def _max_same_table_scans(plan: str) -> int:
     keys = []
     for loc in locs:
         m = re.search(r"([\w=.-]+)\.parquet", loc)
-        keys.append(m.group(1) if m else loc.split(",")[0].rstrip("/").rsplit("/", 1)[-1])
+        if m:
+            keys.append(m.group(1))
+            continue
+        # Fallback (partitioned locations): the first path often ends
+        # in a partition dir like 'date=2026-01-01', whose basename
+        # collides across DIFFERENT tables sharing partition values
+        # (r12 ADVICE). Strip trailing key=value segments so the key
+        # is the table directory itself.
+        path = loc.split(",")[0].rstrip("/")
+        while "=" in path.rsplit("/", 1)[-1] and "/" in path:
+            path = path.rsplit("/", 1)[0]
+        keys.append(path.rsplit("/", 1)[-1])
     return max(Counter(keys).values())
 
 
