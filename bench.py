@@ -258,6 +258,12 @@ def main() -> None:
         # pagerank loop (same edge build, same per-round shuffles;
         # personalization only changes the teleport vector)
         ("part_copurchase_ppr", "part_copurchase_ppr"),
+        # r13: BQ-IVF serving — first call pays the memoized sign-pack
+        # + partitioned code write (the train-once cost), the second is
+        # the pure probed-cell serve, which must price UNDER the flat
+        # bq_hamming_topk scan (that is the point of the cell pruning)
+        ("ivf_bq_hamming_topk", "ivf_bq_build_and_serve"),
+        ("ivf_bq_hamming_topk", "ivf_bq_serve"),
     ):
         if nm not in qs:
             continue

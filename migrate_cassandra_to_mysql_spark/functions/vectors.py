@@ -36,3 +36,20 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def bq_pack_sql(v: str, lo: int) -> str:
+    """Spark SQL expression: BIGINT word packing bits lo..lo+31 of the
+    sign pattern of array column `v` (bit i-1 set iff v[lo+i] >= 0,
+    element_at 1-based). Pure integer construction off exact float
+    comparisons — bit-identical cross-engine with no rounding
+    discipline; 32 bits per word so bit 63 never overflows signed
+    BIGINT. The DuckDB twin lives next to the bq_hamming_topk oracle
+    (plans/vectorplans._bq_pack_duck)."""
+    return (
+        f"CAST(aggregate(transform(sequence(1, 32), i -> "
+        f"CASE WHEN element_at({v}, i + {lo}) >= 0"
+        f" THEN shiftleft(CAST(1 AS BIGINT), i - 1)"
+        f" ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT),"
+        f" (a, x) -> a + x) AS BIGINT)"
+    )

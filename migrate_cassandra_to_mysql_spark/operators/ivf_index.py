@@ -775,3 +775,141 @@ def ivfpq_search_rerank(
     return scored.withColumn(
         "rnk", F.row_number().over(w).cast("long")
     ).where(F.col("rnk") <= k)
+
+
+def build_bq_index(
+    embeddings: DataFrame, index_dir: str, codebook: DataFrame
+) -> None:
+    """Binary-quantized IVF index: sign-pack every vector into two
+    BIGINT words (functions/vectors.bq_pack_sql — 1 bit/dim, 64x
+    compression) and persist the CODES ONLY, hive-partitioned by the
+    nearest-centroid cell:
+
+      codebook/          k rows (c_id, cv)
+      codes/cell=N/...   (vec_id, w1, w2) — 24 bytes/vector
+
+    Full vectors are NOT stored: the exact re-rank fetches them from
+    the base table by vec_id (shortlist-sized, broadcast), which is the
+    point of the layout — at 100 TB of vectors the code table is
+    ~vectors/8 bytes and the per-cell partitions are small enough to
+    pin in executor memory. Encoding is one map-side projection (exact
+    integer bit construction off `v[i] >= 0` comparisons, no shuffle
+    beyond the partitioned write); the codebook assignment reuses the
+    IVF discipline (_nearest_cells: cosine 6-dp, tie on c_id).
+
+    The reference has no vector surface (its scan unit is the token
+    range, snapshot_use_pyspark.py:107-137); engine-added
+    training-pipeline serving layout, composing the r12 flat BQ row
+    (plans/vectorplans.bq_hamming_topk) with the IVF cell pruning of
+    build_ivf_index above.
+    """
+    from migrate_cassandra_to_mysql_spark.functions.vectors import (
+        bq_pack_sql,
+    )
+
+    assigned = _nearest_cells(_base(embeddings), codebook, 1).select(
+        "vec_id",
+        F.expr(bq_pack_sql("v", 0)).alias("w1"),
+        F.expr(bq_pack_sql("v", 32)).alias("w2"),
+        F.col("c_id").alias("cell"),
+    )
+    codebook.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/codebook"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/codes"
+    )
+
+
+def bq_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 30,
+) -> DataFrame:
+    """Top-k per query over the persisted BQ index: probe the n_probe
+    nearest cells (literal IN filter -> parquet PartitionFilters, so
+    unprobed cells' code files are never opened), Hamming-shortlist
+    within the probed cells only (two XOR+popcount ops per candidate —
+    no float math touches anything outside the shortlist), then
+    exact-cosine re-rank the shortlist against full vectors fetched
+    from `base` by vec_id.
+
+    `queries` is (q_id, qv: array<double>); query words are packed
+    inline from qv (identical integer construction as the index build,
+    so a corpus row queried against itself has Hamming 0 by identity).
+
+    Determinism: cell probe = cosine 6-dp + c_id tie (the shared
+    _nearest_cells order), Hamming exact integer, shortlist total order
+    (hamming, n_id), rerank (cos_sim 6-dp DESC, n_id). Output columns
+    (q_id, n_id, cell, hamming, cos_sim, rnk) — `cell` is the
+    candidate's cell so the oracle can replay the probe set.
+
+    Scale shape: queries broadcast against the pruned codes scan; the
+    sole shuffles are the two per-query windows (shortlist, top-k) over
+    queries x cell-candidate rows; the base-table fetch broadcasts the
+    queries x shortlist frame so the 100 TB vector table never
+    shuffles."""
+    from migrate_cassandra_to_mysql_spark.functions.vectors import (
+        bq_pack_sql,
+        cosine as _cos,
+    )
+
+    codebook = load_codebook(spark, index_dir)
+    qv = queries.select(F.col("q_id").alias("vec_id"), F.col("qv").alias("v"))
+    q_cells = (
+        _nearest_cells(qv, codebook, n_probe)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.expr(bq_pack_sql("v", 0)).alias("qw1"),
+            F.expr(bq_pack_sql("v", 32)).alias("qw2"),
+            F.col("c_id").alias("q_cell"),
+        )
+    )
+    probed = [
+        r["q_cell"] for r in q_cells.select("q_cell").distinct().collect()
+    ]
+    codes = (
+        spark.read.parquet(f"{index_dir}/codes")
+        .where(F.col("cell").isin(probed))
+        .select("vec_id", "w1", "w2", F.col("cell").cast("long").alias("cell"))
+    )
+    cand = (
+        F.broadcast(q_cells)
+        .join(codes, F.col("cell") == F.col("q_cell"))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "qv",
+            F.col("vec_id").alias("n_id"),
+            "cell",
+            F.expr(
+                "CAST(bit_count(qw1 ^ w1) + bit_count(qw2 ^ w2) AS BIGINT)"
+            ).alias("hamming"),
+        )
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("n_id"))
+    short = (
+        cand.withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= shortlist)
+        .drop("srn")
+    )
+    vecs = base.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    rer = F.broadcast(short).join(vecs, "n_id").select(
+        "q_id",
+        "n_id",
+        "cell",
+        "hamming",
+        F.round(_cos(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return rer.withColumn(
+        "rnk", F.row_number().over(wr).cast("long")
+    ).where(F.col("rnk") <= k)

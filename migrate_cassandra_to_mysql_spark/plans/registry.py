@@ -239,7 +239,16 @@ PRIORITY: list[str] = [
     "json_struct_extract",
     "parts_catalog_profile",
     "price_histogram",
-    "deterministic_sample",
+    # r13: deterministic_sample out on its green r9-r12 rows (4
+    # consecutive) — reproducible sampling stays in-window via
+    # weighted_sample_topk (A-ES md5-clock sampling, the exact-count
+    # twin) plus its own prior greens and the hash-threshold unit
+    # tests. In: IVF-bucketed binary quantization — the persisted
+    # serving form of bq_hamming_topk (sign codes hive-partitioned by
+    # IVF cell, probed-cell PartitionFilters, XOR/popcount shortlist
+    # within probed cells only, exact rerank from the base table) —
+    # the missing rung between SQ8 (flat scan) and IVFADC (probed ADC):
+    "ivf_bq_hamming_topk",
     # r11: events_grouping_sets out on its green r7-r10 rows (4
     # consecutive) — multi-level rollup stays covered by its own prior
     # rows + events_cube's greens, and the events family keeps

@@ -1689,14 +1689,13 @@ def _bq_pack_duck(v: str, lo: int) -> str:
 
 
 def _bq_pack_spark(v: str, lo: int) -> str:
-    """Spark SQL twin of _bq_pack_duck (element_at is 1-based too)."""
-    return (
-        f"CAST(aggregate(transform(sequence(1, 32), i -> "
-        f"CASE WHEN element_at({v}, i + {lo}) >= 0"
-        f" THEN shiftleft(CAST(1 AS BIGINT), i - 1)"
-        f" ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT),"
-        f" (a, x) -> a + x) AS BIGINT)"
+    """Spark SQL twin of _bq_pack_duck (element_at is 1-based too) —
+    shared with the persisted-index builder (r13)."""
+    from migrate_cassandra_to_mysql_spark.functions.vectors import (
+        bq_pack_sql,
     )
+
+    return bq_pack_sql(v, lo)
 
 
 def _bq_oracle() -> str:
@@ -1815,4 +1814,106 @@ def bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
             F.col("rnk").cast("long").alias("rnk"),
         )
+    )
+
+
+# BQ-IVF composition (r13): the flat BQ row above scans every code; the
+# persisted variant prunes the code scan to the probed cells first —
+# the missing serving rung between SQ8 (8-bit, flat) and IVFADC
+# (codebook subquantizers, probed). Same shortlist/k as the flat row so
+# the two are directly comparable.
+_BQIVF_CELLS = 4
+_BQIVF_PROBE = 2
+
+
+def _bq_ivf_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ cb AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < {_BQIVF_CELLS}),
+ scored AS (SELECT e.vec_id, e.v, cb.c_id,
+                   {_COS.format(a='e.v', b='cb.cv')} AS c_sim
+            FROM e CROSS JOIN cb),
+ ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY c_sim DESC, c_id) AS rn
+            FROM scored),
+ codes AS (SELECT vec_id, v, c_id AS cell,
+                  {_bq_pack_duck('v', 0)} AS w1,
+                  {_bq_pack_duck('v', 32)} AS w2
+           FROM ranked WHERE rn = 1),
+ q AS (SELECT vec_id AS q_id, v AS qv,
+              {_bq_pack_duck('v', 0)} AS qw1,
+              {_bq_pack_duck('v', 32)} AS qw2,
+              c_id AS q_cell
+       FROM ranked WHERE vec_id % 100 = 0 AND rn <= {_BQIVF_PROBE}),
+ ham AS (SELECT q.q_id, c.vec_id AS n_id, CAST(c.cell AS BIGINT) AS cell,
+                CAST(bit_count(xor(q.qw1, c.w1))
+                     + bit_count(xor(q.qw2, c.w2)) AS BIGINT) AS hamming,
+                q.qv, c.v
+         FROM q JOIN codes c ON c.cell = q.q_cell AND c.vec_id != q.q_id),
+ short AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY hamming, n_id) AS srn
+    FROM ham) t WHERE srn <= {_BQ_SHORTLIST}),
+ rer AS (SELECT q_id, n_id, cell, hamming,
+                {_COS.format(a='qv', b='v')} AS cos_sim
+         FROM short)
+SELECT q_id, n_id, cell, hamming, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, n_id) AS rnk
+      FROM rer) t
+WHERE rnk <= {_BQ_K}
+"""
+
+
+@register("ivf_bq_hamming_topk", oracle=_bq_ivf_oracle())
+def ivf_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed binary-quantized retrieval — the persisted serving
+    form of bq_hamming_topk: the sign codes live on disk
+    hive-partitioned by IVF cell (operators/ivf_index.build_bq_index,
+    codes only — 24 bytes/vector), each query probes its 2 nearest
+    cells (literal IN filter -> parquet PartitionFilters; unprobed
+    cells' files never open), Hamming-shortlists the top-30 within the
+    probed cells by XOR+popcount, and exact-cosine re-ranks only the
+    shortlist against full vectors fetched from the base table. This is
+    the missing rung between SQ8 (flat 8-bit scan) and IVFADC (probed
+    codebook ADC): Faiss IndexBinaryIVF's layout, where the 100 TB
+    code table is vectors/8 bytes AND the per-query scan touches only
+    n_probe/k_cells of it.
+
+    Scale shape: build is one map-side projection + partitioned write
+    (memoized train-once); serving broadcasts the query codes against
+    the PRUNED code scan, windows twice (WindowGroupLimit shortlist,
+    top-k), and the base-vector fetch broadcasts the queries x 30
+    shortlist so the vector table never shuffles. No float math
+    outside the shortlist.
+
+    Determinism: cell assignment/probe = cosine 6-dp + c_id tie (the
+    shared _nearest_cells order, replayed by the oracle's `ranked`
+    CTE); codes are exact integers; shortlist total order (hamming,
+    n_id); rerank (cos_sim 6-dp DESC, n_id)."""
+    from migrate_cassandra_to_mysql_spark.operators import ivf_index
+    from migrate_cassandra_to_mysql_spark.plans._work import memo, workdir
+
+    emb = T(spark, sf_dir, "embeddings")
+
+    def _build() -> str:
+        d = workdir("mc2m_bqivf_")
+        ivf_index.build_bq_index(
+            emb, d, ivf_index.first_k_codebook(emb, _BQIVF_CELLS)
+        )
+        return d
+
+    index_dir = memo(("bq_ivf_index", sf_dir), _build)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return ivf_index.bq_search(
+        spark,
+        index_dir,
+        queries,
+        emb,
+        k=_BQ_K,
+        n_probe=_BQIVF_PROBE,
+        shortlist=_BQ_SHORTLIST,
     )

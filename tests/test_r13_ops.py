@@ -1,0 +1,128 @@
+"""Round-13 operators: IVF-bucketed binary quantization
+(operators/ivf_index.build_bq_index + bq_search), shingle containment
+near-dup, and grouped MAD outliers.
+
+BQ-IVF invariants pinned here:
+  - probing ALL cells reproduces the flat bq_hamming_topk ranking
+    exactly (cell pruning changes the candidate set, never the scoring);
+  - the probed-cell serve reads the codes scan through parquet
+    PartitionFilters (plan-shape pin);
+  - recall vs the exact-cosine truth is a meaningful share at
+    n_probe=2 and non-decreasing in n_probe.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from migrate_cassandra_to_mysql_spark.operators import ivf_index
+from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+
+@pytest.fixture(scope="module")
+def bq_index_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bqivf"))
+    emb = T(spark, sf_dir, "embeddings")
+    ivf_index.build_bq_index(emb, d, ivf_index.first_k_codebook(emb, 4))
+    return d
+
+
+def _queries(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+
+
+def test_bq_ivf_all_probe_equals_flat(spark, sf_dir, bq_index_dir):
+    """n_probe = k_cells admits every candidate, so the IVF serve must
+    reproduce the flat full-scan BQ ranking bit for bit (same shortlist
+    order, same rerank) — cell layout is pruning, not scoring."""
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    flat = {
+        (r["q_id"], r["n_id"], r["rnk"], r["hamming"], r["cos_sim"])
+        for r in catalog.queries()["bq_hamming_topk"](
+            spark, sf_dir
+        ).collect()
+    }
+    ivf = {
+        (r["q_id"], r["n_id"], r["rnk"], r["hamming"], r["cos_sim"])
+        for r in ivf_index.bq_search(
+            spark,
+            bq_index_dir,
+            _queries(spark, sf_dir),
+            T(spark, sf_dir, "embeddings"),
+            k=5,
+            n_probe=4,
+            shortlist=30,
+        ).collect()
+    }
+    assert flat == ivf
+
+
+def test_bq_ivf_partition_filter_reaches_codes_scan(
+    spark, sf_dir, bq_index_dir
+):
+    df = ivf_index.bq_search(
+        spark,
+        bq_index_dir,
+        _queries(spark, sf_dir),
+        T(spark, sf_dir, "embeddings"),
+        k=5,
+        n_probe=2,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "/codes" in ln
+    ]
+    assert pf_lines, plan
+    assert any("cell" in ln and " IN " in ln for ln in pf_lines), pf_lines
+
+
+def test_bq_ivf_recall_vs_exact_and_probe_monotone(
+    spark, sf_dir, bq_index_dir
+):
+    from migrate_cassandra_to_mysql_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, F.col("vec_id") % 100 == 0, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["q_id"], set()).add(r["n_id"])
+
+    def recall(n_probe):
+        rows = ivf_index.bq_search(
+            spark, bq_index_dir, _queries(spark, sf_dir), emb,
+            k=5, n_probe=n_probe,
+        ).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["q_id"], set()).add(r["n_id"])
+        hits = sum(len(got.get(q, set()) & w) for q, w in truth.items())
+        return hits / sum(len(w) for w in truth.values())
+
+    r2, r4 = recall(2), recall(4)
+    # Random 64-dim data, 4 coarse cells, 1-bit codes: recall is
+    # imperfect by design; pin that the pruned binary serve still finds
+    # a meaningful share and that widening the probe never hurts.
+    assert 0.15 <= r2 <= 1.0, r2
+    assert r4 >= r2, (r2, r4)
+
+
+def test_bq_ivf_codes_layout_is_codes_only(spark, sf_dir, bq_index_dir):
+    """The index stores 24-byte code rows, not vectors — the 64x
+    compression contract of the layout."""
+    codes = spark.read.parquet(f"{bq_index_dir}/codes")
+    assert set(codes.columns) == {"vec_id", "w1", "w2", "cell"}
+    n_vec = T(spark, sf_dir, "embeddings").count()
+    assert codes.count() == n_vec
