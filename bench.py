@@ -264,6 +264,10 @@ def main() -> None:
         # bq_hamming_topk scan (that is the point of the cell pruning)
         ("ivf_bq_hamming_topk", "ivf_bq_build_and_serve"),
         ("ivf_bq_hamming_topk", "ivf_bq_serve"),
+        # r13: asymmetric containment dedup — same posting-join +
+        # df-clamp shape as sparse_cosine_pairs, so it must price in
+        # that row's band (the checkpointed shingle build dominates)
+        ("shingle_containment_pairs", "shingle_containment_pairs"),
     ):
         if nm not in qs:
             continue

@@ -780,3 +780,103 @@ def incremental_lsh_dedup(
             "jac_ppm",
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.9,
+    df_cap_frac: int = 8,
+    df_floor: int = 64,
+    df_ceil: int = 1024,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle-set containment:
+
+        C(A->B) = |S(A) ∩ S(B)| / |S(A)|
+
+    Jaccard's symmetric denominator |A ∪ B| dilutes the
+    document-contained-in-document case — a short original wrapped in
+    site boilerplate shares ALL its shingles with the wrapper yet its
+    Jaccard sinks toward |A|/|B| and slips under every LSH threshold.
+    Containment keeps that signal: C(orig->wrapped) stays ~1.0 no
+    matter how much boilerplate the wrapper adds (Broder 1997's
+    containment measure, the training-dedup gap exact/MinHash rows
+    leave open). Emits one row per unordered pair (doc_a < doc_b)
+    carrying BOTH directions (c_ab = C(a->b)-style share of a's set,
+    c_ba of b's) filtered on greatest(c_ab, c_ba) >= threshold, so the
+    consumer sees which side is the contained one.
+
+    Scale shape — the sparse_cosine_pairs df-clamp discipline: pairing
+    goes only through shingles with df <= min(max(n_docs/df_cap_frac,
+    df_floor), df_ceil) — relative on small corpora, CLAMPED absolute
+    at scale, so any kept shingle fans out at most df_ceil^2/2
+    candidate pairs and total candidate volume is linear in vocabulary
+    (a purely relative cap re-admits the quadratic hot tail the clamp
+    exists to cut). The operator is DEFINED over the pruned shingle
+    space: set sizes, intersections, and both containments all use it,
+    and the oracle encodes the same. The pruned universe is eagerly
+    checkpointed once and feeds all three consumers (sizes, both join
+    sides); corpus text never shuffles.
+
+    Determinism: shingle sets are distinct (map-side), intersection
+    counts are exact BIGINTs, both ratios round to 6 dp before the
+    greatest() threshold — identical IEEE ops cross-engine.
+
+    The reference has no content-level dedup (key-level INSERT IGNORE
+    only, snapshot_use_pyspark.py:456); engine-added training-pipeline
+    surface beside jaccard_pairs / lsh_candidates above.
+    """
+    ded = shingle_sets(docs, text_col, k).select(
+        "doc_id", F.explode("shset").alias("shingle")
+    )
+    # Corpus size rides as a broadcast 1-row aggregate (one scan, one
+    # schedule — the tfidf discipline); the df filter is a window count
+    # riding the hash(shingle) exchange the join needs anyway.
+    n = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).localCheckpoint(eager=True)
+    cap = F.least(
+        F.greatest(
+            F.expr(f"n_docs DIV {df_cap_frac}"), F.lit(df_floor)
+        ),
+        F.lit(df_ceil),
+    )
+    f = (
+        ded.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") <= cap)
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=True)
+    )
+    sz = f.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    a = f.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = f.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    c_ab = F.round(F.col("n_shared") / F.col("n_sh_a"), 6)
+    c_ba = F.round(F.col("n_shared") / F.col("n_sh_b"), 6)
+    return (
+        pairs.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_sh_a",
+            "n_sh_b",
+            c_ab.alias("c_ab"),
+            c_ba.alias("c_ba"),
+        )
+        .where(F.greatest(F.col("c_ab"), F.col("c_ba")) >= threshold)
+    )

@@ -235,7 +235,16 @@ PRIORITY: list[str] = [
     # (events_grouping_sets keeps the reshaping family) to admit the
     # r9-NEW substring-level dedup — new ops earn their driver row in
     # their own round:
-    "dup_ngram_spans",
+    # r13: dup_ngram_spans out on its green r9-r12 rows (4
+    # consecutive) — substring-level dedup keeps its prior greens +
+    # property tests, and the shingle/posting near-dup family stays
+    # in-window via incremental_dedup_lsh, sparse_cosine_pairs,
+    # dedup_canonical_keep and the incoming row. In: shingle
+    # containment C(A->B) = |A∩B|/|A| — the ASYMMETRIC near-dup
+    # (doc-contained-in-doc, boilerplate-wrapped duplicates) that
+    # Jaccard's symmetric denominator dilutes below every LSH
+    # threshold; sparse-cosine df clamp bounds the posting join:
+    "shingle_containment_pairs",
     "json_struct_extract",
     "parts_catalog_profile",
     "price_histogram",

@@ -526,6 +526,114 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Containment near-dup constants. The injection wraps every 50th doc in
+# site boilerplate (a prefix + footer of ~25 tokens) under doc_id +
+# 2000000 — the doc-contained-in-doc shape Jaccard's symmetric
+# denominator dilutes: C(orig->wrapped) is exactly 1.0 (every original
+# shingle survives in the wrapper; the boundary only ADDS shingles)
+# while Jaccard = |orig|/|wrapped| < 1 and, for short docs inside long
+# boilerplate, drops under the LSH threshold (pinned in
+# tests/test_r13_ops.py on a synthetic fixture).
+_CONT_THRESHOLD = 0.9
+_CONT_PRE = (
+    "mirror notice this page is served from an archived snapshot "
+    "please consult the origin site for the current revision"
+)
+_CONT_POST = (
+    "footer navigation about contact careers privacy terms "
+    "copyright all rights reserved"
+)
+_CONT_INJECT_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         '{_CONT_PRE} ' || text || ' {_CONT_POST}' AS text
+  FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+def _inject_wrapped_spark(d: DataFrame) -> DataFrame:
+    # Single-scan struct-explode form of `base UNION ALL boilerplate-
+    # wrapped-copy-of-2%` (the _inject_dups_spark discipline: one scan,
+    # one codegen branch).
+    orig = F.struct(
+        F.col("doc_id").alias("doc_id"), F.col("text").alias("text")
+    )
+    wrapped = F.struct(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit(_CONT_PRE + " "), F.col("text"), F.lit(" " + _CONT_POST)
+        ).alias("text"),
+    )
+    return d.select(
+        F.explode(
+            F.when(F.col("doc_id") % 50 == 0, F.array(orig, wrapped))
+            .otherwise(F.array(orig))
+        ).alias("r")
+    ).select("r.doc_id", "r.text")
+
+
+@register(
+    "shingle_containment_pairs",
+    oracle=f"""
+WITH base AS ({_CONT_INJECT_SQL}),
+ t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM base),
+ s AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 3 THEN
+                list_distinct(list_transform(range(0, len(toks) - 2),
+                  i -> array_to_string(toks[i+1:i+3], ' ')))
+              ELSE [] END AS shset
+       FROM t),
+ exd AS (SELECT doc_id, unnest(shset) AS shingle FROM s),
+ n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+ f AS (SELECT doc_id, shingle FROM (
+         SELECT doc_id, shingle,
+                count(*) OVER (PARTITION BY shingle) AS df
+         FROM exd) t CROSS JOIN n
+       WHERE df <= least(greatest(n.n_docs // {_SC_DF_CAP_FRAC},
+                                  {_SC_DF_FLOOR}), {_SC_DF_CEIL})),
+ sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM f GROUP BY 1),
+ pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS n_shared
+           FROM f a JOIN f b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       za.n_sh AS n_sh_a, zb.n_sh AS n_sh_b,
+       round(CAST(p.n_shared AS DOUBLE) / za.n_sh, 6) AS c_ab,
+       round(CAST(p.n_shared AS DOUBLE) / zb.n_sh, 6) AS c_ba
+FROM pairs p
+JOIN sz za ON p.doc_a = za.doc_id
+JOIN sz zb ON p.doc_b = zb.doc_id
+WHERE greatest(round(CAST(p.n_shared AS DOUBLE) / za.n_sh, 6),
+               round(CAST(p.n_shared AS DOUBLE) / zb.n_sh, 6))
+      >= {_CONT_THRESHOLD}
+""",
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by 3-gram shingle containment
+    C(A->B) = |S(A) ∩ S(B)| / |S(A)| >= 0.9 in either direction —
+    the doc-contained-in-doc detector (boilerplate-wrapped duplicates)
+    that Jaccard's symmetric |A ∪ B| denominator dilutes below every
+    LSH threshold. See operators/dedup.containment_pairs for the full
+    semantics, the sparse_cosine_pairs df-clamp scale bound (kept
+    shingles fan out <= 1024^2/2 pairs each; candidate volume linear in
+    vocabulary), and the single-checkpoint plan discipline. The corpus
+    injects boilerplate-wrapped copies of every 50th doc so the
+    asymmetric pairs exist at every sf."""
+    from migrate_cassandra_to_mysql_spark.operators import dedup
+
+    base = _inject_wrapped_spark(T(spark, sf_dir, "documents"))
+    return dedup.containment_pairs(
+        base,
+        k=3,
+        threshold=_CONT_THRESHOLD,
+        df_cap_frac=_SC_DF_CAP_FRAC,
+        df_floor=_SC_DF_FLOOR,
+        df_ceil=_SC_DF_CEIL,
+    )
+
+
 # Jensen-Shannon divergence between the unigram distributions of the two
 # doc_id-parity halves of each language's corpus — the data-mix diagnostic
 # a training pipeline runs to detect distribution drift between shards /

@@ -126,3 +126,60 @@ def test_bq_ivf_codes_layout_is_codes_only(spark, sf_dir, bq_index_dir):
     assert set(codes.columns) == {"vec_id", "w1", "w2", "cell"}
     n_vec = T(spark, sf_dir, "embeddings").count()
     assert codes.count() == n_vec
+
+
+def test_containment_catches_wrapped_doc_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc wrapped in long
+    boilerplate has containment 1.0 but Jaccard well under the 0.5 LSH
+    threshold — jaccard_pairs returns nothing for the pair while
+    containment_pairs flags it."""
+    from migrate_cassandra_to_mysql_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy sleeping dog today"
+    boiler = " ".join(f"boilerplate{i} filler{i} chrome{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, f"{boiler} {short} {boiler} extra trailing words")],
+        "doc_id long, text string",
+    )
+    jac = jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    assert jac == [], jac
+    cont = containment_pairs(docs, k=3, threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    # every shingle of the short doc survives inside the wrapper
+    assert r["c_ab"] == 1.0
+    assert r["n_shared"] == r["n_sh_a"]
+    # ... while the wrapper's own set is much larger (the asymmetry)
+    assert r["c_ba"] < 0.2
+    assert r["n_sh_b"] > 3 * r["n_sh_a"]
+
+
+def test_containment_catalog_row_flags_injected_wrappers(spark, sf_dir):
+    """Every injected boilerplate-wrapped copy (doc_id + 2000000) must
+    surface as a containment pair with the ORIGINAL side fully
+    contained (c_ab exactly 1.0 — the wrap only adds shingles)."""
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+    from migrate_cassandra_to_mysql_spark.sources.parquet import table as T2
+
+    rows = catalog.queries()["shingle_containment_pairs"](
+        spark, sf_dir
+    ).collect()
+    wrapped = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in rows
+        if r["doc_b"] == r["doc_a"] + 2000000
+    }
+    n_injected = (
+        T2(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 50 == 0)
+        .count()
+    )
+    assert len(wrapped) == n_injected
+    for r in wrapped.values():
+        assert r["c_ab"] == 1.0
+        assert r["n_shared"] == r["n_sh_a"]
+        assert r["c_ba"] <= 1.0

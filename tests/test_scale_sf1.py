@@ -823,3 +823,26 @@ def test_r12_rows_complete_at_sf1(spark, sf1_dir, name):
     df = catalog.queries()[name](spark, sf1_dir)
     df.write.format("noop").mode("overwrite").save()
     assert df.count() > 0, name
+
+
+def test_containment_pairs_completes_at_sf1(spark, sf1_dir):
+    """Asymmetric containment dedup at 10x corpus: the df clamp must
+    hold the posting self-join's candidate volume (kept shingles fan
+    out <= cap^2/2 pairs each), nothing collects driver-side, and the
+    injected boilerplate-wrapped copies still surface with the original
+    side fully contained (c_ab exactly 1.0) — the semantics are
+    scale-invariant by construction."""
+    df = catalog.queries()["shingle_containment_pairs"](spark, sf1_dir)
+    df.write.format("noop").mode("overwrite").save()
+    bad = df.where(
+        (F.col("n_shared") > F.col("n_sh_a"))
+        | (F.col("n_shared") > F.col("n_sh_b"))
+        | (F.col("doc_a") >= F.col("doc_b"))
+        | (F.col("c_ab") > 1.0)
+        | (F.col("c_ba") > 1.0)
+    ).count()
+    assert bad == 0
+    wrapped = df.where(F.col("doc_b") == F.col("doc_a") + 2000000)
+    n_wrapped = wrapped.count()
+    assert n_wrapped > 0
+    assert wrapped.where(F.col("c_ab") != 1.0).count() == 0
