@@ -268,6 +268,10 @@ def main() -> None:
         # df-clamp shape as sparse_cosine_pairs, so it must price in
         # that row's band (the checkpointed shingle build dominates)
         ("shingle_containment_pairs", "shingle_containment_pairs"),
+        # r13: robust MAD fence — two histogram partial-aggs + two
+        # domain-sized windows + broadcast fence joins; must price like
+        # a two-agg pass over orders (no fact-sized sort anywhere)
+        ("grouped_mad_outliers", "grouped_mad_outliers"),
     ):
         if nm not in qs:
             continue

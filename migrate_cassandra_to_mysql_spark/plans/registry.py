@@ -247,7 +247,15 @@ PRIORITY: list[str] = [
     "shingle_containment_pairs",
     "json_struct_extract",
     "parts_catalog_profile",
-    "price_histogram",
+    # r13: price_histogram out on its green r9-r12 rows (4
+    # consecutive) — distribution-stats coverage stays in-window via
+    # parts_catalog_profile + the scalar-suite members, and the
+    # histogram shape keeps its prior greens. In: per-nation MAD
+    # outlier fence — the robust-statistics complement of corr/covar/
+    # OLS (breakdown point 50%), with EXACT integer medians computed
+    # from value histograms + cumulative windows so no per-group row
+    # sort exists at any scale:
+    "grouped_mad_outliers",
     # r13: deterministic_sample out on its green r9-r12 rows (4
     # consecutive) — reproducible sampling stays in-window via
     # weighted_sample_topk (A-ES md5-clock sampling, the exact-count

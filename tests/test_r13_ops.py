@@ -183,3 +183,74 @@ def test_containment_catalog_row_flags_injected_wrappers(spark, sf_dir):
         assert r["c_ab"] == 1.0
         assert r["n_shared"] == r["n_sh_a"]
         assert r["c_ba"] <= 1.0
+
+
+def test_mad_outliers_fence_invariants(spark, sf_dir):
+    """Structural contract of the robust fence: one (median, MAD) pair
+    per nation, dev is exactly |price - median|, and every emitted row
+    clears the 2x fence."""
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    rows = catalog.queries()["grouped_mad_outliers"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    per_nation = {}
+    for r in rows:
+        assert r["dev_cents"] == abs(r["price_cents"] - r["med_cents"])
+        assert r["dev_cents"] > 2 * r["mad_cents"]
+        per_nation.setdefault(r["n_name"], set()).add(
+            (r["med_cents"], r["mad_cents"])
+        )
+    for nation, fences in per_nation.items():
+        assert len(fences) == 1, (nation, fences)
+
+
+def test_mad_outliers_match_python_reference(spark, sf_dir):
+    """The exact lower-median / MAD fence recomputed row-at-a-time in
+    Python over the same join — the histogram+cumulative-window form
+    must select the identical outlier set and fence values."""
+    import duckdb
+
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    raw = con.execute(
+        """
+        SELECT n.n_name, o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """
+    ).fetchall()
+    by_nation: dict = {}
+    for name, ok, cents in raw:
+        by_nation.setdefault(name, []).append((ok, cents))
+
+    def lower_median(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    want = set()
+    for name, rows_ in by_nation.items():
+        med = lower_median([c for _, c in rows_])
+        mad = lower_median([abs(c - med) for _, c in rows_])
+        for ok, c in rows_:
+            if abs(c - med) > 2 * mad:
+                want.add((name, ok, c, med, mad, abs(c - med)))
+    got = {
+        (
+            r["n_name"], r["o_orderkey"], r["price_cents"],
+            r["med_cents"], r["mad_cents"], r["dev_cents"],
+        )
+        for r in catalog.queries()["grouped_mad_outliers"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
