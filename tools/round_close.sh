@@ -73,44 +73,25 @@ sys.exit(1 if bad else 0)
 PY
 
 if [ "${SKIP_BENCH:-0}" != "1" ]; then
-  echo "== bench cooldown: wait for a stable parallel-calibration anchor =="
-  python - <<'PY'
-import sys, time
-sys.path.insert(0, ".")
-from bench import cpu_calibration_parallel
-
-prev = cpu_calibration_parallel()
-for attempt in range(6):
-    time.sleep(20)
-    cur = cpu_calibration_parallel()
-    print(f"calib_par samples: {prev:.3f} -> {cur:.3f}", flush=True)
-    if abs(cur - prev) <= 0.15 * max(cur, prev):
-        print("host settled")
-        break
-    prev = cur
-else:
-    print("WARNING: calibration never settled; recording anyway — "
-          "compare anchored ratios, not raw seconds")
-PY
-  echo "== discarded warm-up bench pass (post-gates JVM/page-cache state) =="
-  python bench.py >/dev/null 2>&1 || true
-  echo "== 3-run bench series (append to /tmp/round_close_bench.jsonl) =="
-  : > /tmp/round_close_bench.jsonl
-  for i in 1 2 3; do
-    python bench.py 2>/dev/null | tail -1 >> /tmp/round_close_bench.jsonl
-  done
+  echo "== canonical 3-run bench series (tools/bench_series.py:" \
+       "settle-wait + one DISCARDED warm-up, then 3 recorded runs in" \
+       "the r13 canonical record shape) =="
+  python tools/bench_series.py 3 "round-close settled series" \
+    | tee /tmp/round_close_bench_series.json >/dev/null
   python - <<'PY'
 import json
-for l in open('/tmp/round_close_bench.jsonl'):
-    d = json.loads(l)
+d = json.load(open('/tmp/round_close_bench_series.json'))
+for r in d['runs']:
     print(
-        f"calib_par {d['calib_parallel_sec']:.3f}  cold {d['value']:.1f}  "
-        f"exec {d['exec_total_sec']:.1f}  warm {d['warm_total_sec']:.1f}  "
-        f"warm_exec {d['warm_exec_total_sec']:.1f}  "
-        f"anchored {d['value']/d['calib_parallel_sec']:.0f}"
+        f"calib_par {r['calib_parallel_sec']:.3f}  "
+        f"cold {r['cold_total_sec']:.1f}  "
+        f"exec {r['exec_total_sec']:.1f}  warm {r['warm_total_sec']:.1f}  "
+        f"warm_exec {r['warm_exec_total_sec']:.1f}  "
+        f"anchored {r['anchored_cold_total_over_calib_par']:.0f}"
     )
 PY
-  echo "(commit the series into BENCH_r{N}_local.json with per-run anchors)"
+  echo "(append /tmp/round_close_bench_series.json to" \
+       "BENCH_r{N}_local.json's series list verbatim)"
 fi
 
 echo "ALL GATES GREEN"
