@@ -541,7 +541,9 @@ FROM r{n_iter} LEFT JOIN outdeg o ON r{n_iter}.node = o.src
     )
 
 
-def _directed_copurchase_pairs(spark: SparkSession, sf_dir: str):
+def _directed_copurchase_pairs(
+    spark: SparkSession, sf_dir: str, timings: dict | None = None
+):
     """The checkpointed directed co-purchase edge frame (src, dst)
     shared by the pagerank and personalized-pagerank rows (hoisted
     late-r12 — the two plans carried byte-identical copies that had to
@@ -559,6 +561,9 @@ def _directed_copurchase_pairs(spark: SparkSession, sf_dir: str):
     edge list is re-referenced by every loop round and the callers'
     outdeg/node builds — checkpointed so the self-join + dedup run
     once."""
+    import time as _time
+
+    t0 = _time.perf_counter()
     li = T(spark, sf_dir, "lineitem")
     items = (
         li.select(
@@ -567,9 +572,18 @@ def _directed_copurchase_pairs(spark: SparkSession, sf_dir: str):
         .distinct()
         .localCheckpoint(eager=True)
     )
+    t1 = _time.perf_counter()
     o = items.select("ok", F.col("p").alias("dst"))
+    # The r13 split probe isolated the PPR chain's only superlinear
+    # phase to this dedup (7.9 -> 63.5s, 8.0x at 5.0x edges) with
+    # MemoryStore eviction warnings present at sf5 and absent at sf1 —
+    # a fixed-heap storage cliff (the 120M-row checkpoint no longer
+    # fits the 8g suite heap's storage pool), not an algorithmic term;
+    # an x16 A/B measured no improvement (BENCH_r13_local.json
+    # ppr_split), so the width stays at x8. On a cluster with memory
+    # scaled to data the phase is linear.
     n_dedup = max(64, spark.sparkContext.defaultParallelism * 8)
-    return (
+    pairs = (
         items.join(o, "ok")
         .where(F.col("p") != F.col("dst"))
         .select(F.col("p").alias("src"), "dst")
@@ -577,6 +591,10 @@ def _directed_copurchase_pairs(spark: SparkSession, sf_dir: str):
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
+    if timings is not None:  # split-timer hook (tools/ppr_split_probe.py)
+        timings["items_distinct_sec"] = round(t1 - t0, 2)
+        timings["pair_dedup_sec"] = round(_time.perf_counter() - t1, 2)
+    return pairs
 
 
 @register("part_copurchase_pagerank", oracle=_pagerank_oracle())
@@ -666,6 +684,40 @@ FROM r{n_iter} LEFT JOIN seeds s ON r{n_iter}.node = s.node
     )
 
 
+def _smallest_nodes(spark: SparkSession, pairs: DataFrame, n: int = 3):
+    """The n smallest node ids of the (src, dst) edge frame, as a
+    query-sized local DataFrame — via n successive 1-row MIN aggregates
+    over the checkpointed edges (each endpoint column filtered
+    independently, so a node whose only partner is an earlier pick is
+    still seen). Control-plane jobs over executor-local blocks: three
+    map-side minima shuffle NOTHING. The r13 split-timer probe measured
+    the previous union-distinct + TakeOrdered form at 3.5s -> 55.1s
+    (15.6x) at 5x edges — it shuffled every edge endpoint to
+    deduplicate 2|E| rows down to |V|, all to pick 3 ids. Values are
+    exact integers, bit-identical to the distinct form (pinned by
+    tests/test_pagerank.py::test_smallest_nodes_equals_distinct_form).
+    Shared by the part_copurchase_ppr row and tools/ppr_split_probe.py
+    so the probe times the exact catalog chain."""
+    mins: list[int] = []
+    lo = None
+    for _ in range(n):
+        above = (
+            F.col("src") if lo is None else
+            F.when(F.col("src") > lo, F.col("src"))
+        )
+        above_d = (
+            F.col("dst") if lo is None else
+            F.when(F.col("dst") > lo, F.col("dst"))
+        )
+        lo = pairs.agg(
+            F.least(F.min(above), F.min(above_d)).alias("m")
+        ).collect()[0]["m"]
+        if lo is None:  # fewer than n distinct nodes: return what exists
+            break
+        mins.append(int(lo))
+    return spark.createDataFrame([(m,) for m in mins], "node long")
+
+
 @register("part_copurchase_ppr", oracle=_ppr_oracle())
 def part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (random-walk-with-restart) over the part
@@ -693,18 +745,7 @@ def part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = _directed_copurchase_pairs(spark, sf_dir)
-    # 3 rows, referenced three times (teleport build, |S| aggregate,
-    # final is_seed flag) — checkpoint so the node-set distinct runs
-    # once (the single-scan discipline; the re-reads would be over the
-    # pairs checkpoint, not parquet, but still a full distinct each):
-    seeds = (
-        pairs.select(F.col("src").alias("node"))
-        .union(pairs.select(F.col("dst").alias("node")))
-        .distinct()
-        .orderBy("node")
-        .limit(3)
-        .localCheckpoint(eager=True)
-    )
+    seeds = _smallest_nodes(spark, pairs, n=3)
     # broadcast_frontier: the 3-seed walk's frontier is bounded by the
     # seed-reachable component (query-local by construction), so each
     # round scans the persisted edge frame once instead of shuffling it

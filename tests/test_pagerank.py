@@ -345,3 +345,36 @@ def test_ppr_broadcast_row_cap_fallback_equals_default(spark, ring_edges):
         ).collect()
     }
     assert a == b
+
+
+def test_smallest_nodes_equals_distinct_form(spark):
+    """The shuffle-free n-min seed pick (scaleplans._smallest_nodes)
+    must return exactly the n smallest distinct node ids — the
+    union-distinct + TakeOrdered form it replaced — including when a
+    node's only partner is an earlier seed (node 2 below appears only
+    opposite node 1) and when fewer than n distinct nodes exist."""
+    from migrate_cassandra_to_mysql_spark.plans.scaleplans import (
+        _smallest_nodes,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (5, 9), (9, 5), (7, 5)], "src long, dst long"
+    )
+    got = sorted(r["node"] for r in _smallest_nodes(spark, edges, n=3).collect())
+    want = sorted(
+        r["node"]
+        for r in (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .orderBy("node")
+            .limit(3)
+            .collect()
+        )
+    )
+    assert got == want == [1, 2, 5]
+    # short graph: returns every distinct node, no crash
+    two = spark.createDataFrame([(4, 8), (8, 4)], "src long, dst long")
+    assert sorted(
+        r["node"] for r in _smallest_nodes(spark, two, n=3).collect()
+    ) == [4, 8]

@@ -13,8 +13,11 @@ scale suite uses:
                     eager checkpoint (everything that executes at
                     frame-construction time), then a count() to pin
                     the edge cardinality;
-  seeds_sec       — the 3-seed orderBy/limit off the checkpointed
-                    pairs (query-sized);
+  seeds_sec       — the 3-seed pick off the checkpointed pairs via
+                    scaleplans._smallest_nodes (the catalog row's exact
+                    shuffle-free form; the r13 fix replaced the
+                    union-distinct + TakeOrdered that measured 55s at
+                    sf5);
   loop_sec        — personalized_pagerank(..., broadcast_frontier=True)
                     over the ALREADY-BUILT edge frame + a noop write
                     of the dense expansion (the loop's eager
@@ -43,18 +46,22 @@ _COPIES = {"sf1": 10, "sf5": 50}
 def main() -> int:
     import shutil
 
-    from pyspark.sql import functions as F
-
     from migrate_cassandra_to_mysql_spark.operators.components import (
         personalized_pagerank,
     )
     from migrate_cassandra_to_mysql_spark.plans.scaleplans import (
         _directed_copurchase_pairs,
+        _smallest_nodes,
     )
     from migrate_cassandra_to_mysql_spark.scale_data import synthesize_sf1
     from migrate_cassandra_to_mysql_spark.session import get_spark
 
-    spark = get_spark("ppr-split-probe")
+    # Same session shape as the sf5 scale suite (tests/conftest.py):
+    # local[8] + 8 shuffle partitions. The default local[32] session
+    # OOMs an 8g heap in the sf5 pair dedup — 32 concurrent tasks'
+    # aggregation maps where the suite runs 8 — and the point of the
+    # probe is to split-time the EXACT chain the suite measures.
+    spark = get_spark("ppr-split-probe", master="local[8]", shuffle_partitions=8)
     out: dict = {}
     dirs: list[str] = []
     try:
@@ -65,17 +72,11 @@ def main() -> int:
                 spark, _SRC_SF, d, copies=copies, tables=("lineitem",)
             )
             t0 = time.perf_counter()
-            pairs = _directed_copurchase_pairs(spark, d)
+            sub: dict = {}
+            pairs = _directed_copurchase_pairs(spark, d, timings=sub)
             n_edges = pairs.count()
             t1 = time.perf_counter()
-            seeds = (
-                pairs.select(F.col("src").alias("node"))
-                .union(pairs.select(F.col("dst").alias("node")))
-                .distinct()
-                .orderBy("node")
-                .limit(3)
-                .localCheckpoint(eager=True)
-            )
+            seeds = _smallest_nodes(spark, pairs, n=3)
             t2 = time.perf_counter()
             ranks = personalized_pagerank(
                 pairs, seeds, n_iter=5, damping=0.85,
@@ -86,6 +87,8 @@ def main() -> int:
             out[label] = {
                 "n_edges": n_edges,
                 "edge_build_sec": round(t1 - t0, 2),
+                "items_distinct_sec": sub["items_distinct_sec"],
+                "pair_dedup_sec": sub["pair_dedup_sec"],
                 "seeds_sec": round(t2 - t1, 2),
                 "loop_sec": round(t3 - t2, 2),
                 "total_sec": round(t3 - t0, 2),
@@ -95,7 +98,10 @@ def main() -> int:
             shutil.rmtree(d, ignore_errors=True)
     r = {
         k: round(out["sf5"][k] / max(out["sf1"][k], 1e-9), 2)
-        for k in ("n_edges", "edge_build_sec", "loop_sec", "total_sec")
+        for k in (
+            "n_edges", "edge_build_sec", "items_distinct_sec",
+            "pair_dedup_sec", "seeds_sec", "loop_sec", "total_sec",
+        )
     }
     print(json.dumps({"sf1": out["sf1"], "sf5": out["sf5"], "ratios": r}))
     return 0
