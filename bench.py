@@ -276,6 +276,14 @@ def main() -> None:
         # (identical two-scan + broadcast-stats + TakeOrdered shape;
         # the bigram HOFs only widen the map-side projection)
         ("jm_bigram_lm_topk", "jm_bigram_lm_topk"),
+        # r13: link prediction — wedge self-join over the KB-sized
+        # support-pruned signal graph; must price in the triangles /
+        # association-rules band (the checkpointed edge build dominates)
+        ("copurchase_link_prediction", "copurchase_link_prediction"),
+        # r13: scaled-integer CUSUM — one fact agg + one window
+        # exchange over the few-thousand-row series frame; must price
+        # like ols_trend (same orders+dims pass, cheaper tail)
+        ("cusum_changepoint", "cusum_changepoint"),
     ):
         if nm not in qs:
             continue

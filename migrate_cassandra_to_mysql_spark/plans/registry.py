@@ -225,9 +225,29 @@ PRIORITY: list[str] = [
     # normal equations over exact BIGINT sufficient statistics, the
     # regression primitive beyond corr/covar:
     "ols_trend_by_nation",
-    "q6_forecast_revenue",
+    # r13: q6_forecast_revenue out on its green r9-r12 rows (4
+    # consecutive) — the plain filter-agg shape stays in-window via
+    # q14 (case-sum-ratio over the same fact filter), q17/q19 keep
+    # TPC-H breadth, and q6 keeps its prior greens + the scalar-suite
+    # history. In: Jelinek-Mercer interpolated BIGRAM query-likelihood
+    # retrieval — the sequence-aware LM ranking member beside
+    # lm_dirichlet's unigram row (same corpus/tokenizer, A/Bs
+    # unigram-Dirichlet vs bigram-JM on identical inputs), positional
+    # bigram counts via map-side HOFs with no explode and no per-term
+    # shuffle:
+    "jm_bigram_lm_topk",
     "q14_promo_revenue_ratio",
-    "q17_small_quantity_revenue",
+    # r13: q17_small_quantity_revenue out on its green r9-r12 rows (4
+    # consecutive) — its join + correlated grouped-avg filter shape
+    # stays in-window via q19's disjunctive join filters and the big
+    # TPC-H rows' prior+parity record; q14/q19 keep TPC-H breadth. In:
+    # link prediction over the co-purchase graph (Adamic-Adar +
+    # Resource-Allocation from one wedge pass) — the graph family's
+    # ABSENT-edge ranking member beside pagerank (nodes), triangles /
+    # LPA (present structure); reuses the _und_edges signal graph, so
+    # the window now drives the full und-chain: triangles, kcore, LPA,
+    # link prediction:
+    "copurchase_link_prediction",
     "q19_disjunctive_revenue",
     # r7 in: showcase / shape rows; r9 in: json_struct_extract,
     # parts_catalog_profile, price_histogram, deterministic_sample.
@@ -246,7 +266,15 @@ PRIORITY: list[str] = [
     # threshold; sparse-cosine df clamp bounds the posting join:
     "shingle_containment_pairs",
     "json_struct_extract",
-    "parts_catalog_profile",
+    # r13: parts_catalog_profile out on its green r9-r12 rows (4
+    # consecutive) — distribution-stats coverage stays in-window via
+    # grouped_mad_outliers (exact median/MAD histogram-window) and
+    # cms_heavy_hitters; the profile row keeps its prior greens. In:
+    # per-nation CUSUM level-shift detection — the SEQUENTIAL drift
+    # member beside the MAD point fence (Page 1954), scaled integer
+    # CUSUM n*P_t - t*S so the whole row (values AND ppm threshold) is
+    # exact DECIMAL/BIGINT arithmetic with one window exchange:
+    "cusum_changepoint",
     # r13: price_histogram out on its green r9-r12 rows (4
     # consecutive) — distribution-stats coverage stays in-window via
     # parts_catalog_profile + the scalar-suite members, and the

@@ -1280,3 +1280,130 @@ def label_propagation_communities(
         F.col("node").alias("part_id"),
         F.col("community").cast("long").alias("community"),
     )
+
+
+# Link prediction over the support-pruned co-purchase graph: top
+# candidate pairs by Adamic-Adar, with the Resource-Allocation index
+# computed in the same wedge pass. Both indices weight each common
+# neighbor w by a decreasing function of its degree — AA by 1/ln(deg w)
+# (Adamic & Adar 2003), RA by 1/deg w (Zhou, Lu & Zhang 2009) — so a
+# shared niche part is stronger evidence than a shared bestseller.
+_AA_TOPK = 100
+
+
+def _adamic_adar_oracle() -> str:
+    return f"""
+WITH {_UND_SQL},
+ nbr AS MATERIALIZED (SELECT a AS n, b AS w FROM und
+                      UNION ALL SELECT b AS n, a AS w FROM und),
+ deg AS MATERIALIZED (SELECT n AS node, CAST(count(*) AS BIGINT) AS d
+                      FROM nbr GROUP BY n),
+ wn AS MATERIALIZED (
+   SELECT nbr.n, nbr.w,
+          CAST(round(1.0 / ln(CAST(deg.d AS DOUBLE)), 12)
+               AS DECIMAL(28,12)) AS aa_w,
+          CAST(round(1.0 / CAST(deg.d AS DOUBLE), 12)
+               AS DECIMAL(28,12)) AS ra_w
+   FROM nbr JOIN deg ON deg.node = nbr.w
+   WHERE deg.d >= 2),
+ wedge AS MATERIALIZED (
+   SELECT x.n AS u, y.n AS v, x.aa_w, x.ra_w
+   FROM wn x JOIN wn y ON x.w = y.w AND x.n < y.n),
+ cand AS (SELECT u, v, aa_w, ra_w FROM wedge
+          WHERE NOT EXISTS (SELECT 1 FROM und
+                            WHERE und.a = wedge.u AND und.b = wedge.v)),
+ scored AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+                   sum(aa_w) AS aa, sum(ra_w) AS ra
+            FROM cand GROUP BY u, v)
+SELECT u AS part_a, v AS part_b, n_common,
+       round(CAST(aa AS DOUBLE), 8) AS adamic_adar,
+       round(CAST(ra AS DOUBLE), 8) AS resource_alloc
+FROM scored
+ORDER BY adamic_adar DESC, part_a, part_b
+LIMIT {_AA_TOPK}
+"""
+
+
+@register("copurchase_link_prediction", oracle=_adamic_adar_oracle())
+def copurchase_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction over the support-pruned part co-purchase graph:
+    the top-100 NON-adjacent part pairs by Adamic-Adar score
+    (sum over common neighbors w of 1/ln(deg w)), with the
+    Resource-Allocation index (sum of 1/deg w) from the same wedge
+    pass — the "which products WILL be bought together" primitive
+    (Liben-Nowell & Kleinberg 2003's link-prediction benchmark ranks
+    AA/RA at the top of the local-index family) completing the graph
+    suite: pagerank/ppr rank nodes, triangles/LPA find present
+    structure, this ranks ABSENT edges by predicted formation.
+
+    Scale shape: ONE lineitem scan (the checkpointed _und_edges signal
+    graph — support-pruned, so near-constant density at scale, the
+    triangles argument); wedge enumeration self-joins the
+    degree-weighted neighbor list on the CENTER node, bounded by
+    sum(deg^2) over the pruned graph exactly like the triangle count;
+    the degree frame and the adjacency anti-join side are node-/edge-
+    sized (KB at any corpus) and broadcast. No node-set window, no
+    driver loop.
+
+    Determinism: degrees are exact BIGINTs; each wedge term folds
+    through round(1/ln(d), 12) -> DECIMAL(28,12) (resp. 1/d) so the
+    per-pair sums are order-independent under any partitioning (the
+    pagerank contribution discipline); deg >= 2 for every wedge center
+    by construction AND by explicit filter (ln(1) = 0 would otherwise
+    produce an engine-divergent infinity before the join prunes it);
+    final scores rounded to 8 dp before the (aa DESC, part_a, part_b)
+    total order."""
+    und = _und_edges(spark, sf_dir)
+    nbr = und.select(F.col("a").alias("n"), F.col("b").alias("w")).unionAll(
+        und.select(F.col("b").alias("n"), F.col("a").alias("w"))
+    )
+    deg = nbr.groupBy(F.col("n").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    wn = (
+        nbr.join(F.broadcast(deg), nbr["w"] == deg["node"])
+        .where(F.col("d") >= 2)
+        .select(
+            "n",
+            "w",
+            F.expr(
+                "CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 12)"
+                " AS DECIMAL(28,12))"
+            ).alias("aa_w"),
+            F.expr(
+                "CAST(round(1.0 / CAST(d AS DOUBLE), 12)"
+                " AS DECIMAL(28,12))"
+            ).alias("ra_w"),
+        )
+    )
+    x, y = wn.alias("x"), wn.alias("y")
+    wedge = x.join(y, on="w").where(F.col("x.n") < F.col("y.n")).select(
+        F.col("x.n").alias("u"),
+        F.col("y.n").alias("v"),
+        F.col("x.aa_w").alias("aa_w"),
+        F.col("x.ra_w").alias("ra_w"),
+    )
+    cand = wedge.join(
+        F.broadcast(und),
+        (wedge["u"] == und["a"]) & (wedge["v"] == und["b"]),
+        "left_anti",
+    )
+    return (
+        cand.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("aa_w").alias("aa"),
+            F.sum("ra_w").alias("ra"),
+        )
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "n_common",
+            F.round(F.col("aa").cast("double"), 8).alias("adamic_adar"),
+            F.round(F.col("ra").cast("double"), 8).alias("resource_alloc"),
+        )
+        .orderBy(F.desc("adamic_adar"), F.asc("part_a"), F.asc("part_b"))
+        .limit(_AA_TOPK)
+    )

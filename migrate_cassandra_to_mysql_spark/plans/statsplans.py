@@ -770,3 +770,126 @@ def grouped_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dev_cents",
         )
     )
+
+
+# CUSUM level-shift detection (Page 1954): the sequential member of the
+# drift-detection family beside grouped_mad_outliers' POINT-outlier
+# fence — MAD flags single anomalous values, CUSUM flags SUSTAINED
+# departures of the running level from the series mean. Threshold in
+# parts-per-million of total revenue so the comparison is exact integer
+# arithmetic at every scale.
+_CUSUM_THR_PPM = 20000
+
+# |sum_{i<=t}(x_i - S/n)| > thr_frac * S, scaled by n to clear the
+# division: |n*P_t - t*S| * 1e6 > THR_PPM * n * S. The n*P/t*S products
+# fit BIGINT at every tested scale (n <= ~100 months, P <= S, S <= ~1e14
+# cents at the sf5 suite -> n*P <= ~1e16 << 2^63) but the 1e6-scaled
+# comparison does not — the flag folds both sides through
+# DECIMAL(38,0), exact in both engines; the emitted value stays BIGINT
+# so neither engine's client path coerces it to float.
+_CUSUM_SCALED_SQL = "CAST(n * p - t * s AS BIGINT)"
+_CUSUM_FLAG_SQL = (
+    "CAST(CASE WHEN abs(CAST(n AS DECIMAL(38,0)) * p"
+    "               - CAST(t AS DECIMAL(38,0)) * s) * 1000000"
+    f"         > CAST({_CUSUM_THR_PPM} AS DECIMAL(38,0)) * n * s"
+    "     THEN 1 ELSE 0 END AS BIGINT)"
+)
+
+
+def _cusum_oracle() -> str:
+    return f"""
+WITH m AS (
+  SELECT n.n_name,
+         CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT)
+           AS ym,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+ w AS (
+  SELECT n_name, ym, rev_cents,
+         CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS n,
+         CAST(sum(rev_cents) OVER (PARTITION BY n_name) AS BIGINT) AS s,
+         CAST(row_number() OVER (PARTITION BY n_name ORDER BY ym)
+              AS BIGINT) AS t,
+         CAST(sum(rev_cents) OVER (PARTITION BY n_name ORDER BY ym
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS p
+  FROM m)
+SELECT n_name, ym, rev_cents,
+       {_CUSUM_SCALED_SQL} AS cusum_scaled,
+       {_CUSUM_FLAG_SQL} AS is_shift
+FROM w
+ORDER BY n_name, ym
+"""
+
+
+@register("cusum_changepoint", oracle=_cusum_oracle())
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation CUSUM level-shift detection over the monthly order-
+    revenue series: for every (nation, month), the cumulative deviation
+    of revenue from the nation's series mean, flagged where the running
+    |deviation| exceeds _CUSUM_THR_PPM ppm of the nation's total — the
+    SEQUENTIAL drift detector (Page 1954) completing the robust-stats
+    family: grouped_mad_outliers fences single anomalous points, this
+    surfaces sustained regime changes a point fence cannot see (each
+    month can be individually unremarkable while the level has moved).
+
+    Scale shape: one orders scan -> two dimension equi-joins (nation
+    broadcasts; customer co-partitions on the join key) -> ONE
+    map-side-partial aggregation to (nation, month) — the fact table
+    collapses to a few-thousand-row series frame before any window
+    runs; the four analytic functions share ONE (nation, ym) sort in a
+    single Window exchange over KB-sized groups. At 100 TB only the
+    first aggregation touches fact-sized data.
+
+    Determinism: monthly revenue quantizes to exact BIGINT cents via
+    the DECIMAL sum (the ols_trend discipline); the scaled CUSUM
+    n*P_t - t*S == n * sum_{i<=t}(x_i - S/n) clears the mean division
+    so every value and the ppm threshold comparison are exact
+    DECIMAL(38,0) integer arithmetic — no float anywhere in the row,
+    bit-identical under any partitioning."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * F.lit(100) + F.month("o_orderdate"))
+            .cast("long")
+            .alias("ym"),
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                * F.lit(100)
+            )
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    grp = Window.partitionBy("n_name")
+    ordered = grp.orderBy("ym")
+    running = ordered.rowsBetween(Window.unboundedPreceding, 0)
+    w = m.select(
+        "n_name",
+        "ym",
+        "rev_cents",
+        F.count(F.lit(1)).over(grp).cast("long").alias("n"),
+        F.sum("rev_cents").over(grp).cast("long").alias("s"),
+        F.row_number().over(ordered).cast("long").alias("t"),
+        F.sum("rev_cents").over(running).cast("long").alias("p"),
+    )
+    return w.select(
+        "n_name",
+        "ym",
+        "rev_cents",
+        F.expr(_CUSUM_SCALED_SQL).alias("cusum_scaled"),
+        F.expr(_CUSUM_FLAG_SQL).alias("is_shift"),
+    ).orderBy("n_name", "ym")

@@ -951,6 +951,147 @@ def lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Jelinek-Mercer interpolated BIGRAM query-likelihood retrieval: the
+# sequence-aware member of the LM ranking family beside lm_dirichlet's
+# unigram row. score(q, d) = sum over query bigrams (w1, w2) of
+# ln(LAMBDA * P_d(w2|w1) + (1-LAMBDA) * P_C(w2|w1)) with the document
+# model P_d = c_d(w1 w2)/c_d(w1 .) (0 when the doc never says w1 in a
+# prefix position) and the collection model P_C = C(w1 w2)/C(w1 .).
+# JM interpolation (Jelinek & Mercer 1980; Zhai & Lafferty 2001's
+# lambda-smoothing) never hits ln(0): every query bigram has corpus
+# support, so the collection term keeps each factor positive. LAMBDA
+# is literal TEXT shared by both engines (the MMR-lambda discipline).
+_JM_LAMBDA = "0.7"
+_JM_LAMBDA_C = "0.3"
+_JM_BIGRAMS = (("hash", "join"), ("sort", "merge"), ("table", "scan"))
+
+
+def _jm_score_sql() -> str:
+    """Per-document JM bigram score over columns tf{i}/pc{i}/cf{i}/
+    cpf{i} — ONE expression string shared verbatim by the Spark plan
+    and the DuckDB oracle (identical IEEE tree; ln ulp differences
+    absorbed by the final round, the lm_dirichlet discipline)."""
+    terms = [
+        f"ln({_JM_LAMBDA} * (CASE WHEN pc{i} > 0 THEN"
+        f" CAST(tf{i} AS DOUBLE) / pc{i} ELSE CAST(0.0 AS DOUBLE) END)"
+        f" + {_JM_LAMBDA_C} * (CAST(cf{i} AS DOUBLE)"
+        f" / CAST(cpf{i} AS DOUBLE)))"
+        for i in range(len(_JM_BIGRAMS))
+    ]
+    return "round(" + " + ".join(terms) + ", 8)"
+
+
+def _jm_oracle() -> str:
+    tf_cols = ",\n           ".join(
+        f"CAST(len(list_filter(range(1, len(toks)), i -> toks[i] = '{a}'"
+        f" AND toks[i+1] = '{b}')) AS BIGINT) AS tf{i}"
+        for i, (a, b) in enumerate(_JM_BIGRAMS)
+    )
+    pc_cols = ",\n           ".join(
+        f"CAST(len(list_filter(range(1, len(toks)),"
+        f" i -> toks[i] = '{a}')) AS BIGINT) AS pc{i}"
+        for i, (a, _) in enumerate(_JM_BIGRAMS)
+    )
+    stat_cols = ",\n           ".join(
+        f"CAST(sum(tf{i}) AS BIGINT) AS cf{i},"
+        f" CAST(sum(pc{i}) AS BIGINT) AS cpf{i}"
+        for i in range(len(_JM_BIGRAMS))
+    )
+    hits = " + ".join(f"tf{i}" for i in range(len(_JM_BIGRAMS)))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+ d AS (SELECT doc_id,
+           {tf_cols},
+           {pc_cols}
+       FROM t),
+ s AS (SELECT {stat_cols} FROM d)
+SELECT doc_id,
+       CAST({hits} AS BIGINT) AS n_hits,
+       {_jm_score_sql()} AS jm
+FROM d, s
+WHERE {hits} > 0
+ORDER BY jm DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("jm_bigram_lm_topk", oracle=_jm_oracle())
+def jm_bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram query-likelihood retrieval
+    over a fixed 3-bigram phrase query, top-20: rank documents by
+    sum_bg ln(lambda * c_d(w1 w2)/c_d(w1 .) + (1-lambda) *
+    C(w1 w2)/C(w1 .)) — the SEQUENCE-aware LM ranking member beside
+    lm_dirichlet's unigram row (same corpus, same tokenizer), so the
+    catalog A/Bs unigram-Dirichlet vs bigram-JM on identical inputs.
+    Scored candidates are docs with >= 1 query-bigram hit (the
+    retrieval serving shape).
+
+    Scale shape (the lm_dirichlet discipline exactly): per-bigram tf
+    and prefix counts are map-side size(filter(sequence(...))) HOFs
+    over the token array — positional bigram matching with NO explode
+    and NO per-term shuffle (the corpus's (w1,w2) bigram table is never
+    materialized, unlike the perplexity row that needs ALL bigrams);
+    the corpus stats (collection bigram/prefix counts) partial-
+    aggregate to ONE broadcast row; the only ordered exchange is the
+    TakeOrdered top-20. At 100 TB: two corpus scans with nothing wide
+    between them, and the bigram counts are exactly what a positional
+    index's phrase postings already store.
+
+    Determinism: counts are exact BIGINTs off string equality; the
+    score is ONE shared expression string evaluated over identical
+    integers in both engines (lambda as literal text), rounded to 8 dp
+    before the (jm DESC, doc_id) total order."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", textfns.tokens(F.col("text")).alias("toks")
+    )
+    tf_exprs = [
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN"
+            " size(filter(sequence(1, size(toks) - 1),"
+            f" i -> element_at(toks, i) = '{a}'"
+            f" AND element_at(toks, i + 1) = '{b}'))"
+            " ELSE 0 END"
+        )
+        .cast("long")
+        .alias(f"tf{i}")
+        for i, (a, b) in enumerate(_JM_BIGRAMS)
+    ]
+    pc_exprs = [
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN"
+            " size(filter(sequence(1, size(toks) - 1),"
+            f" i -> element_at(toks, i) = '{a}'))"
+            " ELSE 0 END"
+        )
+        .cast("long")
+        .alias(f"pc{i}")
+        for i, (a, _) in enumerate(_JM_BIGRAMS)
+    ]
+    d = d.select("doc_id", *tf_exprs, *pc_exprs)
+    stats = d.agg(
+        *[
+            agg
+            for i in range(len(_JM_BIGRAMS))
+            for agg in (
+                F.sum(f"tf{i}").alias(f"cf{i}"),
+                F.sum(f"pc{i}").alias(f"cpf{i}"),
+            )
+        ]
+    )
+    hits = " + ".join(f"tf{i}" for i in range(len(_JM_BIGRAMS)))
+    return (
+        d.join(F.broadcast(stats))
+        .where(F.expr(f"{hits} > 0"))
+        .select(
+            "doc_id",
+            F.expr(f"CAST({hits} AS BIGINT)").alias("n_hits"),
+            F.expr(_jm_score_sql()).alias("jm"),
+        )
+        .orderBy(F.desc("jm"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 # RM3 pseudo-relevance feedback: pass-1 BM25 picks _RM3_FB feedback
 # docs, their _RM3_EXP strongest non-query non-stop-ish terms join the
 # query at weight _RM3_W, pass-2 scores the corpus over the expanded

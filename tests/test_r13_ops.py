@@ -254,3 +254,252 @@ def test_mad_outliers_match_python_reference(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_jm_bigram_matches_pure_python_reference(spark, sf_dir):
+    """Third-engine check for jm_bigram_lm_topk: recompute the JM
+    bigram query-likelihood ranking in pure Python (pandas + math) from
+    the raw parquet and require the identical top-20 (ids AND 8-dp
+    scores)."""
+    import math
+
+    import pandas as pd
+
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+    from migrate_cassandra_to_mysql_spark.plans.textplans import (
+        _JM_BIGRAMS,
+        _JM_LAMBDA,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    toks = docs["text"].map(lambda t: t.strip().split())
+    lam = float(_JM_LAMBDA)
+
+    def bg_count(ts, a, b):
+        return sum(
+            1
+            for i in range(len(ts) - 1)
+            if ts[i] == a and ts[i + 1] == b
+        )
+
+    def pc_count(ts, a):
+        return sum(1 for i in range(len(ts) - 1) if ts[i] == a)
+
+    tf = {
+        (a, b): toks.map(lambda ts, a=a, b=b: bg_count(ts, a, b))
+        for a, b in _JM_BIGRAMS
+    }
+    pc = {
+        (a, b): toks.map(lambda ts, a=a: pc_count(ts, a))
+        for a, b in _JM_BIGRAMS
+    }
+    cf = {bg: float(tf[bg].sum()) for bg in _JM_BIGRAMS}
+    cpf = {bg: float(pc[bg].sum()) for bg in _JM_BIGRAMS}
+    scored = []
+    for i in range(len(docs)):
+        hits = sum(int(tf[bg].iat[i]) for bg in _JM_BIGRAMS)
+        if hits == 0:
+            continue
+        s = sum(
+            math.log(
+                lam
+                * (
+                    tf[bg].iat[i] / pc[bg].iat[i]
+                    if pc[bg].iat[i] > 0
+                    else 0.0
+                )
+                + (1.0 - lam) * (cf[bg] / cpf[bg])
+            )
+            for bg in _JM_BIGRAMS
+        )
+        scored.append((round(s, 8), int(docs["doc_id"].iat[i]), hits))
+    scored.sort(key=lambda r: (-r[0], r[1]))
+    want = scored[:20]
+    assert want, "fixture must produce at least one bigram hit"
+
+    got = (
+        catalog.queries()["jm_bigram_lm_topk"](spark, sf_dir)
+        .orderBy(F.desc("jm"), F.asc("doc_id"))
+        .collect()
+    )
+    assert [(r["jm"], r["doc_id"], r["n_hits"]) for r in got] == [
+        (pytest.approx(s, abs=2e-8), d, h) for s, d, h in want
+    ]
+
+
+def test_jm_interpolation_semantics():
+    """JM smoothing invariants, independent of both engines: the
+    collection term keeps every factor strictly positive even when the
+    document never emits the bigram (no ln(0)); document evidence
+    strictly raises the score; and the mix is monotone in lambda when
+    the document model beats the collection model."""
+    import math
+
+    from migrate_cassandra_to_mysql_spark.plans.textplans import (
+        _JM_LAMBDA,
+    )
+
+    lam = float(_JM_LAMBDA)
+    p_c = 0.003  # any collection bigram probability > 0
+
+    def factor(p_d):
+        return lam * p_d + (1.0 - lam) * p_c
+
+    # absent-bigram doc still scores finitely (pure collection mass)
+    assert factor(0.0) > 0.0
+    assert math.isfinite(math.log(factor(0.0)))
+    # document evidence dominates: more in-doc bigram mass -> higher
+    assert factor(0.2) > factor(0.05) > factor(0.0)
+    # with p_d > p_c, raising lambda raises the factor
+    assert lam * 0.2 + (1 - lam) * p_c < 0.9 * 0.2 + 0.1 * p_c
+
+
+def test_link_prediction_matches_pure_python_reference(spark, sf_dir):
+    """Third-engine check for copurchase_link_prediction: rebuild the
+    support-pruned co-purchase graph in pure Python from the raw
+    parquet, score every non-adjacent wedge pair with Adamic-Adar and
+    Resource-Allocation, and require the identical top-100 (pairs AND
+    8-dp scores)."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+    from migrate_cassandra_to_mysql_spark.plans.scaleplans import (
+        _AA_TOPK,
+        _TRI_SUPPORT,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    per_order = defaultdict(set)
+    for ok, p in zip(li["l_orderkey"], li["l_partkey"]):
+        per_order[ok].add(int(p))
+    support = defaultdict(int)
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] += 1
+    und = {e for e, s in support.items() if s >= _TRI_SUPPORT}
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    deg = {n: len(ws) for n, ws in nbrs.items()}
+
+    def q12(x):
+        return Decimal(repr(round(x, 12)))
+
+    scores = defaultdict(lambda: [0, Decimal(0), Decimal(0)])
+    for w, ns in nbrs.items():
+        if deg[w] < 2:
+            continue
+        aa_w, ra_w = q12(1.0 / math.log(deg[w])), q12(1.0 / deg[w])
+        ns_sorted = sorted(ns)
+        for i in range(len(ns_sorted)):
+            for j in range(i + 1, len(ns_sorted)):
+                u, v = ns_sorted[i], ns_sorted[j]
+                if (u, v) in und:
+                    continue
+                rec = scores[(u, v)]
+                rec[0] += 1
+                rec[1] += aa_w
+                rec[2] += ra_w
+    ranked = sorted(
+        (
+            (round(float(aa), 8), u, v, n, round(float(ra), 8))
+            for (u, v), (n, aa, ra) in scores.items()
+        ),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:_AA_TOPK]
+    want = [(u, v, n, aa, ra) for aa, u, v, n, ra in ranked]
+    assert want, "fixture graph must produce wedge candidates"
+
+    got = [
+        (r["part_a"], r["part_b"], r["n_common"], r["adamic_adar"],
+         r["resource_alloc"])
+        for r in catalog.queries()["copurchase_link_prediction"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert [
+        (u, v, n, pytest.approx(aa, abs=2e-8), pytest.approx(ra, abs=2e-8))
+        for u, v, n, aa, ra in want
+    ] == got
+
+    # invariants: predicted pairs are absent edges with >= 1 common
+    # neighbor; RA is bounded by n_common/2 (every center has deg >= 2)
+    for u, v, n, aa, ra in got:
+        assert (u, v) not in und and u < v
+        assert n >= 1 and aa > 0.0
+        assert ra <= n / 2 + 1e-9
+
+
+def test_cusum_matches_pure_python_reference(spark, sf_dir):
+    """Third-engine check for cusum_changepoint: recompute the scaled
+    integer CUSUM and the ppm flag in pure Python (pandas + int
+    arithmetic — Python ints never overflow, so this also guards the
+    BIGINT headroom claim) and require identical rows."""
+    import pandas as pd
+
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+    from migrate_cassandra_to_mysql_spark.plans.statsplans import (
+        _CUSUM_THR_PPM,
+    )
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_custkey", "o_totalprice", "o_orderdate"]
+    ]
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[
+        ["c_custkey", "c_nationkey"]
+    ]
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")[
+        ["n_nationkey", "n_name"]
+    ]
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    j["ym"] = (
+        j["o_orderdate"].dt.year * 100 + j["o_orderdate"].dt.month
+    )
+    # exact cents: round each price to 2dp (the DECIMAL(18,2) cast),
+    # then sum as Python ints
+    j["cents"] = (
+        j["o_totalprice"].map(lambda v: round(v, 2) * 100).round().astype(int)
+    )
+    m = (
+        j.groupby(["n_name", "ym"])["cents"].sum().reset_index()
+        .sort_values(["n_name", "ym"])
+    )
+    want = []
+    for name, g in m.groupby("n_name"):
+        revs = [int(v) for v in g["cents"]]
+        nn, ss, p = len(revs), sum(revs), 0
+        for t, (ym, rev) in enumerate(zip(g["ym"], revs), start=1):
+            p += rev
+            cusum = nn * p - t * ss
+            flag = 1 if abs(cusum) * 1_000_000 > _CUSUM_THR_PPM * nn * ss else 0
+            want.append((name, int(ym), rev, cusum, flag))
+    want.sort()
+
+    got = [
+        (r["n_name"], r["ym"], r["rev_cents"], r["cusum_scaled"],
+         r["is_shift"])
+        for r in catalog.queries()["cusum_changepoint"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert sorted(got) == want
+    flags = sum(f for *_, f in got)
+    assert 0 < flags < len(got), "flag mix must be non-degenerate"
+    # per-group CUSUM telescopes to exactly zero at the series end
+    last = {}
+    for name, ym, rev, cusum, f in got:
+        last[name] = cusum
+    assert all(v == 0 for v in last.values())

@@ -846,3 +846,29 @@ def test_containment_pairs_completes_at_sf1(spark, sf1_dir):
     n_wrapped = wrapped.count()
     assert n_wrapped > 0
     assert wrapped.where(F.col("c_ab") != 1.0).count() == 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the wedge self-join runs over the same uncut ~1.2M-edge
+        # copy-dense graph the triangles smoke closes at 10x — wedge
+        # volume is sum(deg^2)-bounded exactly like the triangle
+        # count, and THAT is the stress this smoke pins
+        "copurchase_link_prediction",
+        # same two-scan + broadcast-stats shape as the lm_dirichlet
+        # smoke above, with the bigram HOFs widening the map side only
+        "jm_bigram_lm_topk",
+        # cusum_changepoint is absent for the ols_trend reason: the
+        # synthesis carries no customer/nation dimensions, and the op
+        # is scale-trivial anyway (one fact agg to a few-thousand-row
+        # series frame, then KB-sized windows)
+    ],
+)
+def test_r13_rows_complete_at_sf1(spark, sf1_dir, name):
+    """The r13 rows at 10x — completion under the test session's
+    memory IS the assertion (the fixed-workload scaling claims live in
+    the sf5 suite)."""
+    df = catalog.queries()[name](spark, sf1_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert df.count() > 0, name
