@@ -324,7 +324,15 @@ PRIORITY: list[str] = [
     # r9: chunk_pack_suite out on its green r3b-r8 rows; its two
     # component operators take the slots individually:
     "doc_chunking",
-    "sequence_packing",
+    # r13: sequence_packing out on its green r9-r12 rows (4
+    # consecutive) — the chunk/pack family stays in-window via
+    # doc_chunking (the same token-window machinery; packing keeps its
+    # prior greens + property tests). In: per-nation Theil-Sen robust
+    # trend — the regression family's ROBUST member beside
+    # ols_trend_by_nation's least squares (median of pairwise slopes,
+    # ~29% breakdown), all exact integer arithmetic: floor-quantized
+    # rational slopes via the shared pmod identity + discrete medians:
+    "theil_sen_by_nation",
     # r12: pyds_pushdown_scan out on its green r7-r11 rows (5
     # consecutive). Source-pushdown coverage stays via the plan-pinned
     # PushedFilters/ReadSchema contracts (tests/test_plan_shapes.py +

@@ -893,3 +893,173 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CUSUM_SCALED_SQL).alias("cusum_scaled"),
         F.expr(_CUSUM_FLAG_SQL).alias("is_shift"),
     ).orderBy("n_name", "ym")
+
+
+# Theil-Sen robust trend (Theil 1950, Sen 1968): the median of all
+# pairwise slopes — breakdown point ~29%, so a corrupted year cannot
+# drag the fit the way it drags OLS's squared loss. Slopes are exact
+# rationals (integer cent deltas over integer year deltas); both
+# engines floor-quantize them to micro-cents/year through the SAME
+# pmod identity — floor_div(m, d) = (m - ((m % d) + d) % d) / d with
+# d > 0 and (m - r) exactly divisible by d, so the quotient is exact
+# under Spark's `div` and DuckDB's `//` alike (no float, no
+# truncation-vs-floor divergence on negative slopes).
+def _theil_sen_oracle() -> str:
+    return """
+WITH yr AS (
+  SELECT n.n_name,
+         CAST(year(o.o_orderdate) - 1992 AS BIGINT) AS x,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS y_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+ pr AS (
+  SELECT a.n_name,
+         (b.y_cents - a.y_cents) * 1000000 AS m,
+         b.x - a.x AS d
+  FROM yr a JOIN yr b ON a.n_name = b.n_name AND a.x < b.x),
+ sl AS (
+  SELECT n_name,
+         (m - ((m % d) + d) % d) // d AS slope_micro
+  FROM pr),
+ slw AS (
+  SELECT n_name, slope_micro,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY slope_micro) AS rn,
+         CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS k
+  FROM sl),
+ med AS (
+  SELECT n_name, k AS n_pairs, slope_micro AS ts_slope_micro
+  FROM slw WHERE rn = (k + 1) // 2),
+ res AS (
+  SELECT yr.n_name, med.n_pairs, med.ts_slope_micro,
+         yr.y_cents * 1000000 - med.ts_slope_micro * yr.x AS resid_micro
+  FROM yr JOIN med ON yr.n_name = med.n_name),
+ resw AS (
+  SELECT n_name, n_pairs, ts_slope_micro, resid_micro,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY resid_micro) AS rn,
+         CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS k
+  FROM res)
+SELECT n_name, n_pairs, ts_slope_micro,
+       resid_micro AS ts_intercept_micro
+FROM resw WHERE rn = (k + 1) // 2
+ORDER BY n_name
+"""
+
+
+@register("theil_sen_by_nation", oracle=_theil_sen_oracle())
+def theil_sen_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Theil-Sen robust trend over the yearly order-revenue
+    series: slope = the MEDIAN of all pairwise slopes (micro-cents per
+    year), intercept = the median residual at that slope — the
+    robust-regression twin of ols_trend_by_nation (least squares bends
+    to a single corrupted year; the pairwise-slope median shrugs off
+    up to ~29% outliers), completing the regression family the way
+    grouped_mad_outliers completes the dispersion family.
+
+    Scale shape: identical to ols_trend until the fact table has
+    already collapsed — one orders scan through two dimension
+    equi-joins into the per-(nation, year) exact-cents frame (25 x ~7
+    rows), so the O(k^2) pairwise self-join runs on KB-sized data (21
+    pairs per nation) regardless of corpus size. At 100 TB the fact
+    table is touched exactly once; the robust machinery never sees
+    fact-sized data.
+
+    Determinism: yearly cents are exact BIGINTs; each pairwise slope
+    floor-quantizes to micro-cents through the shared pmod identity
+    (exact integer division in both engines, floor semantics pinned
+    for negative slopes); the discrete medians are picked EXPLICITLY —
+    row_number == (k+1) div 2 over the ordered partition, the lower
+    median, identical SQL in both engines — because Spark's
+    percentile_disc funnels BIGINT through DOUBLE internally and
+    returned 22486538630000000 for a partition whose actual 4th-of-7
+    value was ...001 (> 2^53; caught by this row's sf0.1 differential
+    during development — percentile_disc is fine for doubles and
+    sub-2^53 integers like the mode/percentile row's prices, never for
+    micro-scaled BIGINTs). No float anywhere in the row."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yr = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") - F.lit(1992)).cast("long").alias("x"),
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                * F.lit(100)
+            )
+            .cast("long")
+            .alias("y_cents")
+        )
+        # 25 x ~7 rows referenced by the pair join (both sides) and the
+        # residual pass — checkpoint so the fact aggregation runs once
+        .localCheckpoint(eager=True)
+    )
+    a = yr.select(
+        F.col("n_name"), F.col("x").alias("xa"), F.col("y_cents").alias("ya")
+    )
+    b = yr.select(
+        F.col("n_name"), F.col("x").alias("xb"), F.col("y_cents").alias("yb")
+    )
+    pr = a.join(b, "n_name").where(F.col("xa") < F.col("xb")).select(
+        "n_name",
+        ((F.col("yb") - F.col("ya")) * F.lit(1000000)).alias("m"),
+        (F.col("xb") - F.col("xa")).alias("d"),
+    )
+    sl = pr.select(
+        "n_name",
+        F.expr("(m - ((m % d) + d) % d) div d").alias("slope_micro"),
+    )
+    grp = Window.partitionBy("n_name")
+    s_ord = grp.orderBy("slope_micro")
+    med = (
+        sl.select(
+            "n_name",
+            "slope_micro",
+            F.row_number().over(s_ord).alias("rn"),
+            F.count(F.lit(1)).over(grp).cast("long").alias("k"),
+        )
+        .where(F.expr("rn = (k + 1) div 2"))
+        .select(
+            "n_name",
+            F.col("k").alias("n_pairs"),
+            F.col("slope_micro").alias("ts_slope_micro"),
+        )
+    )
+    res = yr.join(F.broadcast(med), "n_name").select(
+        "n_name",
+        "n_pairs",
+        "ts_slope_micro",
+        (
+            F.col("y_cents") * F.lit(1000000)
+            - F.col("ts_slope_micro") * F.col("x")
+        ).alias("resid_micro"),
+    )
+    r_ord = grp.orderBy("resid_micro")
+    return (
+        res.select(
+            "n_name",
+            "n_pairs",
+            "ts_slope_micro",
+            "resid_micro",
+            F.row_number().over(r_ord).alias("rn"),
+            F.count(F.lit(1)).over(grp).cast("long").alias("k"),
+        )
+        .where(F.expr("rn = (k + 1) div 2"))
+        .select(
+            "n_name",
+            "n_pairs",
+            "ts_slope_micro",
+            F.col("resid_micro").alias("ts_intercept_micro"),
+        )
+        .orderBy("n_name")
+    )

@@ -503,3 +503,85 @@ def test_cusum_matches_pure_python_reference(spark, sf_dir):
     for name, ym, rev, cusum, f in got:
         last[name] = cusum
     assert all(v == 0 for v in last.values())
+
+
+def test_theil_sen_matches_pure_python_reference(spark, sf_dir):
+    """Third-engine check for theil_sen_by_nation: recompute the
+    floor-quantized pairwise slopes and both discrete medians in pure
+    Python (unbounded ints — also guards the BIGINT headroom) and
+    require identical rows. Python's % and // are floored like the
+    row's shared pmod identity, so // IS the contract here."""
+    import pandas as pd
+
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_custkey", "o_totalprice", "o_orderdate"]
+    ]
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[
+        ["c_custkey", "c_nationkey"]
+    ]
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")[
+        ["n_nationkey", "n_name"]
+    ]
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    j["x"] = j["o_orderdate"].dt.year - 1992
+    j["cents"] = (
+        j["o_totalprice"].map(lambda v: round(v, 2) * 100).round().astype(int)
+    )
+    yr = j.groupby(["n_name", "x"])["cents"].sum().reset_index()
+
+    def lower_median(vals):
+        vals = sorted(vals)
+        return vals[(len(vals) + 1) // 2 - 1]
+
+    want = []
+    for name, g in yr.groupby("n_name"):
+        pts = sorted((int(x), int(y)) for x, y in zip(g["x"], g["cents"]))
+        if len(pts) < 2:
+            continue
+        slopes = [
+            ((y2 - y1) * 1_000_000) // (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1:]
+        ]
+        s = lower_median(slopes)
+        resid = [y * 1_000_000 - s * x for x, y in pts]
+        want.append((name, len(slopes), s, lower_median(resid)))
+    want.sort()
+
+    got = sorted(
+        (r["n_name"], r["n_pairs"], r["ts_slope_micro"],
+         r["ts_intercept_micro"])
+        for r in catalog.queries()["theil_sen_by_nation"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == want
+
+
+def test_theil_sen_robust_to_outlier_ols_is_not():
+    """Semantics: one corrupted year leaves the Theil-Sen slope on the
+    true trend (median of pairwise slopes) while the OLS slope bends —
+    the breakdown contrast that justifies both rows existing."""
+    pts = [(x, 100 + 10 * x) for x in range(7)]
+    pts[6] = (6, 1_000_000)  # corrupted final year
+
+    slopes = [
+        ((y2 - y1) * 1_000_000) // (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1:]
+    ]
+    slopes.sort()
+    ts = slopes[(len(slopes) + 1) // 2 - 1]
+    assert ts == 10 * 1_000_000  # exact true slope in micro-units
+
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert ols > 100_000  # dragged four orders of magnitude off 10
