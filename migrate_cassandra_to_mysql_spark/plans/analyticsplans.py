@@ -203,3 +203,80 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = s2.agg(F.count(F.lit(1)).alias("n_view_click"))
     n3 = s3.agg(F.count(F.lit(1)).alias("n_full_funnel"))
     return n1.crossJoin(n2).crossJoin(n3)
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+ tr AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2),
+ w AS (
+  SELECT prev_type, next_type, n_trans,
+         CAST(sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)
+           AS n_from
+  FROM tr)
+SELECT prev_type, next_type, n_trans, n_from,
+       (n_trans * 1000000) // n_from AS p_ppm
+FROM w
+ORDER BY prev_type, next_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (prev_type -> next_type) pair, the transition
+    count and the conditional probability P(next|prev) in exact ppm —
+    the user-behavior sequence model beside the funnel (fixed 3-stage
+    path) and the sessionizer (gap grouping): THIS estimates the full
+    behavioral transition structure, the input to next-event
+    prediction, anomaly scoring, and simulation.
+
+    Scale shape: one events scan through ONE per-user ordered window
+    (the sessionize/EWMA exchange shape — partition by user, sort by
+    (ts, event_id)), then the fact stream collapses to a type x type
+    count matrix (|types|^2 rows, KB at any corpus); the row-total join
+    and the ppm division run on that matrix frame. At 100 TB nothing
+    after the single window touches fact-sized data.
+
+    Determinism: the lag ordering is total per user — ts then the
+    unique event_id, so simultaneous events cannot reorder across
+    engines or partitionings; counts are exact BIGINTs and the ppm
+    quantization is positive-integer floor division (Spark div ==
+    DuckDB // on non-negative operands). No float anywhere."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    tr = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    # row totals via a partition window over the type-matrix frame, NOT
+    # a tot-frame self-join: tr referenced twice would re-execute the
+    # events scan + window per reference (the scan-count gate class)
+    tw = Window.partitionBy("prev_type")
+    return (
+        tr.select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            F.sum("n_trans").over(tw).cast("long").alias("n_from"),
+        )
+        .select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            "n_from",
+            F.expr("(n_trans * 1000000) div n_from").alias("p_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -265,7 +265,15 @@ PRIORITY: list[str] = [
     # Jaccard's symmetric denominator dilutes below every LSH
     # threshold; sparse-cosine df clamp bounds the posting join:
     "shingle_containment_pairs",
-    "json_struct_extract",
+    # r13: json_struct_extract out on its green r9-r12 rows (4
+    # consecutive) — JSON-shape coverage keeps its prior greens plus
+    # json_events_agg's record, and nested-extraction expressions ride
+    # doc_chunking/corpus_curation HOFs in-window. In: first-order
+    # Markov transition matrix over per-user event sequences — the
+    # sequence-model member beside the funnel (fixed path) and
+    # sessionizer (gap grouping): one per-user ordered window, then
+    # exact-ppm conditional probabilities on the KB-sized type matrix:
+    "event_transition_matrix",
     # r13: parts_catalog_profile out on its green r9-r12 rows (4
     # consecutive) — distribution-stats coverage stays in-window via
     # grouped_mad_outliers (exact median/MAD histogram-window) and

@@ -585,3 +585,47 @@ def test_theil_sen_robust_to_outlier_ols_is_not():
     sxx = sum(x * x for x, _ in pts)
     ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert ols > 100_000  # dragged four orders of magnitude off 10
+
+
+def test_transition_matrix_matches_pure_python_reference(spark, sf_dir):
+    """Third-engine check for event_transition_matrix: replay the
+    per-user (ts, event_id)-ordered lag and the exact-ppm floor
+    division in pure Python and require identical rows; plus the
+    conservation invariant — each prev row's ppm cells sum to within
+    |cells| floor-losses of exactly 1e6."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "event_type", "ts", "event_id"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    counts = defaultdict(int)
+    for _, g in e.groupby("user_id"):
+        types = list(g["event_type"])
+        for a, b in zip(types, types[1:]):
+            counts[(a, b)] += 1
+    totals = defaultdict(int)
+    for (a, _), n in counts.items():
+        totals[a] += n
+    want = sorted(
+        (a, b, n, totals[a], (n * 1_000_000) // totals[a])
+        for (a, b), n in counts.items()
+    )
+
+    got = [
+        (r["prev_type"], r["next_type"], r["n_trans"], r["n_from"],
+         r["p_ppm"])
+        for r in catalog.queries()["event_transition_matrix"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == want
+
+    by_prev = defaultdict(list)
+    for a, _, _, _, ppm in got:
+        by_prev[a].append(ppm)
+    for a, ppms in by_prev.items():
+        assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000
