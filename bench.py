@@ -284,6 +284,12 @@ def main() -> None:
         # exchange over the few-thousand-row series frame; must price
         # like ols_trend (same orders+dims pass, cheaper tail)
         ("cusum_changepoint", "cusum_changepoint"),
+        # r13: Theil-Sen — the same ols_trend fact pass; the O(k^2)
+        # pair join and both medians run on the 25 x ~7 frame
+        ("theil_sen_by_nation", "theil_sen_by_nation"),
+        # r13: Markov transitions — one events scan + the per-user
+        # ordered window (the ewma exchange shape), then KB-sized
+        ("event_transition_matrix", "event_transition_matrix"),
     ):
         if nm not in qs:
             continue
