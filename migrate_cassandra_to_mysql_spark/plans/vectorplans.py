@@ -1885,7 +1885,16 @@ def ivf_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PRUNED code scan, windows twice (WindowGroupLimit shortlist,
     top-k), and the base-vector fetch broadcasts the queries x 30
     shortlist so the vector table never shuffles. No float math
-    outside the shortlist.
+    outside the shortlist. Honest local pricing: at sf0.1's 2,000
+    vectors the settled serve reads ~0.96s vs the flat row's ~0.59s —
+    the whole code table is ONE parquet footer there, so the probe
+    filter, the partitioned store's per-cell file opens, and the
+    rerank fetch are pure overhead against a scan that was already one
+    IO unit. The crossover is the point where the code table exceeds a
+    scan unit (vectors/8 bytes per row: ~10^8 vectors); the plan pins
+    what matters at that size — PartitionFilters prove unprobed cells'
+    files never open, so the serve cost scales with n_probe/k_cells of
+    the corpus while the flat row scales with all of it.
 
     Determinism: cell assignment/probe = cosine 6-dp + c_id tie (the
     shared _nearest_cells order, replayed by the oracle's `ranked`
