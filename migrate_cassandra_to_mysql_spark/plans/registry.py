@@ -203,7 +203,15 @@ PRIORITY: list[str] = [
     "sq8_quantized_topk",
     # r9 in: fixed-table BPE apply (full oracle) replaces the rows-only
     # trainer's slot:
-    "bpe_apply_fixed",
+    # r13: bpe_apply_fixed out on its green r9-r12 rows (4
+    # consecutive) — BPE keeps its prior greens, the trainer's e2e +
+    # property tests, and token-window machinery stays in-window via
+    # doc_chunking. In: dedup candidate-generation eval — the dedup
+    # twin of ann_recall_eval: exact-Jaccard truth vs MinHash-LSH
+    # candidates with recall/precision in exact ppm, composing the two
+    # verified contracts verbatim (the measurement banding is tuned
+    # against):
+    "dedup_recall_eval",
     # r7 in: both persisted serving paths (the inline twins' green rows
     # don't cover the on-disk index layout).
     # r10 (mid-round): both rotate out on green r7-r9 rows for their

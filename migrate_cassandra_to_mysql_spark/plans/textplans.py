@@ -2987,3 +2987,92 @@ def phrase_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("prox_score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+def _dedup_recall_oracle() -> str:
+    """Ground truth and prediction are the two verified oracles
+    VERBATIM (the dedup_clusters composition discipline): exact 3-gram
+    Jaccard >= 0.5 pairs as truth, the MinHash 4x2-band candidates as
+    the prediction, both over the identical injected base."""
+    from migrate_cassandra_to_mysql_spark.plans.registry import CATALOG
+
+    truth = CATALOG["ngram_jaccard_dedup"].oracle
+    cand = CATALOG["minhash_lsh_candidates"].oracle
+    return f"""
+WITH truth AS ({truth}),
+ cand AS ({cand}),
+ nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+ nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+ h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+       FROM cand c JOIN truth t
+         ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+SELECT nt.n_truth, nc.n_candidates, h.n_hits,
+       CASE WHEN nt.n_truth > 0
+            THEN (h.n_hits * 1000000) // nt.n_truth ELSE 0 END
+         AS recall_ppm,
+       CASE WHEN nc.n_candidates > 0
+            THEN (h.n_hits * 1000000) // nc.n_candidates ELSE 0 END
+         AS precision_ppm
+FROM nt, nc, h
+"""
+
+
+@register("dedup_recall_eval", oracle=_dedup_recall_oracle())
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality eval for the near-dup family — the
+    dedup twin of ann_recall_eval: exact 3-gram Jaccard >= 0.5 pairs
+    (the ngram_jaccard_dedup contract) are ground truth, the MinHash
+    8-hash / 4x2-band LSH pairs (the minhash_lsh_candidates contract)
+    are the prediction, and the row reports truth/candidate/hit counts
+    with recall and precision in exact ppm. This is the measurement a
+    curation pipeline tunes its banding against (bands x rows sets the
+    S-curve; the eval row turns that theory into a committed number on
+    the engine's own corpus).
+
+    Scale shape: both branches are the already-verified single-chain
+    pipelines (posting-join truth, band-bucket candidates) over ONE
+    shared injected-base projection; each collapses to a pair list
+    before the eval join, both pair frames are eagerly checkpointed
+    (each is referenced by its count aggregate AND the hit join), and
+    the three 1-row counts cross-join to the single output row. The
+    truth branch is the expensive one at scale by construction — the
+    eval is meant for a bounded audit corpus (here: the df-bounded
+    injected base the oracles already pin), not the full 100 TB.
+
+    Determinism: counts are exact BIGINTs off the two verified
+    contracts; ppm metrics are positive-integer floor division."""
+    base = _inject_dups_spark(
+        T(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
+    truth = (
+        dedup.jaccard_pairs(base, k=3, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        dedup.lsh_candidates(base, k=3, n_hashes=8, band_size=2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nh = cand.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.expr(
+                "CASE WHEN n_truth > 0 THEN"
+                " (n_hits * 1000000) div n_truth ELSE 0 END"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN n_candidates > 0 THEN"
+                " (n_hits * 1000000) div n_candidates ELSE 0 END"
+            ).alias("precision_ppm"),
+        )
+    )

@@ -629,3 +629,32 @@ def test_transition_matrix_matches_pure_python_reference(spark, sf_dir):
         by_prev[a].append(ppm)
     for a, ppms in by_prev.items():
         assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000
+
+
+def test_dedup_recall_eval_consistent_with_component_rows(spark, sf_dir):
+    """dedup_recall_eval must equal the composition of its two verified
+    component rows computed independently: truth = ngram_jaccard_dedup
+    pairs, candidates = minhash_lsh_candidates pairs, hits = their
+    intersection — plus the metric invariants (hits bounded by both
+    sides, ppm floor-division bounds)."""
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    qs = catalog.queries()
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in qs["ngram_jaccard_dedup"](spark, sf_dir).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in qs["minhash_lsh_candidates"](spark, sf_dir).collect()
+    }
+    hits = truth & cand
+    [row] = qs["dedup_recall_eval"](spark, sf_dir).collect()
+    assert (row["n_truth"], row["n_candidates"], row["n_hits"]) == (
+        len(truth), len(cand), len(hits),
+    )
+    assert row["n_hits"] <= min(row["n_truth"], row["n_candidates"])
+    assert row["recall_ppm"] == (len(hits) * 1_000_000) // len(truth)
+    assert row["precision_ppm"] == (len(hits) * 1_000_000) // len(cand)
+    assert 0 < row["recall_ppm"] <= 1_000_000
+    assert 0 < row["precision_ppm"] <= 1_000_000
