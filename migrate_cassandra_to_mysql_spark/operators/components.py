@@ -451,6 +451,14 @@ def personalized_pagerank(
     ranks = seed_tp.select("node", F.col("tp").alias("rank")).localCheckpoint(
         eager=True
     )
+    # Each checkpointed rank frame's row count is captured ONCE, when
+    # the frame is materialized, and reused by both the loop guard and
+    # the final-expansion guard (r13 ADVICE: re-counting `ranks` at
+    # every loop top plus again at expansion ran one redundant
+    # control-plane job per frame). The count job reads executor-local
+    # checkpoint blocks, and runs only when broadcast_frontier is on —
+    # the shuffle-join path never pays it.
+    ranks_n = ranks.count() if broadcast_frontier else 0
     try:
         for _ in range(n_iter):
             # Frontier filter — the seeded walk's scale edge over the
@@ -479,10 +487,10 @@ def personalized_pagerank(
             # neighborhood can approach the FULL node set, so the
             # "query-sized frontier" assumption is graph-dependent —
             # fall back to the shuffle join once the sparse rank
-            # vector outgrows broadcast_row_cap. ranks is an eager
-            # localCheckpoint, so the count reads executor-local
-            # blocks (a control-plane job, not a recompute).
-            if broadcast_frontier and ranks.count() <= broadcast_row_cap:
+            # vector outgrows broadcast_row_cap. ranks_n was captured
+            # when the frame was checkpointed — no per-iteration
+            # count job.
+            if broadcast_frontier and ranks_n <= broadcast_row_cap:
                 frontier = F.broadcast(frontier)
             contrib = ed.join(
                 frontier, ed["src"] == frontier["node"]
@@ -511,6 +519,7 @@ def personalized_pagerank(
             )
             prev = ranks
             ranks = new_ranks
+            ranks_n = ranks.count() if broadcast_frontier else 0
             free_local_checkpoint(prev)
         # Expand the sparse vector over the full node set ONCE: every
         # node the walk never reached holds exact 0.0 (the value the
@@ -523,7 +532,7 @@ def personalized_pagerank(
         # to the shuffle join here too.
         final_ranks = (
             F.broadcast(ranks)
-            if broadcast_frontier and ranks.count() <= broadcast_row_cap
+            if broadcast_frontier and ranks_n <= broadcast_row_cap
             else ranks
         )
         return nodes.join(final_ranks, "node", "left").select(

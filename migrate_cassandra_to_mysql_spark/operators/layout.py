@@ -343,6 +343,27 @@ def merge_sharded_layer(
             "bytes": total,
         }
 
+    # A shard with bare part-* files directly under the layer dir is
+    # the legacy pre-ingest_batch layout index_ingest.py refuses at
+    # stream start. BOTH grouping forms below would otherwise SILENTLY
+    # DROP its rows from the merged index — the flat form's file-less
+    # skip sees no ingest_batch dirs (r12 ADVICE), and the partitioned
+    # form's key=value glob sees no partition dirs and yields zero
+    # groups for it (r13 ADVICE: the r12 fix ran only in the flat
+    # branch). Check BEFORE the branch split so every layout fails
+    # loudly with the same migration hint.
+    for i in range(len(srcs)):
+        if any(
+            _os.path.isfile(p) for p in _glob.glob(f"{srcs[i]}/part-*")
+        ):
+            raise ValueError(
+                f"{srcs[i]} holds unpartitioned leaf files (legacy "
+                "pre-ingest_batch layout); merging would silently "
+                "drop its rows. Rebuild the shard (build writes "
+                "ingest_batch=0 now) or move the files under an "
+                "ingest_batch=0 subdirectory."
+            )
+
     if partitioned:
         by_part: dict[str, list[int]] = {}
         for i, src in enumerate(srcs):
@@ -361,24 +382,6 @@ def merge_sharded_layer(
         # partitioned form uses (late-r12: the r11 ADVICE fix covered
         # only the partitioned path, so merging empty indexes still
         # crashed on the flat doclens layer).
-        #
-        # A shard with bare part-* files directly under the layer dir
-        # is the legacy pre-ingest_batch layout index_ingest.py refuses
-        # at stream start — the file-less skip above would otherwise
-        # SILENTLY DROP its rows from the merged index (r12 ADVICE).
-        # Fail loudly with the same migration hint instead.
-        for i in range(len(srcs)):
-            if any(
-                _os.path.isfile(p)
-                for p in _glob.glob(f"{srcs[i]}/part-*")
-            ):
-                raise ValueError(
-                    f"{srcs[i]} holds unpartitioned leaf files (legacy "
-                    "pre-ingest_batch layout); merging would silently "
-                    "drop its rows. Rebuild the shard (build writes "
-                    "ingest_batch=0 now) or move the files under an "
-                    "ingest_batch=0 subdirectory."
-                )
         with_files = [
             i
             for i in range(len(srcs))

@@ -787,7 +787,19 @@ _CUSUM_THR_PPM = 20000
 # comparison does not — the flag folds both sides through
 # DECIMAL(38,0), exact in both engines; the emitted value stays BIGINT
 # so neither engine's client path coerces it to float.
-_CUSUM_SCALED_SQL = "CAST(n * p - t * s AS BIGINT)"
+# n*p and t*s fold through DECIMAL(38,0) BEFORE the subtraction (r13
+# ADVICE): the raw BIGINT products wrap SILENTLY in non-ANSI Spark
+# once cumulative cents push n*p past 2^63 (~sf 50-100) while DuckDB
+# raises — a silent cross-engine divergence. In DECIMAL(38,0) the
+# products stay exact (verified past 2^53 in both engines) and only
+# the final BIGINT output cast bounds the row — loudly on BOTH sides
+# (Spark 4's ANSI-default decimal cast raises CAST_OVERFLOW, DuckDB
+# raises a conversion error; pinned in tests/test_r14_ops.py). Same
+# discipline the flag expression below already used.
+_CUSUM_SCALED_SQL = (
+    "CAST(CAST(n AS DECIMAL(38,0)) * p - CAST(t AS DECIMAL(38,0)) * s"
+    " AS BIGINT)"
+)
 _CUSUM_FLAG_SQL = (
     "CAST(CASE WHEN abs(CAST(n AS DECIMAL(38,0)) * p"
     "               - CAST(t AS DECIMAL(38,0)) * s) * 1000000"
@@ -904,6 +916,37 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d > 0 and (m - r) exactly divisible by d, so the quotient is exact
 # under Spark's `div` and DuckDB's `//` alike (no float, no
 # truncation-vs-floor divergence on negative slopes).
+#
+# The micro-scaled products fold through DECIMAL(38,0) on BOTH engines
+# (r13 ADVICE): (yb - ya) * 1e6 and y_cents * 1e6 - slope * x overflow
+# int64 once per-nation yearly revenue passes ~9.2e12 cents (sf ~50-100
+# on the TPC-H generator); raw BIGINT arithmetic wraps SILENTLY in
+# non-ANSI Spark while DuckDB raises — a silent divergence. In
+# DECIMAL(38,0) the arithmetic stays exact to 1e38 and only the final
+# BIGINT output cast bounds the row's applicability, LOUDLY on both
+# engines (Spark 4's ANSI-default decimal cast raises CAST_OVERFLOW,
+# DuckDB raises a conversion error — tests/test_r14_ops.py pins both,
+# plus exactness in the band where the old form wrapped). The slope
+# uses the
+# split identity floor(dy*1e6/d) = 1e6*floor(dy/d) +
+# floor(pmod(dy,d)*1e6/d) so every floor-division runs on BIGINTs
+# (DuckDB's // on DECIMALs silently falls back to FLOAT division —
+# tested), with the pmod trick keeping floor semantics for negative dy;
+# only the overflow-capable multiply/add reassembly is DECIMAL. Both
+# expressions are ONE string shared verbatim by the Spark plan and the
+# DuckDB oracle ({fd} = div / //, the engines' one syntax split).
+_TS_SLOPE_SQL = (
+    "CAST("
+    "CAST((dy - (((dy % d) + d) % d)) {fd} d AS DECIMAL(38,0)) * 1000000"
+    " + ((((dy % d) + d) % d) * 1000000) {fd} d"
+    " AS BIGINT)"
+)
+_TS_RESID_SQL = (
+    "CAST(y_cents AS DECIMAL(38,0)) * 1000000"
+    " - CAST(ts_slope_micro AS DECIMAL(38,0)) * x"
+)
+
+
 def _theil_sen_oracle() -> str:
     return """
 WITH yr AS (
@@ -917,12 +960,12 @@ WITH yr AS (
   GROUP BY 1, 2),
  pr AS (
   SELECT a.n_name,
-         (b.y_cents - a.y_cents) * 1000000 AS m,
+         b.y_cents - a.y_cents AS dy,
          b.x - a.x AS d
   FROM yr a JOIN yr b ON a.n_name = b.n_name AND a.x < b.x),
  sl AS (
   SELECT n_name,
-         (m - ((m % d) + d) % d) // d AS slope_micro
+         {slope} AS slope_micro
   FROM pr),
  slw AS (
   SELECT n_name, slope_micro,
@@ -935,7 +978,7 @@ WITH yr AS (
   FROM slw WHERE rn = (k + 1) // 2),
  res AS (
   SELECT yr.n_name, med.n_pairs, med.ts_slope_micro,
-         yr.y_cents * 1000000 - med.ts_slope_micro * yr.x AS resid_micro
+         {resid} AS resid_micro
   FROM yr JOIN med ON yr.n_name = med.n_name),
  resw AS (
   SELECT n_name, n_pairs, ts_slope_micro, resid_micro,
@@ -944,10 +987,13 @@ WITH yr AS (
          CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS k
   FROM res)
 SELECT n_name, n_pairs, ts_slope_micro,
-       resid_micro AS ts_intercept_micro
+       CAST(resid_micro AS BIGINT) AS ts_intercept_micro
 FROM resw WHERE rn = (k + 1) // 2
 ORDER BY n_name
-"""
+""".format(
+        slope=_TS_SLOPE_SQL.format(fd="//"),
+        resid=_TS_RESID_SQL,
+    )
 
 
 @register("theil_sen_by_nation", oracle=_theil_sen_oracle())
@@ -979,7 +1025,17 @@ def theil_sen_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     value was ...001 (> 2^53; caught by this row's sf0.1 differential
     during development — percentile_disc is fine for doubles and
     sub-2^53 integers like the mode/percentile row's prices, never for
-    micro-scaled BIGINTs). No float anywhere in the row."""
+    micro-scaled BIGINTs). No float anywhere in the row.
+
+    Overflow headroom (r13 ADVICE): the micro-scaled products run in
+    DECIMAL(38,0) on both engines (exact to 1e38 — effectively
+    unbounded), so int64 wraparound cannot silently corrupt the
+    ordering or the medians at any sf; only the final BIGINT output
+    cast bounds the row (|value| < 2^63, i.e. yearly per-nation
+    revenue under ~9.2e12 cents — sf ~50-100 on this generator), and
+    it fails LOUDLY on both engines past that (Spark's ANSI-default
+    decimal cast raises CAST_OVERFLOW, DuckDB raises — pinned in
+    tests/test_r14_ops.py)."""
     o = T(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice", "o_orderdate"
     )
@@ -1012,12 +1068,12 @@ def theil_sen_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = a.join(b, "n_name").where(F.col("xa") < F.col("xb")).select(
         "n_name",
-        ((F.col("yb") - F.col("ya")) * F.lit(1000000)).alias("m"),
+        (F.col("yb") - F.col("ya")).alias("dy"),
         (F.col("xb") - F.col("xa")).alias("d"),
     )
     sl = pr.select(
         "n_name",
-        F.expr("(m - ((m % d) + d) % d) div d").alias("slope_micro"),
+        F.expr(_TS_SLOPE_SQL.format(fd="div")).alias("slope_micro"),
     )
     grp = Window.partitionBy("n_name")
     s_ord = grp.orderBy("slope_micro")
@@ -1039,10 +1095,7 @@ def theil_sen_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         "n_pairs",
         "ts_slope_micro",
-        (
-            F.col("y_cents") * F.lit(1000000)
-            - F.col("ts_slope_micro") * F.col("x")
-        ).alias("resid_micro"),
+        F.expr(_TS_RESID_SQL).alias("resid_micro"),
     )
     r_ord = grp.orderBy("resid_micro")
     return (
@@ -1059,7 +1112,9 @@ def theil_sen_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "n_pairs",
             "ts_slope_micro",
-            F.col("resid_micro").alias("ts_intercept_micro"),
+            F.expr("CAST(resid_micro AS BIGINT)").alias(
+                "ts_intercept_micro"
+            ),
         )
         .orderBy("n_name")
     )

@@ -958,9 +958,12 @@ def lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # model P_d = c_d(w1 w2)/c_d(w1 .) (0 when the doc never says w1 in a
 # prefix position) and the collection model P_C = C(w1 w2)/C(w1 .).
 # JM interpolation (Jelinek & Mercer 1980; Zhai & Lafferty 2001's
-# lambda-smoothing) never hits ln(0): every query bigram has corpus
-# support, so the collection term keeps each factor positive. LAMBDA
-# is literal TEXT shared by both engines (the MMR-lambda discipline).
+# lambda-smoothing) never hits ln(0): a cf > 0 guard in the score
+# SKIPS query bigrams with no corpus support (the standard OOV
+# treatment — enforced structurally, not assumed of the query list),
+# and for supported bigrams the collection term keeps each factor
+# positive. LAMBDA is literal TEXT shared by both engines (the
+# MMR-lambda discipline).
 _JM_LAMBDA = "0.7"
 _JM_LAMBDA_C = "0.3"
 _JM_BIGRAMS = (("hash", "join"), ("sort", "merge"), ("table", "scan"))
@@ -970,12 +973,28 @@ def _jm_score_sql() -> str:
     """Per-document JM bigram score over columns tf{i}/pc{i}/cf{i}/
     cpf{i} — ONE expression string shared verbatim by the Spark plan
     and the DuckDB oracle (identical IEEE tree; ln ulp differences
-    absorbed by the final round, the lm_dirichlet discipline)."""
+    absorbed by the final round, the lm_dirichlet discipline).
+
+    Each term is guarded by cf{i} > 0 (r13 ADVICE): a query bigram
+    with NO corpus occurrences is skipped (contributes exactly 0.0) —
+    the standard OOV-n-gram treatment — instead of relying on the
+    fixed _JM_BIGRAMS list happening to have corpus support. The one
+    guard covers both divisions: cf > 0 implies cpf > 0 (every bigram
+    occurrence IS a prefix occurrence of its first word, so cpf >= cf),
+    and it keeps ln's argument strictly positive (the collection term
+    is then > 0 even when the document term is 0). Without it, cpf = 0
+    would diverge cross-engine (Spark double division -> NULL, DuckDB
+    IEEE -> NaN/inf) and cf = 0 with tf = 0 would hit ln(0) (Spark
+    NULL vs DuckDB -inf). On corpora where every query bigram has
+    support — including this testdata — the guarded score is
+    bit-identical to the unguarded one."""
     terms = [
-        f"ln({_JM_LAMBDA} * (CASE WHEN pc{i} > 0 THEN"
+        f"(CASE WHEN cf{i} > 0 THEN"
+        f" ln({_JM_LAMBDA} * (CASE WHEN pc{i} > 0 THEN"
         f" CAST(tf{i} AS DOUBLE) / pc{i} ELSE CAST(0.0 AS DOUBLE) END)"
         f" + {_JM_LAMBDA_C} * (CAST(cf{i} AS DOUBLE)"
         f" / CAST(cpf{i} AS DOUBLE)))"
+        f" ELSE CAST(0.0 AS DOUBLE) END)"
         for i in range(len(_JM_BIGRAMS))
     ]
     return "round(" + " + ".join(terms) + ", 8)"

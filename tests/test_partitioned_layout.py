@@ -123,3 +123,37 @@ def test_merge_sharded_layer_flat_empty_and_mixed_shards(spark):
     assert agg2["partitions"] == 1 and agg2["files_out"] >= 1
     got = spark.read.parquet(f"{dst_new2}/ingest_batch=0")
     assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
+
+
+def test_merge_sharded_layer_rejects_legacy_shards_both_forms(spark):
+    """Legacy pre-ingest_batch shards (bare part-* files directly under
+    the layer dir) must fail LOUDLY in BOTH grouping forms (r13
+    ADVICE): the r12 guard ran only in the flat (partitioned=False)
+    branch, so a legacy shard fed to the partitioned form contributed
+    zero key=value groups and its rows silently vanished from the
+    merged index — the exact failure mode the guard exists to stop."""
+    import os
+
+    import pytest
+
+    from migrate_cassandra_to_mysql_spark.operators.layout import (
+        merge_sharded_layer,
+    )
+
+    for partitioned in (True, False):
+        root = tempfile.mkdtemp()
+        legacy = f"{root}/shard0/postings"
+        os.makedirs(legacy)
+        # one bare data file at the layer level — the legacy layout
+        with open(f"{legacy}/part-00000.parquet", "wb") as f:
+            f.write(b"x")
+        dst_new = f"{root}/merged/postings.new"
+        os.makedirs(f"{root}/merged")
+        with pytest.raises(ValueError, match="legacy"):
+            merge_sharded_layer(
+                spark,
+                [legacy],
+                dst_new,
+                [lambda df: df],
+                partitioned=partitioned,
+            )
