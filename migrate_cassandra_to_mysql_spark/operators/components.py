@@ -741,3 +741,89 @@ def label_propagation(
         labels = new_labels
         free_local_checkpoint(prev)
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def link_prediction_scores(
+    und: DataFrame,
+    deg_ceil: int,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Adamic-Adar + Resource-Allocation link-prediction scores for
+    every NON-adjacent pair of an undirected simple graph (`und`: one
+    row per edge, a < b): (u, v, n_common, adamic_adar, resource_alloc)
+    with u < v, both indices summed over the pair's common neighbors w
+    — AA weighting each w by 1/ln(deg w) (Adamic & Adar 2003), RA by
+    1/deg w (Zhou, Lu & Zhang 2009). Unsorted; callers rank/limit.
+
+    Wedge-center degree ceiling (r13 VERDICT ask #2 — the sparse-cosine
+    df-clamp discipline): wedge enumeration fans out C(deg w, 2) pairs
+    per center w, and unlike the triangle count degree orientation
+    honestly CANNOT apply (both wedge arms are needed), so a single
+    pathological hub would otherwise explode the self-join QUADRATICALLY
+    in its degree no matter how small the rest of the graph is. The
+    operator is therefore DEFINED over wedge centers with
+    2 <= deg w <= deg_ceil: a center past the ceiling is excluded from
+    BOTH indices (exactly as a term past the df clamp is excluded from
+    the cosine), bounding any center's fan-out at C(deg_ceil, 2) and
+    total wedge volume at |nodes| * deg_ceil^2 / 2 — a STRUCTURAL bound,
+    not an empirical one. The pruned centers carry the least signal by
+    the indices' own logic (1/ln d and 1/d are smallest exactly for
+    mega-hubs — a shared bestseller is weak evidence); deg >= 2 stays
+    for the ln(1) = 0 divergence (see the catalog row).
+
+    Determinism: degrees are exact BIGINTs; each wedge term folds
+    through round(·, 12) -> DECIMAL(28,12) so per-pair sums are
+    order-independent under any partitioning; final scores round to
+    8 dp. The catalog row's DuckDB oracle replays the identical capped
+    wedge pass with the same deg_ceil literal."""
+    ea, eb = F.col(a), F.col(b)
+    nbr = und.select(ea.alias("n"), eb.alias("w")).unionAll(
+        und.select(eb.alias("n"), ea.alias("w"))
+    )
+    deg = nbr.groupBy(F.col("n").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    wn = (
+        nbr.join(F.broadcast(deg), nbr["w"] == deg["node"])
+        .where((F.col("d") >= 2) & (F.col("d") <= F.lit(deg_ceil)))
+        .select(
+            "n",
+            "w",
+            F.expr(
+                "CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 12)"
+                " AS DECIMAL(28,12))"
+            ).alias("aa_w"),
+            F.expr(
+                "CAST(round(1.0 / CAST(d AS DOUBLE), 12)"
+                " AS DECIMAL(28,12))"
+            ).alias("ra_w"),
+        )
+    )
+    x, y = wn.alias("x"), wn.alias("y")
+    wedge = x.join(y, on="w").where(F.col("x.n") < F.col("y.n")).select(
+        F.col("x.n").alias("u"),
+        F.col("y.n").alias("v"),
+        F.col("x.aa_w").alias("aa_w"),
+        F.col("x.ra_w").alias("ra_w"),
+    )
+    cand = wedge.join(
+        F.broadcast(und),
+        (wedge["u"] == ea) & (wedge["v"] == eb),
+        "left_anti",
+    )
+    return (
+        cand.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("aa_w").alias("aa"),
+            F.sum("ra_w").alias("ra"),
+        )
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "n_common",
+            F.round(F.col("aa").cast("double"), 8).alias("adamic_adar"),
+            F.round(F.col("ra").cast("double"), 8).alias("resource_alloc"),
+        )
+    )

@@ -1289,6 +1289,19 @@ def label_propagation_communities(
 # (Adamic & Adar 2003), RA by 1/deg w (Zhou, Lu & Zhang 2009) — so a
 # shared niche part is stronger evidence than a shared bestseller.
 _AA_TOPK = 100
+# Wedge-center degree ceiling (r13 VERDICT ask #2): wedge volume is
+# sum over centers of C(deg w, 2) and degree orientation cannot apply
+# (both arms needed), so without a cap one pathological hub explodes
+# the self-join quadratically in its degree. Centers past the ceiling
+# are excluded from BOTH indices — the sparse-cosine df-clamp
+# discipline (textplans._SC_DF_CEIL, same 1024 literal): the bound is
+# STRUCTURAL (<= C(1024,2) pairs per center) instead of an empirical
+# observation about the support-pruned graph, and the pruned centers
+# carry the least signal by the indices' own 1/ln(d), 1/d weighting.
+# A no-op on every test scale (max pruned-graph degree: 13 at sf0.01,
+# 6 at sf0.1); the synthetic-hub exclusion is pinned in
+# tests/test_r14_ops.py.
+_AA_DEG_CEIL = 1024
 
 
 def _adamic_adar_oracle() -> str:
@@ -1305,7 +1318,7 @@ WITH {_UND_SQL},
           CAST(round(1.0 / CAST(deg.d AS DOUBLE), 12)
                AS DECIMAL(28,12)) AS ra_w
    FROM nbr JOIN deg ON deg.node = nbr.w
-   WHERE deg.d >= 2),
+   WHERE deg.d >= 2 AND deg.d <= {_AA_DEG_CEIL}),
  wedge AS MATERIALIZED (
    SELECT x.n AS u, y.n AS v, x.aa_w, x.ra_w
    FROM wn x JOIN wn y ON x.w = y.w AND x.n < y.n),
@@ -1341,11 +1354,14 @@ def copurchase_link_prediction(
     Scale shape: ONE lineitem scan (the checkpointed _und_edges signal
     graph — support-pruned, so near-constant density at scale, the
     triangles argument); wedge enumeration self-joins the
-    degree-weighted neighbor list on the CENTER node, bounded by
-    sum(deg^2) over the pruned graph exactly like the triangle count;
-    the degree frame and the adjacency anti-join side are node-/edge-
-    sized (KB at any corpus) and broadcast. No node-set window, no
-    driver loop.
+    degree-weighted neighbor list on the CENTER node, and the centers
+    are DEGREE-CAPPED at _AA_DEG_CEIL = 1024 (r13 VERDICT ask #2, the
+    sparse-cosine df-clamp discipline — see the constant's comment and
+    operators/components.link_prediction_scores), so wedge fan-out is
+    structurally bounded at C(1024, 2) per center no matter
+    what the data does; the degree frame and the adjacency anti-join
+    side are node-/edge-sized (KB at any corpus) and broadcast. No
+    node-set window, no driver loop.
 
     Determinism: degrees are exact BIGINTs; each wedge term folds
     through round(1/ln(d), 12) -> DECIMAL(28,12) (resp. 1/d) so the
@@ -1355,55 +1371,13 @@ def copurchase_link_prediction(
     produce an engine-divergent infinity before the join prunes it);
     final scores rounded to 8 dp before the (aa DESC, part_a, part_b)
     total order."""
+    from migrate_cassandra_to_mysql_spark.operators.components import (
+        link_prediction_scores,
+    )
+
     und = _und_edges(spark, sf_dir)
-    nbr = und.select(F.col("a").alias("n"), F.col("b").alias("w")).unionAll(
-        und.select(F.col("b").alias("n"), F.col("a").alias("w"))
-    )
-    deg = nbr.groupBy(F.col("n").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
-    )
-    wn = (
-        nbr.join(F.broadcast(deg), nbr["w"] == deg["node"])
-        .where(F.col("d") >= 2)
-        .select(
-            "n",
-            "w",
-            F.expr(
-                "CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 12)"
-                " AS DECIMAL(28,12))"
-            ).alias("aa_w"),
-            F.expr(
-                "CAST(round(1.0 / CAST(d AS DOUBLE), 12)"
-                " AS DECIMAL(28,12))"
-            ).alias("ra_w"),
-        )
-    )
-    x, y = wn.alias("x"), wn.alias("y")
-    wedge = x.join(y, on="w").where(F.col("x.n") < F.col("y.n")).select(
-        F.col("x.n").alias("u"),
-        F.col("y.n").alias("v"),
-        F.col("x.aa_w").alias("aa_w"),
-        F.col("x.ra_w").alias("ra_w"),
-    )
-    cand = wedge.join(
-        F.broadcast(und),
-        (wedge["u"] == und["a"]) & (wedge["v"] == und["b"]),
-        "left_anti",
-    )
     return (
-        cand.groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum("aa_w").alias("aa"),
-            F.sum("ra_w").alias("ra"),
-        )
-        .select(
-            F.col("u").alias("part_a"),
-            F.col("v").alias("part_b"),
-            "n_common",
-            F.round(F.col("aa").cast("double"), 8).alias("adamic_adar"),
-            F.round(F.col("ra").cast("double"), 8).alias("resource_alloc"),
-        )
+        link_prediction_scores(und, deg_ceil=_AA_DEG_CEIL)
         .orderBy(F.desc("adamic_adar"), F.asc("part_a"), F.asc("part_b"))
         .limit(_AA_TOPK)
     )

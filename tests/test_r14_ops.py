@@ -152,3 +152,58 @@ def test_jm_score_skips_zero_support_bigram(spark):
         f"SELECT {_jm_score_sql()} AS jm FROM (SELECT {cols})"
     ).fetchone()[0]
     assert got_duck == got_spark
+
+
+# ---------------------------------------------------------------------------
+# Link-prediction wedge-center degree ceiling (r13 VERDICT ask #2)
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_hub_center_excluded_by_deg_ceil(spark):
+    """A wedge center past deg_ceil is excluded from BOTH indices —
+    pairs whose ONLY common neighbor is the hub vanish instead of
+    exploding the self-join; pairs with an in-cap center keep exactly
+    the in-cap contribution (pure-Python reference)."""
+    import math
+
+    from migrate_cassandra_to_mysql_spark.operators.components import (
+        link_prediction_scores,
+    )
+
+    # Hub 100 ~ leaves 1..10 (deg 10); center 200 ~ leaves 1..3 (deg 3).
+    edges = [(i, 100) for i in range(1, 11)] + [(i, 200) for i in (1, 2, 3)]
+    und = spark.createDataFrame(edges, "a long, b long")
+
+    capped = {
+        (r["part_a"], r["part_b"]): r
+        for r in link_prediction_scores(und, deg_ceil=8).collect()
+    }
+
+    # Leaf pairs seen ONLY through the hub are gone entirely.
+    assert (4, 5) not in capped and (1, 4) not in capped
+    # Leaf pairs that share center 200 keep ONLY the center's term.
+    aa_c = round(round(1.0 / math.log(3.0), 12), 8)
+    ra_c = round(round(1.0 / 3.0, 12), 8)
+    for pair in ((1, 2), (1, 3), (2, 3)):
+        row = capped[pair]
+        assert row["n_common"] == 1
+        assert row["adamic_adar"] == pytest.approx(aa_c, abs=0)
+        assert row["resource_alloc"] == pytest.approx(ra_c, abs=0)
+    # (hub, center) rides the three deg-2 leaves — all in-cap.
+    row = capped[(100, 200)]
+    assert row["n_common"] == 3
+    assert row["adamic_adar"] == pytest.approx(
+        round(3 * round(1.0 / math.log(2.0), 12), 8), abs=0
+    )
+    assert row["resource_alloc"] == pytest.approx(
+        round(3 * round(1.0 / 2.0, 12), 8), abs=0
+    )
+
+    # Control: with the ceiling lifted, the hub-only pairs reappear —
+    # the cap (not some other pruning) is what excluded them.
+    uncapped = {
+        (r["part_a"], r["part_b"]): r
+        for r in link_prediction_scores(und, deg_ceil=10**6).collect()
+    }
+    assert (4, 5) in uncapped
+    assert uncapped[(1, 2)]["n_common"] == 2  # hub + center
