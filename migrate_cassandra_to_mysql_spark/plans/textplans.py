@@ -51,6 +51,58 @@ _INJECT_SQL = """
 """
 
 
+def _inject_band_dups_spark(d: DataFrame) -> DataFrame:
+    """The dedup-recall eval corpus (r13 VERDICT ask #6): the standard
+    exact-copy injection (doc_id % 50 == 0 -> +1000000, identical text)
+    PLUS a NEAR-THRESHOLD band — every doc_id % 50 == 25 adds a
+    +2000000 copy holding only the first floor(n/2)+1 tokens. The
+    prefix's 3-gram shingles are a subset of the original's, so the
+    pair's Jaccard is |prefix shingles| / |orig shingles| ~ 0.5, with
+    per-doc distinctness jitter straddling the 0.5 truth threshold:
+    some band pairs ARE truth, and at s ~ 0.5 the 4x2 LSH S-curve
+    catches only ~1-(1-s^2)^4 ~ 68% of them — so the eval's recall can
+    actually MOVE when the banding changes, instead of saturating at
+    100% on exact copies (tests/test_r14_ops.py pins recall < 1.0 and
+    the band's existence). Only dedup_recall_eval uses this corpus;
+    the component rows keep the plain injection + their own verbatim
+    oracles."""
+    t = d.select(
+        "doc_id", "text", textfns.tokens(F.col("text")).alias("__toks")
+    )
+    half = F.array_join(
+        F.expr("slice(__toks, 1, (size(__toks) + 2) div 2)"), " "
+    )
+    rec = F.struct(
+        F.col("doc_id").alias("doc_id"), F.col("text").alias("text")
+    )
+    exact = F.struct(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("text").alias("text"),
+    )
+    band = F.struct(
+        (F.col("doc_id") + 2000000).alias("doc_id"), half.alias("text")
+    )
+    return t.select(
+        F.explode(
+            F.when(F.col("doc_id") % 50 == 0, F.array(rec, exact))
+            .when(F.col("doc_id") % 50 == 25, F.array(rec, band))
+            .otherwise(F.array(rec))
+        ).alias("r")
+    ).select("r.doc_id", "r.text")
+
+
+_INJECT_BAND_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(toks[1:(len(toks) + 2) // 2], ' ') AS text
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks
+        FROM documents WHERE doc_id % 50 = 25)
+"""
+
+
 @register(
     "text_stats",
     oracle=f"""
@@ -3010,13 +3062,21 @@ def phrase_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_recall_oracle() -> str:
     """Ground truth and prediction are the two verified oracles
-    VERBATIM (the dedup_clusters composition discipline): exact 3-gram
-    Jaccard >= 0.5 pairs as truth, the MinHash 4x2-band candidates as
-    the prediction, both over the identical injected base."""
+    VERBATIM (the dedup_clusters composition discipline) — exact
+    3-gram Jaccard >= 0.5 pairs as truth, the MinHash 4x2-band
+    candidates as the prediction — with ONE documented substitution:
+    both run over the near-threshold BAND corpus
+    (_INJECT_BAND_SQL, r13 VERDICT ask #6) instead of the plain
+    injection, so the metrics discriminate banding changes instead of
+    saturating on exact copies."""
     from migrate_cassandra_to_mysql_spark.plans.registry import CATALOG
 
-    truth = CATALOG["ngram_jaccard_dedup"].oracle
-    cand = CATALOG["minhash_lsh_candidates"].oracle
+    truth = CATALOG["ngram_jaccard_dedup"].oracle.replace(
+        _INJECT_SQL, _INJECT_BAND_SQL
+    )
+    cand = CATALOG["minhash_lsh_candidates"].oracle.replace(
+        _INJECT_SQL, _INJECT_BAND_SQL
+    )
     return f"""
 WITH truth AS ({truth}),
  cand AS ({cand}),
@@ -3058,9 +3118,17 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval is meant for a bounded audit corpus (here: the df-bounded
     injected base the oracles already pin), not the full 100 TB.
 
+    Fixture (r13 VERDICT ask #6): the corpus is the near-threshold
+    BAND injection (_inject_band_dups_spark) — exact copies (always
+    caught) plus prefix-copies whose Jaccard straddles the 0.5 truth
+    threshold, where the 4x2 LSH S-curve sits at ~68% — so recall is
+    structurally < 100% and MOVES when bands x rows change
+    (tests/test_r14_ops.py pins recall < 1.0 and both sides of the
+    band).
+
     Determinism: counts are exact BIGINTs off the two verified
     contracts; ppm metrics are positive-integer floor division."""
-    base = _inject_dups_spark(
+    base = _inject_band_dups_spark(
         T(spark, sf_dir, "documents")
     ).localCheckpoint(eager=True)
     truth = (
