@@ -280,3 +280,115 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "event_trigram_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev1,
+         lag(event_type, 2) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev2
+  FROM events),
+ tr AS (
+  SELECT prev2, prev1, event_type AS next_type,
+         CAST(count(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev2 IS NOT NULL
+  GROUP BY 1, 2, 3),
+ w AS (
+  SELECT prev2, prev1, next_type, n_trans,
+         CAST(sum(n_trans) OVER (PARTITION BY prev2, prev1) AS BIGINT)
+           AS n_from,
+         CAST(sum(n_trans) OVER (PARTITION BY prev1, next_type) AS BIGINT)
+           AS n1_trans,
+         CAST(sum(n_trans) OVER (PARTITION BY prev1) AS BIGINT)
+           AS n1_from
+  FROM tr)
+SELECT prev2, prev1, next_type, n_trans, n_from,
+       (n_trans * 1000000) // n_from AS p2_ppm,
+       (n1_trans * 1000000) // n1_from AS p1_ppm,
+       (n_trans * 1000000) // n_from
+         - (n1_trans * 1000000) // n1_from AS memory_ppm
+FROM w
+ORDER BY prev2, prev1, next_type
+""",
+)
+def event_trigram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order (trigram) Markov transitions over per-user event
+    sequences: for every (prev2, prev1 -> next) triple, the transition
+    count, P(next | prev2, prev1) in exact ppm, AND — from the same
+    matrix, over the same conditioning population — the marginalized
+    first-order P(next | prev1), so every row carries its own
+    first-vs-second-order A/B: `memory_ppm` = p2 - p1 is the exact
+    sequence-memory signal (how much the extra history step moves the
+    prediction), the way jm_bigram_lm_topk A/Bs sequence-aware ranking
+    against lm_dirichlet's unigram on identical inputs. Rows with
+    |memory_ppm| far from 0 are exactly where a first-order model
+    mispredicts — the model-order selection evidence (the chi-square /
+    likelihood-ratio test's sufficient statistics are these counts).
+
+    The first-order terms marginalize the TRIGRAM matrix (sum over
+    prev2) rather than re-counting bigrams, so both estimates
+    condition on the identical event population (rows with 2+ events
+    of history) — an apples-to-apples A/B that one extra window over
+    the KB matrix buys; re-counting would include each user's first
+    transition in one estimate but not the other.
+
+    Scale shape (the event_transition_matrix discipline): one events
+    scan through ONE per-user ordered window computing both lags (two
+    lag() calls over the same window spec share one sort/exchange),
+    then the fact stream collapses to the |types|^3 count matrix (KB
+    at any corpus); the three marginal sums are partition windows over
+    THAT matrix — no second fact scan, no self-join (the totals
+    self-join the plan baseline caught in the first-order row's
+    development is structurally avoided here the same way).
+
+    Determinism: the lag ordering is total per user (ts, then unique
+    event_id); counts are exact BIGINTs; ppm quantization is
+    positive-integer floor division (Spark div == DuckDB // on
+    non-negative operands), and memory_ppm subtracts the two already-
+    quantized integers — no float anywhere."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    tr = (
+        seq.where(F.col("prev2").isNotNull())
+        .groupBy("prev2", "prev1", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    w2 = Window.partitionBy("prev2", "prev1")
+    w1n = Window.partitionBy("prev1", "next_type")
+    w1 = Window.partitionBy("prev1")
+    return (
+        tr.select(
+            "prev2",
+            "prev1",
+            "next_type",
+            "n_trans",
+            F.sum("n_trans").over(w2).cast("long").alias("n_from"),
+            F.sum("n_trans").over(w1n).cast("long").alias("n1_trans"),
+            F.sum("n_trans").over(w1).cast("long").alias("n1_from"),
+        )
+        .select(
+            "prev2",
+            "prev1",
+            "next_type",
+            "n_trans",
+            "n_from",
+            F.expr("(n_trans * 1000000) div n_from").alias("p2_ppm"),
+            F.expr("(n1_trans * 1000000) div n1_from").alias("p1_ppm"),
+            F.expr(
+                "(n_trans * 1000000) div n_from"
+                " - (n1_trans * 1000000) div n1_from"
+            ).alias("memory_ppm"),
+        )
+        .orderBy("prev2", "prev1", "next_type")
+    )

@@ -550,49 +550,63 @@ def _directed_copurchase_pairs(
     be fixed in lockstep once already, mirroring _und_edges for the
     undirected rows).
 
-    Single-scan discipline: `items` feeds both sides of the pair
-    self-join ONCE (the af1744d single-scan edge build; un-checkpointed,
-    the plan scanned lineitem twice). Pair dedup is the memory-heaviest
-    step (pair instances ~ orders x width^2) — repartition by the pair
-    key across many tasks BEFORE aggregating (a low shuffle-partition
-    setting would hold a multi-million-entry hash map per task; the sf1
-    smoke OOM'd a 1 GB driver exactly there), costing no extra exchange
-    since it satisfies the aggregation's distribution requirement. The
-    edge list is re-referenced by every loop round and the callers'
-    outdeg/node builds — checkpointed so the self-join + dedup run
-    once."""
+    BUCKETED PRE-AGGREGATION (r14 — the r13 VERDICT ask #1 rework):
+    the original form self-joined a distinct (ok, p) frame on ok and
+    deduped the pair stream; its superlinearity at sf5 (pair dedup
+    7.9 -> 63.5s, 8.0x at 5.0x edges) was r13-attributed to a
+    fixed-heap storage cliff, but the r14 falsification A/B REFUTED
+    that: at a 24g heap the evictions disappear and the ratio stays
+    8.33x (BENCH_r14_local.json ppr_split_ab) — the real term was the
+    sort-merge self-join's two external sorts (tens of millions of
+    rows per task at a fixed local task count: n log n plus spill IO,
+    heap-insensitive, exactly matching the A/B). The rework removes
+    the self-join entirely: ONE hash aggregation buckets lineitem into
+    per-order item sets (collect_set — the same exchange volume the
+    old distinct already paid, no sorts), then the ordered pairs
+    explode MAP-SIDE from each basket via two generates — per-order
+    fan-out is width^2, bounded by basket size (<= 7 parts/order on
+    this generator; at 100 TB basket width is a domain constant, so
+    the explode is linear in orders). Measured: pair phase 5x ratio
+    restored and the sf5 chain total well under the r13 174.5s (see
+    BENCH_r14_local.json).
+
+    Pair dedup then repartitions by the pair key across many tasks
+    BEFORE aggregating (a low shuffle-partition setting would hold a
+    multi-million-entry hash map per task; the sf1 smoke OOM'd a 1 GB
+    driver exactly there), costing no extra exchange since it
+    satisfies the aggregation's distribution requirement. The edge
+    list is re-referenced by every loop round and the callers'
+    outdeg/node builds — checkpointed so the basket agg + explode +
+    dedup run once. The edge SET is identical to the self-join form's
+    (pinned by the unchanged DuckDB oracles and
+    tests/test_r14_ops.py's form-equivalence test), so every pagerank/
+    ppr value is bit-identical."""
     import time as _time
 
     t0 = _time.perf_counter()
     li = T(spark, sf_dir, "lineitem")
-    items = (
+    baskets = (
         li.select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
         )
-        .distinct()
+        .groupBy("ok")
+        .agg(F.collect_set("p").alias("ps"))
         .localCheckpoint(eager=True)
     )
     t1 = _time.perf_counter()
-    o = items.select("ok", F.col("p").alias("dst"))
-    # The r13 split probe isolated the PPR chain's only superlinear
-    # phase to this dedup (7.9 -> 63.5s, 8.0x at 5.0x edges) with
-    # MemoryStore eviction warnings present at sf5 and absent at sf1 —
-    # a fixed-heap storage cliff (the 120M-row checkpoint no longer
-    # fits the 8g suite heap's storage pool), not an algorithmic term;
-    # an x16 A/B measured no improvement (BENCH_r13_local.json
-    # ppr_split), so the width stays at x8. On a cluster with memory
-    # scaled to data the phase is linear.
     n_dedup = max(64, spark.sparkContext.defaultParallelism * 8)
     pairs = (
-        items.join(o, "ok")
-        .where(F.col("p") != F.col("dst"))
-        .select(F.col("p").alias("src"), "dst")
+        baskets.select(F.explode("ps").alias("src"), "ps")
+        .select(
+            "src",
+            F.explode(F.expr("filter(ps, y -> y != src)")).alias("dst"),
+        )
         .repartition(n_dedup, "src", "dst")
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
     if timings is not None:  # split-timer hook (tools/ppr_split_probe.py)
-        timings["items_distinct_sec"] = round(t1 - t0, 2)
+        timings["basket_agg_sec"] = round(t1 - t0, 2)
         timings["pair_dedup_sec"] = round(_time.perf_counter() - t1, 2)
     return pairs
 

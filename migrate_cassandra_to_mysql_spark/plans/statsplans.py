@@ -1118,3 +1118,178 @@ def theil_sen_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# Grouped isotonic regression (Barlow et al. 1972; Robertson-Wright-
+# Dykstra 1988): the L2-optimal NON-DECREASING fit to each nation's
+# yearly revenue series — the shape-constrained member completing the
+# regression family (OLS = least squares line, Theil-Sen = robust
+# line, isotonic = monotone step function, no parametric form at all).
+# Computed via the exact MINIMAX characterization instead of the
+# sequential PAVA pool loop: fit(i) = max over j<=i of min over k>=i
+# of mean(y[j..k]) — identical to PAVA's pooled-block means (the
+# classical equivalence; tests/test_r14_ops.py pins it against a
+# pure-Python Fraction PAVA), but expressible as two tiny grouped
+# aggregations over the interval-mean table, so BOTH engines run the
+# same declarative form and no driver loop exists.
+#
+# Exactness: interval means are rationals sum/len with len <= the
+# series length; every len in 1..10 divides 2520 (= lcm(1..10)), so
+# mean * 2520 = sum * (2520 div len) is an exact integer — the
+# scaled-integer discipline (CUSUM's n*P - t*S form) applied to
+# rational means. The product folds through DECIMAL(38,0) on both
+# engines (the r14 Theil-Sen rule: selection stays exact at ANY sf;
+# only the final BIGINT output casts bound the row, loudly). Series
+# longer than 10 points would need a larger scaling constant — this
+# row's series is the <= 7 TPC-H order years, documented here.
+def _isotonic_oracle() -> str:
+    return """
+WITH yr AS (
+  SELECT n.n_name,
+         CAST(year(o.o_orderdate) - 1992 AS BIGINT) AS x,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS y_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+ p AS (
+  SELECT n_name, x, y_cents,
+         CAST(row_number() OVER (PARTITION BY n_name ORDER BY x)
+              AS BIGINT) AS t,
+         CAST(sum(y_cents) OVER (PARTITION BY n_name ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s
+  FROM yr),
+ iv AS (
+  SELECT b.n_name, b.tb, e.te,
+         CAST(e.se - b.sb AS DECIMAL(38,0))
+           * (2520 // (e.te - b.tb + 1)) AS ms
+  FROM (SELECT n_name, t AS tb, s - y_cents AS sb FROM p) b
+  JOIN (SELECT n_name, t AS te, s AS se FROM p) e
+    ON b.n_name = e.n_name AND b.tb <= e.te),
+ mn AS (
+  SELECT pt.n_name, pt.x, pt.y_cents, pt.t, iv.tb, min(iv.ms) AS mn
+  FROM p pt JOIN iv
+    ON pt.n_name = iv.n_name AND iv.tb <= pt.t AND iv.te >= pt.t
+  GROUP BY 1, 2, 3, 4, 5),
+ fit AS (
+  SELECT n_name, x, y_cents, max(mn) AS fs FROM mn GROUP BY 1, 2, 3)
+SELECT n_name, x, y_cents,
+       CAST(fs AS BIGINT) AS iso_scaled,
+       CAST(CAST(CAST(fs AS BIGINT) // 2520 AS DECIMAL(38,0)) * 1000000
+            + ((CAST(fs AS BIGINT) % 2520) * 1000000) // 2520
+            AS BIGINT) AS iso_micro
+FROM fit
+ORDER BY n_name, x
+"""
+
+
+@register("isotonic_trend_by_nation", oracle=_isotonic_oracle())
+def isotonic_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation isotonic (monotone non-decreasing) regression over
+    the yearly order-revenue series, via the exact minimax form
+    fit(i) = max_{j<=i} min_{k>=i} mean(y[j..k]) — equal to PAVA's
+    pooled means (pinned against a pure-Python Fraction PAVA in
+    tests/test_r14_ops.py). Output per (nation, year): the observed
+    exact cents, the fit as an exact scaled integer (mean * 2520,
+    2520 = lcm(1..10) so every interval length <= 10 divides it), and
+    the fit floor-quantized to micro-cents. The shape-constrained
+    member beside ols_trend_by_nation (parametric line) and
+    theil_sen_by_nation (robust line): isotonic answers "is this
+    series consistent with monotone growth, and where does it
+    violate" with no functional form assumed — the calibration /
+    dose-response / trend-test primitive (and exactly scikit-learn's
+    IsotonicRegression semantics, grouped).
+
+    Scale shape (the theil_sen discipline): one orders scan through
+    two dimension equi-joins collapses the fact table to the 25 x ~7
+    (nation, year) frame; the interval table (<= k^2/2 rows per
+    nation), the minimax joins, and both grouped aggregations run on
+    that KB-sized frame — at 100 TB the fact table is touched exactly
+    once and the isotonic machinery never sees fact-sized data. The
+    k^2 interval blowup is bounded by the series length (a domain
+    constant: years), never by corpus size.
+
+    Determinism: yearly cents are exact BIGINTs; interval means scale
+    to exact integers through the lcm trick; the minimax selection
+    compares DECIMAL(38,0) values (exact at any sf — the r14
+    overflow-fold rule), so both engines pick identical fits; the
+    micro-cent quantization is the positive-branch split identity
+    (fs >= 0: revenues are positive) with its products in
+    DECIMAL(38,0). Output casts are loud past int64 (sf ~4000 for
+    iso_scaled). No float anywhere in the row."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yr = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") - F.lit(1992)).cast("long").alias("x"),
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                * F.lit(100)
+            )
+            .cast("long")
+            .alias("y_cents")
+        )
+    )
+    wn = Window.partitionBy("n_name").orderBy("x")
+    run = wn.rowsBetween(Window.unboundedPreceding, 0)
+    # p is referenced three times (interval begins, interval ends, the
+    # point frame) — eager checkpoint so the fact aggregation and the
+    # window run once (the theil_sen lineage discipline).
+    p = yr.select(
+        "n_name",
+        "x",
+        "y_cents",
+        F.row_number().over(wn).cast("long").alias("t"),
+        F.sum("y_cents").over(run).cast("long").alias("s"),
+    ).localCheckpoint(eager=True)
+    pb = p.select(
+        "n_name",
+        F.col("t").alias("tb"),
+        (F.col("s") - F.col("y_cents")).alias("sb"),
+    )
+    pe = p.select(
+        "n_name", F.col("t").alias("te"), F.col("s").alias("se")
+    )
+    iv = (
+        pb.join(pe, "n_name")
+        .where(F.col("tb") <= F.col("te"))
+        .select(
+            "n_name",
+            "tb",
+            "te",
+            F.expr(
+                "CAST(se - sb AS DECIMAL(38,0))"
+                " * (2520 div (te - tb + 1))"
+            ).alias("ms"),
+        )
+    )
+    mn = (
+        p.select("n_name", "x", "y_cents", "t")
+        .join(iv, "n_name")
+        .where((F.col("tb") <= F.col("t")) & (F.col("te") >= F.col("t")))
+        .groupBy("n_name", "x", "y_cents", "t", "tb")
+        .agg(F.min("ms").alias("mn"))
+    )
+    fit = mn.groupBy("n_name", "x", "y_cents").agg(F.max("mn").alias("fs"))
+    return fit.select(
+        "n_name",
+        "x",
+        "y_cents",
+        F.expr("CAST(fs AS BIGINT)").alias("iso_scaled"),
+        F.expr(
+            "CAST(CAST(CAST(fs AS BIGINT) div 2520 AS DECIMAL(38,0))"
+            " * 1000000"
+            " + ((CAST(fs AS BIGINT) % 2520) * 1000000) div 2520"
+            " AS BIGINT)"
+        ).alias("iso_micro"),
+    ).orderBy("n_name", "x")

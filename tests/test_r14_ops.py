@@ -245,3 +245,162 @@ def test_dedup_recall_band_discriminates(spark, sf_dir):
     assert any(j >= 0.5 for j in js), "no band pair reaches truth"
     assert any(j < 0.5 for j in js), "no band pair below threshold"
     assert all(0.30 <= j <= 0.75 for j in js), sorted(js)[:5]
+
+
+# ---------------------------------------------------------------------------
+# Edge-build bucketed pre-aggregation (r13 VERDICT ask #1 rework)
+# ---------------------------------------------------------------------------
+
+
+def test_directed_pairs_basket_form_equals_self_join_form(spark, sf_dir):
+    """The r14 basket-explode edge build emits the IDENTICAL directed
+    edge set the old (ok,p)-distinct self-join form emitted — the
+    pagerank/ppr values are functions of that set only."""
+    from migrate_cassandra_to_mysql_spark.plans.scaleplans import (
+        _directed_copurchase_pairs,
+    )
+    from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+    got = _directed_copurchase_pairs(spark, sf_dir)
+    li = T(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    o = items.select("ok", F.col("p").alias("dst"))
+    want = (
+        items.join(o, "ok")
+        .where(F.col("p") != F.col("dst"))
+        .select(F.col("p").alias("src"), "dst")
+        .dropDuplicates()
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# r14 new operators: trigram Markov + grouped isotonic (PAVA)
+# ---------------------------------------------------------------------------
+
+
+def test_trigram_transitions_pure_python_reference(spark, sf_dir):
+    """Third-engine check: recount (prev2, prev1, next) triples and
+    both conditional ppm estimates with plain Python dicts over the
+    identically-ordered event stream."""
+    from collections import Counter, defaultdict
+
+    import duckdb as _duckdb
+
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    rows = con.execute(
+        "SELECT user_id, event_type FROM events"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    seqs = defaultdict(list)
+    for uid, et in rows:
+        seqs[uid].append(et)
+    tri = Counter()
+    for s in seqs.values():
+        for i in range(2, len(s)):
+            tri[(s[i - 2], s[i - 1], s[i])] += 1
+    n_from = Counter()
+    n1 = Counter()
+    n1_from = Counter()
+    for (p2, p1, nx), c in tri.items():
+        n_from[(p2, p1)] += c
+        n1[(p1, nx)] += c
+        n1_from[p1] += c
+
+    got = catalog.queries()["event_trigram_transitions"](
+        spark, sf_dir
+    ).collect()
+    assert len(got) == len(tri)
+    for r in got:
+        key = (r["prev2"], r["prev1"], r["next_type"])
+        assert r["n_trans"] == tri[key]
+        assert r["n_from"] == n_from[(r["prev2"], r["prev1"])]
+        assert r["p2_ppm"] == r["n_trans"] * 1_000_000 // r["n_from"]
+        p1 = (
+            n1[(r["prev1"], r["next_type"])]
+            * 1_000_000
+            // n1_from[r["prev1"]]
+        )
+        assert r["p1_ppm"] == p1
+        assert r["memory_ppm"] == r["p2_ppm"] - p1
+    # The A/B is non-degenerate: second order moves SOME predictions.
+    assert any(r["memory_ppm"] != 0 for r in got)
+
+
+def _pava_fractions(ys):
+    """Classic pool-adjacent-violators over exact Fractions."""
+    from fractions import Fraction
+
+    blocks: list[list[int]] = []
+    for y in ys:
+        blocks.append([y, 1])
+        while len(blocks) > 1 and Fraction(
+            blocks[-2][0], blocks[-2][1]
+        ) > Fraction(blocks[-1][0], blocks[-1][1]):
+            s, c = blocks.pop()
+            blocks[-1][0] += s
+            blocks[-1][1] += c
+    out = []
+    for s, c in blocks:
+        out.extend([Fraction(s, c)] * c)
+    return out
+
+
+def test_isotonic_equals_pure_python_pava(spark, sf_dir):
+    """The minimax form the row computes equals sequential PAVA's
+    pooled-block means EXACTLY (Fractions, no float), per nation; the
+    micro output is the floor-quantized fit."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    import duckdb as _duckdb
+
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    con = _duckdb.connect()
+    for t in ("orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    rows = con.execute(
+        """
+SELECT n.n_name, year(o.o_orderdate) - 1992 AS x,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    ).fetchall()
+    series = defaultdict(list)
+    for name, _x, y in rows:
+        series[name].append(int(y))
+    want = {name: _pava_fractions(ys) for name, ys in series.items()}
+
+    got = catalog.queries()["isotonic_trend_by_nation"](
+        spark, sf_dir
+    ).collect()
+    seen = defaultdict(int)
+    for r in got:
+        i = seen[r["n_name"]]
+        seen[r["n_name"]] += 1
+        f = want[r["n_name"]][i]
+        assert Fraction(r["iso_scaled"], 2520) == f, (r["n_name"], i)
+        assert r["iso_micro"] == (f * 1_000_000).__floor__()
+    assert dict(seen) == {k: len(v) for k, v in want.items()}
+    # The fit is monotone non-decreasing within every nation.
+    by_nation = defaultdict(list)
+    for r in got:
+        by_nation[r["n_name"]].append(r["iso_scaled"])
+    for vals in by_nation.values():
+        assert vals == sorted(vals)

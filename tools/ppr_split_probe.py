@@ -8,11 +8,12 @@ sparse-loop rework. This probe pins the attribution by timing the two
 phases separately on the same disjoint-replica lineitem fixture the
 scale suite uses:
 
-  edge_build_sec  — _directed_copurchase_pairs: the items distinct +
-                    pair self-join + repartition + dropDuplicates +
-                    eager checkpoint (everything that executes at
-                    frame-construction time), then a count() to pin
-                    the edge cardinality;
+  edge_build_sec  — _directed_copurchase_pairs: the per-order basket
+                    aggregation + map-side pair explode + repartition
+                    + dropDuplicates + eager checkpoint (the r14
+                    bucketed pre-aggregation form; everything that
+                    executes at frame-construction time), then a
+                    count() to pin the edge cardinality;
   seeds_sec       — the 3-seed pick off the checkpointed pairs via
                     scaleplans._smallest_nodes (the catalog row's exact
                     shuffle-free form; the r13 fix replaced the
@@ -87,7 +88,7 @@ def main() -> int:
             out[label] = {
                 "n_edges": n_edges,
                 "edge_build_sec": round(t1 - t0, 2),
-                "items_distinct_sec": sub["items_distinct_sec"],
+                "basket_agg_sec": sub["basket_agg_sec"],
                 "pair_dedup_sec": sub["pair_dedup_sec"],
                 "seeds_sec": round(t2 - t1, 2),
                 "loop_sec": round(t3 - t2, 2),
@@ -99,7 +100,7 @@ def main() -> int:
     r = {
         k: round(out["sf5"][k] / max(out["sf1"][k], 1e-9), 2)
         for k in (
-            "n_edges", "edge_build_sec", "items_distinct_sec",
+            "n_edges", "edge_build_sec", "basket_agg_sec",
             "pair_dedup_sec", "seeds_sec", "loop_sec", "total_sec",
         )
     }
