@@ -843,3 +843,127 @@ def pq_train_centers(
             for mi in range(m)
         ]
     return centers
+
+
+# ---------------------------------------------------------------------------
+# Maximum-inner-product (MIPS) serving — the non-cosine metric rung.
+# ---------------------------------------------------------------------------
+
+_IP_WEIGHT_SQL = "(1.0D + CAST(vec_id % 7 AS DOUBLE) / 4.0D)"
+
+
+def ip_scaled(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, v) with each vector scaled by a deterministic per-id
+    weight 1 + (vec_id % 7)/4 — the MIPS corpus. The test embeddings
+    are unit-norm, where inner product degenerates to cosine; the
+    scaling plays the role real un-normalized serving vectors play
+    (recommender item embeddings carry popularity/quality in their
+    NORM — Koren et al.'s matrix-factorization convention — which is
+    exactly why MIPS is its own retrieval problem, cf. Shrivastava &
+    Li 2014 ALSH). The weight's arithmetic is ulp-safe cross-engine:
+    m/4 is an exact binary quarter, 1+q exact, so x*w is ONE IEEE
+    multiply in both engines (and in the Python-side centroid
+    scaling)."""
+    e = _base(embeddings)
+    return e.select(
+        "vec_id",
+        F.expr(f"transform(v, x -> x * {_IP_WEIGHT_SQL})").alias("v"),
+    )
+
+
+def ip_centroid_rows(embeddings: DataFrame, k: int) -> list:
+    """First-K codebook IN THE SCALED MIPS SPACE: the quantizer must
+    live in the metric's own space (Faiss METRIC_INNER_PRODUCT trains
+    its coarse quantizer on the served vectors, not on normalized
+    ones). Python scaling here is bit-equal to the SQL transform (see
+    ip_scaled)."""
+    return [
+        {
+            "c_id": r["c_id"],
+            "cv": [
+                x * (1.0 + (r["c_id"] % 7) / 4.0) for x in r["cv"]
+            ],
+        }
+        for r in first_k_centroid_rows(embeddings, k)
+    ]
+
+
+def ivf_ip_topk(
+    embeddings: DataFrame,
+    n_centroids: int = 4,
+    query_mod: int = 100,
+    k: int = 3,
+    n_probe: int = 2,
+    centroids: list | None = None,
+) -> DataFrame:
+    """IVF maximum-inner-product top-k over the scaled MIPS corpus —
+    the missing METRIC rung of the serving ladder (every other rung
+    ranks by cosine): cell assignment AND query probing both argmax
+    the INNER PRODUCT against the codebook (the Faiss IndexIVFFlat /
+    METRIC_INNER_PRODUCT composition), each query probes its top
+    `n_probe` cells, and candidates in probed cells rank by the exact
+    dot product. MIPS has no triangle inequality and is not a metric —
+    the assignment geometry genuinely differs from the cosine rungs'
+    (high-norm vectors dominate cells), which is what the row
+    demonstrates: tests pin that IP top-k != cosine top-k on the same
+    corpus, and that all-probes == brute-force MIPS.
+
+    Scale shape (the ivf_topk discipline exactly): scaling, assignment
+    and probe ranking are ONE map-side expression chain over a literal
+    codebook — zero shuffle, no window; the exploded (query, probed
+    cell) rows broadcast against the cell-equijoined corpus, so the
+    corpus never shuffles and unprobed cells' rows never join; the
+    only ordered state is the per-query top-k window over the
+    candidate set. Same plan at 10^9 vectors with a real k-means
+    codebook passed via `centroids`.
+
+    Determinism: the weight arithmetic is exact (see ip_scaled);
+    every inner product folds through round(·, 6) before any
+    comparison; assignment/probe ties break to the lowest c_id and
+    serving ties to the lowest n_id — total orders everywhere."""
+    scaled = ip_scaled(embeddings)
+    cents = (
+        ip_centroid_rows(embeddings, n_centroids)
+        if centroids is None
+        else centroids
+    )
+    cell_structs = ", ".join(
+        f"named_struct('negs',"
+        f" -round({_sql_dot('v', _sql_vec(row['cv']))}, 6),"
+        f" 'c', {int(row['c_id'])})"
+        for row in cents
+    )
+    b = scaled.withColumn(
+        "_rc", F.expr(f"array_sort(array({cell_structs}))")
+    )
+    asn = b.select(
+        "vec_id", "v", F.expr("CAST(_rc[0].c AS BIGINT)").alias("cell")
+    )
+    q = b.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.expr(
+                f"transform(slice(_rc, 1, {n_probe}),"
+                " s -> CAST(s.c AS BIGINT))"
+            )
+        ).alias("p_cell"),
+    )
+    cand = (
+        F.broadcast(q)
+        .join(asn, F.col("p_cell") == F.col("cell"))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            "cell",
+            F.round(
+                F.expr(f"{_sql_dot('qv', 'v')}"), 6
+            ).alias("ip"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("ip"), F.asc("n_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .where(F.col("rnk") <= k)
+    )

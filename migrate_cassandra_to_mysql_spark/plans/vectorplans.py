@@ -1926,3 +1926,69 @@ def ivf_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=_BQIVF_PROBE,
         shortlist=_BQ_SHORTLIST,
     )
+
+
+@register(
+    "ivf_ip_topk",
+    oracle="""
+WITH e AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x * (1.0 + CAST(vec_id % 7 AS DOUBLE) / 4.0)) AS v
+           FROM embeddings),
+ c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 4),
+ scored AS (SELECT e.vec_id, e.v, c.c_id,
+                   round(list_dot_product(e.v, c.cv), 6) AS ips
+            FROM e CROSS JOIN c),
+ rc AS (SELECT vec_id, v, c_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ips DESC, c_id) AS rn
+        FROM scored),
+ asn AS (SELECT vec_id, v, CAST(c_id AS BIGINT) AS cell
+         FROM rc WHERE rn = 1),
+ q AS (SELECT vec_id AS q_id, v AS qv, CAST(c_id AS BIGINT) AS p_cell
+       FROM rc WHERE vec_id % 100 = 0 AND rn <= 2),
+ cand AS (SELECT q.q_id, a.vec_id AS n_id, a.cell,
+                 round(list_dot_product(q.qv, a.v), 6) AS ip
+          FROM q JOIN asn a ON a.cell = q.p_cell AND a.vec_id != q.q_id),
+ ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                         ORDER BY ip DESC, n_id) AS rnk
+            FROM cand)
+SELECT q_id, n_id, cell, ip, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def ivf_ip_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF maximum-inner-product (MIPS) top-3, n_probe=2 — the missing
+    METRIC rung of the serving ladder: every other rung (flat, IVF,
+    SQ8, BQ, IVF-BQ, IVFADC, rerank) ranks by cosine; this one
+    assigns, probes, and ranks by the raw INNER PRODUCT over a corpus
+    whose vector NORMS carry signal (a deterministic per-id popularity
+    weight — the recommender MF convention; on the unit-norm test
+    embeddings plain IP would degenerate to cosine, so the weight is
+    what makes the row exercise true MIPS semantics; the
+    IP-vs-cosine ranking divergence is test-pinned). MIPS is not a
+    metric (no triangle inequality; a vector need not be its own
+    nearest neighbor) — the cell geometry differs structurally:
+    high-norm vectors dominate assignment, exactly the Faiss
+    METRIC_INNER_PRODUCT IndexIVFFlat behavior this row composes.
+
+    Scale shape (the embedding_ivf_topk discipline): scaling +
+    assignment + probe ranking are one map-side literal-codebook
+    expression chain (codebook memoized per sf_dir — train-once,
+    query-many); the exploded (query, probed-cell) rows broadcast
+    against the cell-equijoin, so the corpus never shuffles and
+    unprobed cells never join; the only ordered state is the
+    per-query top-k window. Reference: quyetmv/migrate-cassandra-to-
+    mysql has no vector surface; engine-added for the
+    training-data/serving pipeline."""
+    from migrate_cassandra_to_mysql_spark.plans._work import memo
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents = memo(
+        ("ivf_ip_centroid_rows", sf_dir),
+        lambda: similarity.ip_centroid_rows(emb, 4),
+    )
+    return similarity.ivf_ip_topk(
+        emb, n_centroids=4, query_mod=100, k=3, n_probe=2,
+        centroids=cents,
+    )

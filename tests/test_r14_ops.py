@@ -404,3 +404,123 @@ GROUP BY 1, 2 ORDER BY 1, 2
         by_nation[r["n_name"]].append(r["iso_scaled"])
     for vals in by_nation.values():
         assert vals == sorted(vals)
+
+
+# ---------------------------------------------------------------------------
+# IVF inner-product (MIPS) serving rung
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_ip_all_probes_equals_brute_force_mips(spark, sf_dir):
+    """Probing every cell makes IVF-IP exactly brute-force MIPS — the
+    flat-equality contract every probed rung in the ladder pins."""
+    from migrate_cassandra_to_mysql_spark.operators import similarity
+    from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+
+    emb = T(spark, sf_dir, "embeddings")
+    got = {
+        (r["q_id"], r["rnk"]): (r["n_id"], r["ip"])
+        for r in similarity.ivf_ip_topk(
+            emb, n_centroids=4, query_mod=100, k=3, n_probe=4
+        ).collect()
+    }
+    scaled = similarity.ip_scaled(emb)
+    q = scaled.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    from pyspark.sql import Window
+
+    flat = (
+        F.broadcast(q)
+        .crossJoin(scaled)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0.0D,"
+                    " (acc, x) -> acc + x)"
+                ),
+                6,
+            ).alias("ip"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("ip"), F.asc("n_id")
+                )
+            )
+            .cast("long"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+    want = {
+        (r["q_id"], r["rnk"]): (r["n_id"], r["ip"]) for r in flat.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_mips_ranking_diverges_from_cosine(spark, sf_dir):
+    """On the norm-weighted corpus, inner-product top-k and cosine
+    top-k genuinely disagree for some query — the metric (not just the
+    index) is what the rung adds."""
+    from migrate_cassandra_to_mysql_spark.operators import similarity
+    from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings")
+    scaled = similarity.ip_scaled(emb)
+    q = scaled.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    dot = (
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x)"
+    )
+    cos = (
+        f"({dot} / (sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y),"
+        " 0.0D, (acc, x) -> acc + x))"
+        " * sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x))))"
+    )
+    both = (
+        F.broadcast(q)
+        .crossJoin(scaled)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(F.expr(dot), 6).alias("ip"),
+            F.round(F.expr(cos), 6).alias("cs"),
+        )
+    )
+    top_ip = {
+        (r["q_id"], r["n_id"])
+        for r in both.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("ip"), F.asc("n_id")
+                )
+            ),
+        )
+        .where(F.col("rnk") <= 3)
+        .collect()
+    }
+    top_cos = {
+        (r["q_id"], r["n_id"])
+        for r in both.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("cs"), F.asc("n_id")
+                )
+            ),
+        )
+        .where(F.col("rnk") <= 3)
+        .collect()
+    }
+    assert top_ip != top_cos
