@@ -392,3 +392,119 @@ def event_trigram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev2", "prev1", "next_type")
     )
+
+
+_PATH_PREFIX = 5  # path = first 5 events of the session
+_PATH_TOPK = 20
+
+
+@register(
+    "session_path_topk",
+    oracle=f"""
+WITH d AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         epoch(CAST(ts AS TIMESTAMP))
+           - lag(epoch(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events),
+ s AS (
+  SELECT user_id, event_id, event_type, ts,
+         CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0
+                  END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM d),
+ r AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn
+  FROM s),
+ p AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {_PATH_PREFIX}
+  GROUP BY 1, 2)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {_PATH_TOPK}
+""",
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent session-path mining over the 30-minute-gap sessionized
+    clickstream: each session's PATH is its first 5 event types in
+    order (joined with '>'), and the row reports the top-20 paths by
+    session count — the sequential-pattern member of the behavioral
+    family beside the funnel (ONE fixed path's conversion), the
+    transition matrices (memoryless step statistics), and the
+    sessionizer (the grouping itself): THIS surfaces which whole
+    journeys actually dominate, the clickstream-analytics primitive
+    behind navigation-design and anomaly triage (and the count stage
+    of generalized sequential-pattern mining a la GSP/PrefixSpan,
+    bounded to the session prefix).
+
+    Scale shape: one events scan; the sessionize running-sum and the
+    within-session row_number share the user-partitioned sort (one
+    exchange family); the prefix filter (rn <= 5) bounds every
+    session's contribution BEFORE aggregation, the path fold collapses
+    to one row per session, and the path count collapses to the
+    distinct-path frame (tiny: paths over a bounded alphabet with
+    bounded length); TakeOrdered keeps the global top-20. At 100 TB
+    nothing after the per-user window touches event-sized data twice.
+
+    Determinism: session boundaries use the total (ts, event_id)
+    order (the events_sessionize contract, same 1800s literal); the
+    path string is assembled in rn order in both engines (Spark:
+    sort-by-rn struct array fold; DuckDB: ordered string_agg —
+    different syntax, identical sequence); counts are exact BIGINTs
+    and the final order is total (n_sessions DESC, path)."""
+    e = T(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(
+        F.col("ts").cast("double")
+    ).over(order)
+    d = e.select("user_id", "event_id", "event_type", "ts", gap.alias("gap_s"))
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = d.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(
+            F.when(
+                F.col("gap_s").isNull() | (F.col("gap_s") > 1800), 1
+            ).otherwise(0)
+        )
+        .over(running)
+        .cast("long")
+        .alias("session_id"),
+    )
+    sess_order = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    r = s.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number().over(sess_order).alias("rn"),
+    )
+    p = (
+        r.where(F.col("rn") <= _PATH_PREFIX)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(rn, event_type))), x -> x.event_type)"
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(_PATH_TOPK)
+    )

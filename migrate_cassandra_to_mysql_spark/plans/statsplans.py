@@ -1293,3 +1293,130 @@ def isotonic_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("iso_micro"),
     ).orderBy("n_name", "x")
+
+
+# Pearson chi-square test of independence (Pearson 1900) on the
+# status x priority contingency table — the categorical-ASSOCIATION
+# member of the stats family: corr/covar measure numeric association,
+# OLS/Theil-Sen/isotonic fit trends, the MAD fence and CUSUM detect
+# outliers/shifts; THIS answers "are two categorical dimensions
+# dependent at all, and how strongly" (the feature-selection /
+# data-drift screening primitive). chi2 = sum over cells of
+# (O - E)^2 / E with E = R*C/n; multiplying through by n the per-cell
+# term is (n*O - R*C)^2 / (n*R*C) — numerator and denominator are
+# exact DECIMAL(38,0) integer products (the overflow-fold rule:
+# (n*O - R*C)^2 <= n^4 stays inside 1e38 up to n ~ 1.7e9 rows), each
+# term folds through round(double, 12) -> DECIMAL(28,12) so the
+# 15-term sum is order-independent, and only the final statistic is a
+# rounded double. Cramer's V = sqrt(chi2 / (n * min(r-1, c-1)))
+# normalizes to [0, 1]. ONE expression string shared verbatim by both
+# engines for the sensitive term.
+_CHI_NUM_SQL = (
+    "(CAST(n_tot AS DECIMAL(38,0)) * o_cell"
+    " - CAST(r_tot AS DECIMAL(38,0)) * c_tot)"
+)
+_CHI_TERM_SQL = (
+    f"CAST(round(CAST({_CHI_NUM_SQL} * {_CHI_NUM_SQL} AS DOUBLE)"
+    " / CAST(CAST(n_tot AS DECIMAL(38,0)) * r_tot * c_tot AS DOUBLE),"
+    " 12) AS DECIMAL(28,12))"
+)
+_CHI_FINAL_SQL = "round(CAST(chi2_sum AS DOUBLE), 8)"
+_CHI_V_SQL = (
+    "round(sqrt(CAST(chi2_sum AS DOUBLE)"
+    " / (CAST(n AS DOUBLE)"
+    " * CAST(least(r_cnt - 1, c_cnt - 1) AS DOUBLE))), 8)"
+)
+
+
+def _chi_square_oracle() -> str:
+    return f"""
+WITH cells AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS o_cell
+  FROM orders GROUP BY 1, 2),
+ w AS (
+  SELECT status, priority, o_cell,
+         CAST(sum(o_cell) OVER (PARTITION BY status) AS BIGINT) AS r_tot,
+         CAST(sum(o_cell) OVER (PARTITION BY priority) AS BIGINT) AS c_tot,
+         CAST(sum(o_cell) OVER () AS BIGINT) AS n_tot
+  FROM cells),
+ t AS (
+  SELECT status, priority, n_tot, {_CHI_TERM_SQL} AS term FROM w),
+ agg AS (
+  SELECT CAST(max(n_tot) AS BIGINT) AS n,
+         CAST(count(DISTINCT status) AS BIGINT) AS r_cnt,
+         CAST(count(DISTINCT priority) AS BIGINT) AS c_cnt,
+         sum(term) AS chi2_sum
+  FROM t)
+SELECT n, r_cnt, c_cnt,
+       CAST((r_cnt - 1) * (c_cnt - 1) AS BIGINT) AS dof,
+       {_CHI_FINAL_SQL} AS chi2,
+       {_CHI_V_SQL} AS cramers_v
+FROM agg
+"""
+
+
+@register("chi_square_independence", oracle=_chi_square_oracle())
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test + Cramer's V over the
+    order status x priority contingency table — one summary row
+    (n, r_cnt, c_cnt, dof, chi2, cramers_v). See the module constants
+    for the exact-arithmetic form (the per-cell (n*O - R*C)^2 /
+    (n*R*C) terms run on DECIMAL(38,0) integer products, fold through
+    round(·,12) DECIMAL sums, and only the final statistic is a
+    rounded double).
+
+    Scale shape: ONE orders scan partial-aggregates to the |status| x
+    |priority| cell frame (15 rows at any corpus size); the marginal
+    totals are windows over that frame (the single-partition window
+    touches 15 rows, not the fact table), and everything after is a
+    1-row aggregate. The categorical-association screening shape: at
+    100 TB the fact table contributes one map-side count pass,
+    nothing else.
+
+    Determinism: cell counts are exact BIGINTs; every float fold is
+    the shared-verbatim term expression in both engines; the term sum
+    is an exact DECIMAL(28,12) so cell order cannot move the
+    statistic."""
+    cells = (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o_cell"))
+    )
+    w = cells.select(
+        "status",
+        "priority",
+        "o_cell",
+        F.sum("o_cell")
+        .over(Window.partitionBy("status"))
+        .cast("long")
+        .alias("r_tot"),
+        F.sum("o_cell")
+        .over(Window.partitionBy("priority"))
+        .cast("long")
+        .alias("c_tot"),
+        F.sum("o_cell")
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n_tot"),
+    )
+    t = w.select(
+        "status", "priority", "n_tot", F.expr(_CHI_TERM_SQL).alias("term")
+    )
+    agg = t.agg(
+        F.max("n_tot").cast("long").alias("n"),
+        F.countDistinct("status").cast("long").alias("r_cnt"),
+        F.countDistinct("priority").cast("long").alias("c_cnt"),
+        F.sum("term").alias("chi2_sum"),
+    )
+    return agg.select(
+        "n",
+        "r_cnt",
+        "c_cnt",
+        F.expr("CAST((r_cnt - 1) * (c_cnt - 1) AS BIGINT)").alias("dof"),
+        F.expr(_CHI_FINAL_SQL).alias("chi2"),
+        F.expr(_CHI_V_SQL).alias("cramers_v"),
+    )

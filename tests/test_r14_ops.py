@@ -524,3 +524,111 @@ def test_mips_ranking_diverges_from_cosine(spark, sf_dir):
         .collect()
     }
     assert top_ip != top_cos
+
+
+# ---------------------------------------------------------------------------
+# session_path_topk + chi_square_independence pure-Python references
+# ---------------------------------------------------------------------------
+
+
+def test_session_paths_pure_python_reference(spark, sf_dir):
+    """Third-engine check: sessionize and mine paths with plain Python
+    over the identically-ordered event stream."""
+    from collections import Counter, defaultdict
+
+    import duckdb as _duckdb
+
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    rows = con.execute(
+        "SELECT user_id, epoch(CAST(ts AS TIMESTAMP)), event_type"
+        " FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for uid, ep, et in rows:
+        by_user[uid].append((ep, et))
+    paths = Counter()
+    for evs in by_user.values():
+        sessions, cur, last = [], [], None
+        for ep, et in evs:
+            if last is None or ep - last > 1800:
+                if cur:
+                    sessions.append(cur)
+                cur = []
+            cur.append(et)
+            last = ep
+        if cur:
+            sessions.append(cur)
+        for s in sessions:
+            paths[">".join(s[:5])] += 1
+    want = sorted(
+        paths.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+
+    got = [
+        (r["path"], r["n_sessions"])
+        for r in catalog.queries()["session_path_topk"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_chi_square_pure_python_reference(spark, sf_dir):
+    """Third-engine check: recompute chi2 / Cramer's V from raw cell
+    counts with plain Python floats, replaying the engines' exact
+    rounding sequence."""
+    import math
+    from collections import Counter
+
+    import duckdb as _duckdb
+
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    cells = Counter(
+        dict(
+            ((s, p), c)
+            for s, p, c in con.execute(
+                "SELECT o_orderstatus, o_orderpriority, count(*)"
+                " FROM orders GROUP BY 1, 2"
+            ).fetchall()
+        )
+    )
+    n = sum(cells.values())
+    r_tot = Counter()
+    c_tot = Counter()
+    for (s, p), c in cells.items():
+        r_tot[s] += c
+        c_tot[p] += c
+    # exact integer num/den, engine rounding sequence replayed
+    from decimal import Decimal
+
+    chi2_sum = Decimal(0)
+    for (s, p), o in cells.items():
+        num = (n * o - r_tot[s] * c_tot[p]) ** 2
+        den = n * r_tot[s] * c_tot[p]
+        chi2_sum += Decimal(str(round(float(num) / float(den), 12)))
+    r_cnt, c_cnt = len(r_tot), len(c_tot)
+    chi2 = round(float(chi2_sum), 8)
+    v = round(
+        math.sqrt(float(chi2_sum) / (n * min(r_cnt - 1, c_cnt - 1))), 8
+    )
+
+    row = catalog.queries()["chi_square_independence"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row["n"] == n
+    assert (row["r_cnt"], row["c_cnt"]) == (r_cnt, c_cnt)
+    assert row["dof"] == (r_cnt - 1) * (c_cnt - 1)
+    assert row["chi2"] == pytest.approx(chi2, abs=0)
+    assert row["cramers_v"] == pytest.approx(v, abs=0)
