@@ -244,7 +244,15 @@ PRIORITY: list[str] = [
     # bigram counts via map-side HOFs with no explode and no per-term
     # shuffle:
     "jm_bigram_lm_topk",
-    "q14_promo_revenue_ratio",
+    # r14: q14_promo_revenue_ratio out on its green r9-r13 rows (5
+    # consecutive) — TPC-H breadth keeps q19 in-window (disjunctive
+    # filter-agg, the same family's harder shape) plus q14's own prior
+    # greens and the scalar-suite history. In: second-order (trigram)
+    # Markov transitions with the marginalized first-order estimate in
+    # every row (memory_ppm = p2 - p1) — the sequence-model A/B member
+    # beside event_transition_matrix (in-window), the way
+    # jm_bigram_lm_topk A/Bs lm_dirichlet:
+    "event_trigram_transitions",
     # r13: q17_small_quantity_revenue out on its green r9-r12 rows (4
     # consecutive) — its join + correlated grouped-avg filter shape
     # stays in-window via q19's disjunctive join filters and the big
@@ -338,8 +346,17 @@ PRIORITY: list[str] = [
     # (reachability) and triangles (local closure):
     "label_propagation_communities",
     # r9: chunk_pack_suite out on its green r3b-r8 rows; its two
-    # component operators take the slots individually:
-    "doc_chunking",
+    # component operators take the slots individually.
+    # r14: doc_chunking out on its green r9-r13 rows (5 consecutive) —
+    # the token-window machinery stays DRIVER-GATED in-window via
+    # passage_bm25_doc_topk (whose plan composes doc_chunking's
+    # windows as its chunking stage, every round), and the chunk/pack
+    # family keeps doc_chunking's 5 greens + sequence_packing's prior
+    # greens + the property suites. In: grouped isotonic regression
+    # via the exact minimax/PAVA form — the shape-constrained member
+    # completing the regression family beside ols_trend_by_nation and
+    # theil_sen_by_nation (both in-window):
+    "isotonic_trend_by_nation",
     # r13: sequence_packing out on its green r9-r12 rows (4
     # consecutive) — the chunk/pack family stays in-window via
     # doc_chunking (the same token-window machinery; packing keeps its
@@ -427,9 +444,18 @@ PRIORITY: list[str] = [
     # end-to-end through the on-disk index (shortlist from persisted
     # codes + corpus fetch), strictly more serving coverage:
     "ivfpq_persisted_rerank_topk",
-    # r9 in: the residual-ADC generalization takes embedding_ivfpq_topk's
-    # slot (its oracle replays the per-cell residual ADC in SQL):
-    "embedding_ivfpq_residual_topk",
+    # r9 in: the residual-ADC generalization took embedding_ivfpq_topk's
+    # slot (its oracle replays the per-cell residual ADC in SQL).
+    # r14: embedding_ivfpq_residual_topk out on its green r9-r13 rows
+    # (5 consecutive) — the ADC path stays in-window via
+    # ivfpq_persisted_rerank_topk, ivfpq_tombstone_topk and
+    # ivfpq_filtered_rerank_topk (all exercise the same encode/ADC
+    # contracts end-to-end), plus its own prior greens and the
+    # all-cells == flat-PQ equality tests. In: the serving ladder's
+    # missing METRIC rung — IVF maximum-inner-product retrieval over a
+    # norm-weighted corpus (assignment, probing and ranking all by raw
+    # inner product; IP-vs-cosine divergence test-pinned):
+    "ivf_ip_topk",
     # r6 rotation (VERDICT r5 ask #2 — the ROADMAP backlog executed).
     # Out on green r5 rows: simhash_near_dup, fuzzy_name_dedup,
     # random_projection, dataset_split_assignment, kmeans_clusters
@@ -459,7 +485,19 @@ PRIORITY: list[str] = [
     # In: metadata-FILTERED retrieval over the persisted indexes —
     # candidates restricted, stats corpus-global (the serving-time
     # filter semantics, vs the tombstone rows' rebuild-without):
-    "bm25_filtered_topk",
+    # r14: bm25_filtered_topk out on its green r10-r13 rows (4
+    # consecutive) — the metadata-FILTERED serving contract
+    # (candidates restricted, stats corpus-global) stays driver-gated
+    # in-window through its vector twin ivfpq_filtered_rerank_topk
+    # (the identical filter semantics on the other index family), and
+    # the BM25 index path keeps bm25_tombstone_topk,
+    # bm25_sharded_merge_topk, passage_bm25_doc_topk and
+    # rm3_query_expansion_topk in-window. In: Pearson chi-square
+    # independence + Cramer's V — the categorical-association member
+    # of the stats family (corr/covar numeric association, OLS/
+    # Theil-Sen/isotonic trends, MAD/CUSUM outliers; this tests
+    # dependence between categorical dimensions):
+    "chi_square_independence",
     "ivfpq_filtered_rerank_topk",
     # r10 (late): corr_covar_stats out on its green r6-r9 rows (4
     # consecutive) for the r10-NEW shard-consolidation row — numeric-
@@ -522,7 +560,17 @@ PRIORITY: list[str] = [
     # the exact BM25 scoring contract is still driver-gated every
     # round), and bm25_tombstone_topk keeps the persisted BM25 index
     # path in-window:
-    "hybrid_rrf_search",
+    # r14: hybrid_rrf_search out on its green r10-r13 rows (4
+    # consecutive) — the exact BM25 scoring contract its oracle embeds
+    # stays driver-gated in-window via bm25_tombstone_topk /
+    # bm25_sharded_merge_topk / passage_bm25_doc_topk (and RM3's
+    # two-pass row); RRF fusion keeps its prior greens + unit tests.
+    # In: frequent session-path mining (top-20 five-event path
+    # prefixes over the 30-min-gap sessionized stream) — the
+    # sequential-pattern member beside the funnel (one fixed path),
+    # the transition matrices (memoryless steps), and the sessionizer
+    # (the grouping itself):
+    "session_path_topk",
     # r12: events_dpp_prune out on its green r7-r11 rows (5
     # consecutive). The DPP contract stays a FAILING gate out-of-window:
     # its plan baseline entry pins dynamic_pruning=true (strict
