@@ -290,6 +290,28 @@ def main() -> None:
         # r13: Markov transitions — one events scan + the per-user
         # ordered window (the ewma exchange shape), then KB-sized
         ("event_transition_matrix", "event_transition_matrix"),
+        # r14: second-order transitions — the same single events
+        # window computing two lags; must price in the first-order
+        # row's band (the extra marginal sums run on the KB matrix)
+        ("event_trigram_transitions", "event_trigram_transitions"),
+        # r14: grouped isotonic minimax — the ols/theil_sen fact pass;
+        # every interval/minimax join runs on the 25 x ~7 frame
+        ("isotonic_trend_by_nation", "isotonic_trend_by_nation"),
+        # r14: IVF-IP (MIPS) — map-side scaled assignment + probed
+        # broadcast join; must price in the embedding_ivf band (the
+        # first call pays the memoized scaled-codebook collect)
+        ("ivf_ip_topk", "ivf_ip_topk"),
+        # r14: session-path mining — the sessionize window family plus
+        # two KB-sized aggs; must price like events_sessionize + a
+        # TakeOrdered tail
+        ("session_path_topk", "session_path_topk"),
+        # r14: chi-square — one map-side orders count pass to the
+        # 15-cell frame; must price as the cheapest stats row
+        ("chi_square_independence", "chi_square_independence"),
+        # r14: Mann-Whitney — one filtered orders pass to the value
+        # histogram + bucket-partitioned prefix windows; must price
+        # like a single-agg stats row (no global sort exists)
+        ("mann_whitney_u", "mann_whitney_u"),
     ):
         if nm not in qs:
             continue

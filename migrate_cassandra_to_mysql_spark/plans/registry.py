@@ -442,8 +442,18 @@ PRIORITY: list[str] = [
     # r9 (mid-round): embedding_rerank_topk out on its green r7+r8 rows
     # for its r9-NEW persisted twin — the same oracle and semantics but
     # end-to-end through the on-disk index (shortlist from persisted
-    # codes + corpus fetch), strictly more serving coverage:
-    "ivfpq_persisted_rerank_topk",
+    # codes + corpus fetch), strictly more serving coverage.
+    # r14: ivfpq_persisted_rerank_topk out on its green r9-r13 rows (5
+    # consecutive) — the persisted-index serving path stays driver-
+    # gated in-window via ivfpq_tombstone_topk and
+    # ivfpq_filtered_rerank_topk (both run build + persisted serve
+    # end-to-end each round) plus ivf_bq_hamming_topk's partitioned
+    # store; the rerank contract keeps its prior greens + the
+    # shortlist-equality tests. In: Mann-Whitney U rank-sum — the
+    # nonparametric two-sample member beside chi_square_independence,
+    # with exact tie-doubled U off the value histogram and a two-level
+    # distributed prefix sum instead of a fact-sized global sort:
+    "mann_whitney_u",
     # r9 in: the residual-ADC generalization took embedding_ivfpq_topk's
     # slot (its oracle replays the per-cell residual ADC in SQL).
     # r14: embedding_ivfpq_residual_topk out on its green r9-r13 rows

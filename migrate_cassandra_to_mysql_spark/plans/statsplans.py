@@ -1420,3 +1420,189 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CHI_FINAL_SQL).alias("chi2"),
         F.expr(_CHI_V_SQL).alias("cramers_v"),
     )
+
+
+# Mann-Whitney U / Wilcoxon rank-sum (Mann & Whitney 1947): the
+# NONPARAMETRIC two-sample test — the hypothesis-testing member beside
+# chi_square_independence (categorical x categorical): does the price
+# DISTRIBUTION differ between two order-priority segments, with no
+# normality assumption. U counts pairs (a, b) with a > b (+1/2 per
+# tie); U / (n1*n2) is the probability-of-superiority — exactly
+# ROC-AUC, reported in exact ppm. Doubling clears the tie halves:
+# U2 = sum over distinct values v of a_cnt(v) * (2*b_below(v) +
+# b_cnt(v)) — all exact integers off the value histogram.
+#
+# Scale shape — the grouped_mad histogram discipline EXTENDED with a
+# two-level distributed prefix sum: exact ranks need a total order
+# over values, but a global ORDER BY v window would be a fact-sized
+# single-partition sort (the scale-killer class the plan audit
+# exists to catch). Instead: (1) ONE conditional-agg pass collapses
+# the fact subset to the distinct-value histogram; (2) values hash
+# into coarse price buckets — the in-bucket cumulative window is
+# PARTITIONED by bucket (parallel, bounded state); (3) the bucket
+# TOTALS frame (tens of rows) takes the only single-partition window;
+# (4) b_below(v) = bucket-prefix + in-bucket prefix. Same SQL in both
+# engines; the single-partition exchange touches the bucket frame,
+# never the fact table or the value domain.
+_MWU_A = "'1-URGENT'"
+_MWU_B = "'5-LOW'"
+_MWU_BUCKET = 1000000  # $10k buckets over o_totalprice cents
+# z via the normal approximation (no-tie variance; cent-valued prices
+# make ties negligible — U itself stays tie-exact): ONE shared string.
+_MWU_Z_SQL = (
+    "round((CAST(u2_a AS DOUBLE) / 2.0"
+    " - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)"
+    " / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) / 12.0), 8)"
+)
+# The ppm division needs EXACT integer floor division on operands
+# past 2^53 (u2_a * 500000 ~ 9e16 at sf1). The usual shared-text
+# discipline breaks here by necessity: DuckDB's // on DECIMALs
+# silently falls back to FLOAT division (tested — the r13
+# percentile_disc trap's sibling), so the oracle divides HUGEINTs
+# (native int128, exact), while Spark's div on DECIMAL(38,0) is exact
+# integral division. Same rational, same floor, identical BIGINT —
+# the split is syntax-only and pinned in tests/test_r14_ops.py.
+_MWU_AUC_SPARK_SQL = (
+    "CAST((CAST(u2_a AS DECIMAL(38,0)) * 500000)"
+    " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+)
+_MWU_AUC_DUCK_SQL = (
+    "CAST((CAST(u2_a AS HUGEINT) * 500000)"
+    " // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)"
+)
+
+
+def _mwu_oracle() -> str:
+    return f"""
+WITH f AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = {_MWU_A} THEN 1 ELSE 0 END AS is_a
+  FROM orders
+  WHERE o_orderpriority IN ({_MWU_A}, {_MWU_B})),
+ h AS (
+  SELECT v, v // {_MWU_BUCKET} AS bkt,
+         CAST(sum(is_a) AS BIGINT) AS a_cnt,
+         CAST(sum(1 - is_a) AS BIGINT) AS b_cnt
+  FROM f GROUP BY 1, 2),
+ bt AS (
+  SELECT bkt, CAST(sum(b_cnt) AS BIGINT) AS b_tot FROM h GROUP BY 1),
+ bp AS (
+  SELECT bkt,
+         CAST(sum(b_tot) OVER (ORDER BY bkt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b_tot
+              AS BIGINT) AS b_before_bkt
+  FROM bt),
+ c AS (
+  SELECT h.v, h.a_cnt, h.b_cnt,
+         bp.b_before_bkt
+           + CAST(sum(h.b_cnt) OVER (PARTITION BY h.bkt ORDER BY h.v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - h.b_cnt AS BIGINT) AS b_below
+  FROM h JOIN bp ON h.bkt = bp.bkt),
+ agg AS (
+  SELECT CAST(sum(a_cnt) AS BIGINT) AS n1,
+         CAST(sum(b_cnt) AS BIGINT) AS n2,
+         CAST(sum(CAST(a_cnt AS DECIMAL(38,0))
+                  * (2 * b_below + b_cnt)) AS BIGINT) AS u2_a
+  FROM c)
+SELECT n1, n2, u2_a,
+       CAST(2 * (CAST(n1 AS DECIMAL(38,0)) * n2) - u2_a AS BIGINT)
+         AS u2_b,
+       {_MWU_AUC_DUCK_SQL} AS auc_ppm,
+       {_MWU_Z_SQL} AS z_score
+FROM agg
+"""
+
+
+@register("mann_whitney_u", oracle=_mwu_oracle())
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the urgent and low order-
+    priority price distributions — one summary row (n1, n2, u2_a,
+    u2_b, auc_ppm, z_score) where u2_* are the tie-exact doubled U
+    statistics, auc_ppm is the probability-of-superiority (ROC-AUC)
+    in exact ppm, and z is the shared-text normal approximation. See
+    the module comment for the two-level distributed prefix-sum that
+    keeps exact ranks WITHOUT a fact-sized single-partition sort —
+    the identity U2_a + U2_b = 2*n1*n2 is emitted (u2_b derived) and
+    pinned with a pure-Python reference in tests/test_r14_ops.py.
+
+    Scale shape: one orders scan with the priority filter pushed to
+    the parquet scan collapses to the distinct-value histogram; the
+    in-bucket cumulative windows are partitioned by $10k price bucket
+    (parallel, bounded per-task state); only the bucket-totals frame
+    (tens of rows at ANY corpus) crosses a single-partition window.
+    At 100 TB: one scan, one histogram shuffle, KB-sized everything
+    else — the exact-rank-test shape that usually forces a global
+    sort, without one.
+
+    Determinism: counts and U2 are exact integers (products folded
+    through DECIMAL(38,0), loud BIGINT output casts); auc_ppm is
+    integer floor division; z is one shared-verbatim float expression
+    rounded to 8 dp."""
+    f = (
+        T(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderpriority").isin(
+                _MWU_A.strip("'"), _MWU_B.strip("'")
+            )
+        )
+        .select(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)"
+            ).alias("v"),
+            F.expr(
+                f"CASE WHEN o_orderpriority = {_MWU_A} THEN 1 ELSE 0 END"
+            ).alias("is_a"),
+        )
+    )
+    h = f.groupBy(
+        "v", F.expr(f"v div {_MWU_BUCKET}").alias("bkt")
+    ).agg(
+        F.sum("is_a").cast("long").alias("a_cnt"),
+        F.sum(F.expr("1 - is_a")).cast("long").alias("b_cnt"),
+    )
+    bt = h.groupBy("bkt").agg(F.sum("b_cnt").cast("long").alias("b_tot"))
+    bw = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bp = bt.select(
+        "bkt",
+        (F.sum("b_tot").over(bw) - F.col("b_tot"))
+        .cast("long")
+        .alias("b_before_bkt"),
+    )
+    vw = Window.partitionBy("bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        h.join(F.broadcast(bp), "bkt")
+        .select(
+            "v",
+            "a_cnt",
+            "b_cnt",
+            (
+                F.col("b_before_bkt")
+                + (F.sum("b_cnt").over(vw) - F.col("b_cnt")).cast("long")
+            ).alias("b_below"),
+        )
+    )
+    agg = c.agg(
+        F.sum("a_cnt").cast("long").alias("n1"),
+        F.sum("b_cnt").cast("long").alias("n2"),
+        F.expr(
+            "CAST(sum(CAST(a_cnt AS DECIMAL(38,0))"
+            " * (2 * b_below + b_cnt)) AS BIGINT)"
+        ).alias("u2_a"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "u2_a",
+        F.expr(
+            "CAST(2 * (CAST(n1 AS DECIMAL(38,0)) * n2) - u2_a AS BIGINT)"
+        ).alias("u2_b"),
+        F.expr(_MWU_AUC_SPARK_SQL).alias("auc_ppm"),
+        F.expr(_MWU_Z_SQL).alias("z_score"),
+    )

@@ -632,3 +632,61 @@ def test_chi_square_pure_python_reference(spark, sf_dir):
     assert row["dof"] == (r_cnt - 1) * (c_cnt - 1)
     assert row["chi2"] == pytest.approx(chi2, abs=0)
     assert row["cramers_v"] == pytest.approx(v, abs=0)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_pure_python_reference(spark, sf_dir):
+    """Third-engine check: brute-force pair counting (the U
+    definition, +1 per a>b and +1/2 per tie via the doubled form)
+    against the histogram/prefix-sum plan, plus the U2_a + U2_b =
+    2*n1*n2 identity and the AUC/z replays."""
+    import math
+
+    import duckdb as _duckdb
+
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    a = [
+        int(v)
+        for (v,) in con.execute(
+            "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            " AS BIGINT) FROM orders WHERE o_orderpriority = '1-URGENT'"
+        ).fetchall()
+    ]
+    b = [
+        int(v)
+        for (v,) in con.execute(
+            "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            " AS BIGINT) FROM orders WHERE o_orderpriority = '5-LOW'"
+        ).fetchall()
+    ]
+    b_sorted = sorted(b)
+    import bisect
+
+    u2 = 0
+    for x in a:
+        lo = bisect.bisect_left(b_sorted, x)
+        hi = bisect.bisect_right(b_sorted, x)
+        u2 += 2 * lo + (hi - lo)  # 2 per win, 1 per tie
+
+    row = catalog.queries()["mann_whitney_u"](spark, sf_dir).collect()[0]
+    n1, n2 = len(a), len(b)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["u2_a"] == u2
+    assert row["u2_b"] == 2 * n1 * n2 - u2
+    assert row["auc_ppm"] == u2 * 500_000 // (n1 * n2)
+    z = round(
+        (u2 / 2.0 - n1 * n2 / 2.0)
+        / math.sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0),
+        8,
+    )
+    assert row["z_score"] == pytest.approx(z, abs=1e-8)

@@ -872,3 +872,36 @@ def test_r13_rows_complete_at_sf1(spark, sf1_dir, name):
     df = catalog.queries()[name](spark, sf1_dir)
     df.write.format("noop").mode("overwrite").save()
     assert df.count() > 0, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # one user-partitioned window + KB-sized matrix windows; the
+        # 10x event stream stresses the shared sessionize/lag sort
+        "event_trigram_transitions",
+        "session_path_topk",
+        # map-side literal-codebook chain + probed-cell broadcast join
+        # over the 10x perturbed-copy corpus — the corpus must never
+        # shuffle
+        "ivf_ip_topk",
+        # one map-side count pass collapsing to the 15-cell frame —
+        # completion pins that nothing fact-sized survives the agg
+        "chi_square_independence",
+        # the two-level prefix sum at 10x: in-bucket windows stay
+        # bucket-partitioned; only the bucket-totals frame (tens of
+        # rows) is single-partition
+        "mann_whitney_u",
+        # isotonic_trend_by_nation is absent for the ols_trend/cusum
+        # reason: the synthesis carries no customer/nation dimensions;
+        # the op is scale-trivial anyway (fact collapse to 25 x ~7,
+        # then KB-sized minimax joins)
+    ],
+)
+def test_r14_rows_complete_at_sf1(spark, sf1_dir, name):
+    """The r14 rows at 10x — completion under the test session's
+    memory IS the assertion (the fixed-workload scaling claims live in
+    the sf5 suite)."""
+    df = catalog.queries()[name](spark, sf1_dir)
+    df.write.format("noop").mode("overwrite").save()
+    assert df.count() > 0, name
