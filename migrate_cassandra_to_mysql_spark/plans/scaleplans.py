@@ -566,9 +566,21 @@ def _directed_copurchase_pairs(
     explode MAP-SIDE from each basket via two generates — per-order
     fan-out is width^2, bounded by basket size (<= 7 parts/order on
     this generator; at 100 TB basket width is a domain constant, so
-    the explode is linear in orders). Measured: pair phase 5x ratio
-    restored and the sf5 chain total well under the r13 174.5s (see
-    BENCH_r14_local.json).
+    the explode is linear in orders). Measured (BENCH_r14_local.json
+    ppr_split_ab): the dedup COMPUTE (shuffle + hash agg) now scales
+    3.8x at 5.0x edges — sub-linear, the algorithmic term is gone —
+    and the sf5 chain total dropped from r13's 174.5s to 143-160s.
+    The remaining phase superlinearity (~9x) was isolated by a
+    decomposition probe to the eager localCheckpoint's ROW
+    MATERIALIZATION of the 120M-edge frame (~30s at sf5), and is
+    insensitive to heap size (8g vs 24g: evictions vanish, time does
+    not) AND to storage level (deser / ser / DISK_ONLY A/B flat) — a
+    fixed-host serialization-throughput wall (5x the rows through the
+    same 8 cores), not a plan defect: on a cluster, checkpoint write
+    bandwidth scales with executors while per-executor rows stay
+    constant. The checkpoint itself must stay: the frame feeds every
+    loop round plus the outdeg/node builds (un-checkpointed, the
+    whole build re-executes per reference).
 
     Pair dedup then repartitions by the pair key across many tasks
     BEFORE aggregating (a low shuffle-partition setting would hold a
