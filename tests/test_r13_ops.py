@@ -633,20 +633,33 @@ def test_transition_matrix_matches_pure_python_reference(spark, sf_dir):
 
 def test_dedup_recall_eval_consistent_with_component_rows(spark, sf_dir):
     """dedup_recall_eval must equal the composition of its two verified
-    component rows computed independently: truth = ngram_jaccard_dedup
-    pairs, candidates = minhash_lsh_candidates pairs, hits = their
-    intersection — plus the metric invariants (hits bounded by both
-    sides, ppm floor-division bounds)."""
+    component CONTRACTS computed independently — truth =
+    jaccard_pairs, candidates = lsh_candidates, hits = their
+    intersection, over the eval's own corpus (since r14 the
+    NEAR-THRESHOLD band injection, r13 VERDICT ask #6 — the component
+    catalog rows keep the plain injection) — plus the metric
+    invariants (hits bounded by both sides, ppm floor-division
+    bounds)."""
+    from migrate_cassandra_to_mysql_spark.operators import dedup
     from migrate_cassandra_to_mysql_spark.plans import catalog
+    from migrate_cassandra_to_mysql_spark.plans.textplans import (
+        _inject_band_dups_spark,
+    )
+    from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
 
     qs = catalog.queries()
+    base = _inject_band_dups_spark(T(spark, sf_dir, "documents"))
     truth = {
         (r["doc_a"], r["doc_b"])
-        for r in qs["ngram_jaccard_dedup"](spark, sf_dir).collect()
+        for r in dedup.jaccard_pairs(
+            base, k=3, threshold=0.5
+        ).collect()
     }
     cand = {
         (r["doc_a"], r["doc_b"])
-        for r in qs["minhash_lsh_candidates"](spark, sf_dir).collect()
+        for r in dedup.lsh_candidates(
+            base, k=3, n_hashes=8, band_size=2
+        ).collect()
     }
     hits = truth & cand
     [row] = qs["dedup_recall_eval"](spark, sf_dir).collect()
@@ -656,5 +669,6 @@ def test_dedup_recall_eval_consistent_with_component_rows(spark, sf_dir):
     assert row["n_hits"] <= min(row["n_truth"], row["n_candidates"])
     assert row["recall_ppm"] == (len(hits) * 1_000_000) // len(truth)
     assert row["precision_ppm"] == (len(hits) * 1_000_000) // len(cand)
-    assert 0 < row["recall_ppm"] <= 1_000_000
-    assert 0 < row["precision_ppm"] <= 1_000_000
+    # The r14 band corpus makes both metrics strict discriminators:
+    assert 0 < row["recall_ppm"] < 1_000_000
+    assert 0 < row["precision_ppm"] < 1_000_000
