@@ -572,15 +572,15 @@ def _directed_copurchase_pairs(
     and the sf5 chain total dropped from r13's 174.5s to 143-160s.
     The remaining phase superlinearity (~9x) was isolated by a
     decomposition probe to the eager localCheckpoint's ROW
-    MATERIALIZATION of the 120M-edge frame (~30s at sf5), and is
-    insensitive to heap size (8g vs 24g: evictions vanish, time does
-    not) AND to storage level (deser / ser / DISK_ONLY A/B flat) — a
-    fixed-host serialization-throughput wall (5x the rows through the
-    same 8 cores), not a plan defect: on a cluster, checkpoint write
-    bandwidth scales with executors while per-executor rows stay
-    constant. The checkpoint itself must stay: the frame feeds every
-    loop round plus the outdeg/node builds (un-checkpointed, the
-    whole build re-executes per reference).
+    MATERIALIZATION of the 120M-edge frame (~30s at sf5), insensitive
+    to heap size (8g vs 24g: evictions vanish, time does not) AND to
+    every StorageLevel — the deserialized-row block store itself. So
+    the materialization was REPLACED with a tmp-parquet roundtrip
+    (see the in-body comment): columnar write linear at 4.8x,
+    serving reads 4.0 -> 0.16s, every chain phase now
+    linear-or-better at 5x edges. The frame still materializes once —
+    it feeds every loop round plus the outdeg/node builds
+    (un-materialized, the whole build re-executes per reference).
 
     Pair dedup then repartitions by the pair key across many tasks
     BEFORE aggregating (a low shuffle-partition setting would hold a
@@ -595,32 +595,56 @@ def _directed_copurchase_pairs(
     ppr value is bit-identical."""
     import time as _time
 
-    t0 = _time.perf_counter()
-    li = T(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    from migrate_cassandra_to_mysql_spark.plans._work import memo, workdir
+
+    def _build() -> str:
+        t0 = _time.perf_counter()
+        li = T(spark, sf_dir, "lineitem")
+        baskets = (
+            li.select(
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_partkey").alias("p"),
+            )
+            .groupBy("ok")
+            .agg(F.collect_set("p").alias("ps"))
         )
-        .groupBy("ok")
-        .agg(F.collect_set("p").alias("ps"))
-        .localCheckpoint(eager=True)
-    )
-    t1 = _time.perf_counter()
-    n_dedup = max(64, spark.sparkContext.defaultParallelism * 8)
-    pairs = (
-        baskets.select(F.explode("ps").alias("src"), "ps")
-        .select(
-            "src",
-            F.explode(F.expr("filter(ps, y -> y != src)")).alias("dst"),
+        t1 = _time.perf_counter()
+        n_dedup = max(64, spark.sparkContext.defaultParallelism * 8)
+        out = workdir("mc2m_copurchase_pairs_") + "/pairs"
+        (
+            baskets.select(F.explode("ps").alias("src"), "ps")
+            .select(
+                "src",
+                F.explode(F.expr("filter(ps, y -> y != src)")).alias(
+                    "dst"
+                ),
+            )
+            .repartition(n_dedup, "src", "dst")
+            .dropDuplicates()
+            .write.mode("overwrite")
+            .parquet(out)
         )
-        .repartition(n_dedup, "src", "dst")
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
-    if timings is not None:  # split-timer hook (tools/ppr_split_probe.py)
-        timings["basket_agg_sec"] = round(t1 - t0, 2)
-        timings["pair_dedup_sec"] = round(_time.perf_counter() - t1, 2)
-    return pairs
+        if timings is not None:  # split-timer hook (ppr_split_probe.py)
+            timings["basket_agg_sec"] = round(t1 - t0, 2)
+            timings["pair_dedup_sec"] = round(
+                _time.perf_counter() - t1, 2
+            )
+        return out
+
+    # Materialization is a TMP-PARQUET roundtrip, not a localCheckpoint
+    # (r14): the r14 decomposition probe isolated the chain's last
+    # superlinear term to the checkpoint's deserialized-row block
+    # store (5.95 -> 53.3s at 5x edges, insensitive to heap and to
+    # every StorageLevel); the columnar write is LINEAR (5.8 -> 28.0s,
+    # 4.8x at 5.0x edges) and serving reads drop 4.0 -> 0.16s because
+    # compressed column pages replace partially-evicted row blocks
+    # (BENCH_r14_local.json ppr_split_ab). This is also exactly what a
+    # cluster deployment does — a reliable checkpoint to distributed
+    # storage. memo() keys the build per sf_dir (the codebook
+    # discipline): pagerank + ppr + both probe phases share ONE build
+    # per process, and the re-read wraps the CURRENT session.
+    path = memo(("copurchase_pairs_pq", sf_dir), _build)
+    return spark.read.parquet(path)
 
 
 @register("part_copurchase_pagerank", oracle=_pagerank_oracle())
