@@ -312,6 +312,10 @@ def main() -> None:
         # histogram + bucket-partitioned prefix windows; must price
         # like a single-agg stats row (no global sort exists)
         ("mann_whitney_u", "mann_whitney_u"),
+        # r14 (late): Kaplan-Meier — one orders pass + the per-customer
+        # lead window (the sessionize exchange family), then KB-sized
+        # domain windows; must price like a single-window stats row
+        ("kaplan_meier_repurchase", "kaplan_meier_repurchase"),
     ):
         if nm not in qs:
             continue

@@ -516,7 +516,18 @@ PRIORITY: list[str] = [
     # merged-shards index served against the PLAIN corpus-wide BM25
     # oracle, driver-verifying that merge_indexes loses/double-counts
     # nothing vs a single-pass build:
-    "bm25_sharded_merge_topk",
+    # r14 (late): bm25_sharded_merge_topk out on its green r10-r13
+    # rows (4 consecutive) — the shard-consolidation contract stays
+    # gated by the merge unit/e2e suites (incl. the r13/r14
+    # legacy-layout fail-loud tests) and its plain-oracle serving
+    # shape stays driver-gated in-window through bm25_tombstone_topk /
+    # passage_bm25_doc_topk / rm3_query_expansion_topk /
+    # phrase_proximity_topk (4 BM25-index rows remain). In:
+    # Kaplan-Meier product-limit survival over customer repeat-
+    # purchase gaps with right-censoring — the TIME-TO-EVENT member
+    # of the stats family (tests/trends/outliers cannot express
+    # censoring; retention/churn/time-to-failure primitive):
+    "kaplan_meier_repurchase",
     # TPC-H core (scalar suite carries q6/q14/q17/q19; q4/q18/q22 out r5
     # on green r4 rows, q7/q9/q8 out r5/r6 on green rows — q2/q10/q12
     # bring the remaining unverified join-distribution shapes):

@@ -1606,3 +1606,183 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_MWU_AUC_SPARK_SQL).alias("auc_ppm"),
         F.expr(_MWU_Z_SQL).alias("z_score"),
     )
+
+
+# Kaplan-Meier product-limit estimator (Kaplan & Meier 1958): the
+# TIME-TO-EVENT member of the stats family — chi-square/MWU test
+# association and distribution shift, the trend rows fit curves; THIS
+# estimates "how long until the event happens, with observations that
+# haven't happened yet counted correctly" — the retention / churn /
+# time-to-failure primitive, and the one shape none of the other rows
+# can express because right-CENSORING (a customer's last order has no
+# next order YET) biases every naive duration average downward.
+# Here: the repeat-purchase curve S(t) = P(next order later than t
+# days) per customer order gap, gaps from each customer's last order
+# to the corpus's max order date entering as censored.
+#
+# Exactness: d_i (events) and the at-risk counts n_i are exact BIGINTs
+# off the duration histogram; each factor ln((n_i - d_i)/n_i) is ONE
+# shared-text float term folded through round(., 12) ->
+# DECIMAL(28,12) so the cumulative log-survival sum is exact and
+# order-independent (the Adamic-Adar fold discipline applied to a
+# cumulative product); only the final exp(.) is a float, rounded to
+# 8 dp. The d_i = n_i exhaustion case (S hits exactly 0; ln(0) is
+# NULL in Spark but -inf in DuckDB — a cross-engine trap) is handled
+# structurally: the term is excluded and a cumulative max flag pins
+# survival_8dp to exact 0.0 from that time on, in both engines.
+_KM_TERM_SQL = (
+    "CAST(CASE WHEN n_event < n_risk THEN"
+    " round(ln(CAST(n_risk - n_event AS DOUBLE)"
+    " / CAST(n_risk AS DOUBLE)), 12)"
+    " ELSE 0.0 END AS DECIMAL(28,12))"
+)
+_KM_SURV_SQL = (
+    "CASE WHEN zf = 1 THEN CAST(0.0 AS DOUBLE)"
+    " ELSE round(exp(CAST(cum_log AS DOUBLE)), 8) END"
+)
+
+
+def _km_oracle() -> str:
+    return f"""
+WITH g AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+         lead(CAST(o_orderdate AS DATE))
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders),
+ m AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+ d AS (
+  SELECT CAST(date_diff('day', od, coalesce(nxt, m.maxd)) AS BIGINT)
+           AS dur_days,
+         CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+  FROM g CROSS JOIN m),
+ h AS (
+  SELECT dur_days, CAST(sum(ev) AS BIGINT) AS n_event,
+         CAST(sum(1 - ev) AS BIGINT) AS n_censored
+  FROM d GROUP BY 1),
+ r AS (
+  SELECT dur_days, n_event, n_censored,
+         CAST(sum(n_event + n_censored) OVER () AS BIGINT)
+           - CAST(sum(n_event + n_censored)
+                  OVER (ORDER BY dur_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - (n_event + n_censored) AS BIGINT) AS n_risk
+  FROM h),
+ t AS (
+  SELECT dur_days, n_event, n_censored, n_risk,
+         {_KM_TERM_SQL} AS term,
+         CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END AS z
+  FROM r),
+ c AS (
+  SELECT dur_days, n_event, n_censored, n_risk,
+         sum(term) OVER (ORDER BY dur_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_log,
+         max(z) OVER (ORDER BY dur_days
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS zf
+  FROM t)
+SELECT dur_days, n_risk, n_event, n_censored,
+       {_KM_SURV_SQL} AS survival_8dp
+FROM c WHERE n_event > 0
+ORDER BY dur_days
+"""
+
+
+@register("kaplan_meier_repurchase", oracle=_km_oracle())
+def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve over customer
+    repeat-purchase gaps: one row per event time (gap in days at
+    which at least one next order arrived) with the at-risk count,
+    event count, censored count, and S(t) = P(gap > t) — each
+    customer's last order contributes a RIGHT-CENSORED gap to the
+    corpus max date, the correction that makes the curve unbiased
+    where a plain duration histogram is not (Kaplan & Meier 1958;
+    the lifelines KaplanMeierFitter contract, which the pure-Python
+    reference in tests/test_r14_ops.py replays with Fractions). The
+    time-to-event family member: retention/churn curves, component
+    time-to-failure, label-arrival latency for training-data
+    freshness — none expressible by the trend/test rows because
+    censoring is a first-class part of the estimand.
+
+    Scale shape: one orders scan through ONE per-customer ordered
+    window (lead — the sessionize exchange family, fact-sized but
+    partitioned by customer) collapses to the duration histogram,
+    domain-sized at ANY corpus (gaps in days are bounded by the date
+    span: ~2.5k distinct values at 100 TB exactly as at sf0.001); the
+    corpus max date is a 1-row aggregate cross-joined (the sanctioned
+    1-row pattern); the at-risk/cumulative machinery is two
+    single-partition windows over THAT KB frame, never the fact
+    table. The KM shape that usually forces a global ordered pass,
+    bounded to the duration domain instead.
+
+    Determinism: durations and counts are exact BIGINTs; the ordered
+    cumulative sums run on round(., 12) -> DECIMAL(28,12) folds of
+    the shared-text per-time factor (order-independent, exact); the
+    d = n exhaustion row (ln(0): Spark NULL vs DuckDB -inf) is
+    structurally excluded and an exact 0.0 is pinned by the
+    cumulative flag; the only float emission is the final
+    round(exp(.), 8)."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    g = o.select(
+        "o_custkey", "od", F.lead("od").over(wc).alias("nxt")
+    )
+    m = o.agg(F.max("od").alias("maxd"))
+    d = g.crossJoin(F.broadcast(m)).select(
+        F.expr(
+            "CAST(datediff(coalesce(nxt, maxd), od) AS BIGINT)"
+        ).alias("dur_days"),
+        F.expr("CASE WHEN nxt IS NULL THEN 0 ELSE 1 END").alias("ev"),
+    )
+    h = d.groupBy("dur_days").agg(
+        F.sum("ev").cast("long").alias("n_event"),
+        F.sum(F.expr("1 - ev")).cast("long").alias("n_censored"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = h.select(
+        "dur_days",
+        "n_event",
+        "n_censored",
+        (
+            F.sum(F.col("n_event") + F.col("n_censored")).over(w_all)
+            - (
+                F.sum(F.col("n_event") + F.col("n_censored")).over(w_cum)
+                - (F.col("n_event") + F.col("n_censored"))
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    t = r.select(
+        "dur_days",
+        "n_event",
+        "n_censored",
+        "n_risk",
+        F.expr(_KM_TERM_SQL).alias("term"),
+        F.expr("CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END").alias("z"),
+    )
+    c = t.select(
+        "dur_days",
+        "n_event",
+        "n_censored",
+        "n_risk",
+        F.sum("term").over(w_cum).alias("cum_log"),
+        F.max("z").over(w_cum).alias("zf"),
+    )
+    return (
+        c.where(F.col("n_event") > 0)
+        .select(
+            "dur_days",
+            "n_risk",
+            "n_event",
+            "n_censored",
+            F.expr(_KM_SURV_SQL).alias("survival_8dp"),
+        )
+        .orderBy("dur_days")
+    )

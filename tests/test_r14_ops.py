@@ -690,3 +690,84 @@ def test_mann_whitney_pure_python_reference(spark, sf_dir):
         8,
     )
     assert row["z_score"] == pytest.approx(z, abs=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier repeat-purchase survival
+# ---------------------------------------------------------------------------
+
+
+def test_kaplan_meier_pure_python_reference(spark, sf_dir):
+    """Third-engine check: replay the product-limit estimator from raw
+    per-customer order dates (the lifelines KaplanMeierFitter
+    contract) — right-censor each customer's last order at the corpus
+    max date, build the duration table, then recompute n_risk / d / c
+    per event time and the engines' exact rounding sequence for S(t).
+    Also pins the structural KM facts: S is non-increasing, every
+    at-risk count equals the number of durations >= t, and total
+    censored across the curve equals the customer count."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    import duckdb as _duckdb
+
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    rows = con.execute(
+        "SELECT o_custkey, CAST(o_orderdate AS DATE) FROM orders"
+    ).fetchall()
+    by_cust: dict = {}
+    for ck, od in rows:
+        by_cust.setdefault(ck, []).append(od)
+    maxd = max(od for _, od in rows)
+    events = Counter()
+    censored = Counter()
+    for dates in by_cust.values():
+        dates.sort()
+        for a, b in zip(dates, dates[1:]):
+            events[(b - a).days] += 1
+        censored[(maxd - dates[-1]).days] += 1
+
+    all_durs = sorted(set(events) | set(censored))
+    n_at_risk = sum(events.values()) + sum(censored.values())
+    expected = []
+    cum = Decimal(0)
+    dead = False
+    for t in all_durs:
+        d, c = events.get(t, 0), censored.get(t, 0)
+        if d > 0:
+            if d < n_at_risk:
+                cum += Decimal(
+                    str(round(math.log((n_at_risk - d) / n_at_risk), 12))
+                )
+            else:
+                dead = True
+            s = 0.0 if dead else round(math.exp(float(cum)), 8)
+            expected.append((t, n_at_risk, d, c, s))
+        n_at_risk -= d + c
+
+    got = [
+        (
+            r["dur_days"],
+            r["n_risk"],
+            r["n_event"],
+            r["n_censored"],
+            r["survival_8dp"],
+        )
+        for r in catalog.queries()["kaplan_meier_repurchase"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == expected
+
+    # Structural pins.
+    survs = [s for *_, s in got]
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
+    assert survs[0] < 1.0  # events exist at the earliest event time
+    assert sum(r[3] for r in got) <= len(by_cust)  # censored <= customers
