@@ -316,6 +316,10 @@ def main() -> None:
         # lead window (the sessionize exchange family), then KB-sized
         # domain windows; must price like a single-window stats row
         ("kaplan_meier_repurchase", "kaplan_meier_repurchase"),
+        # r14 (late): log-rank — the same KM duration pass with a
+        # stratum dimension + a 1-row hypergeometric fold; must price
+        # in the kaplan_meier band
+        ("logrank_repurchase_test", "logrank_repurchase_test"),
     ):
         if nm not in qs:
             continue

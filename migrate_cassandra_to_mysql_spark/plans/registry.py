@@ -222,7 +222,19 @@ PRIORITY: list[str] = [
     # rebuild-without-equality contract). bm25_topk_search (inline) and
     # ivfpq_persisted_rerank_topk (persisted rerank) stay in-window:
     "ivfpq_tombstone_topk",
-    "bm25_tombstone_topk",
+    # r14 (late): bm25_tombstone_topk out on its green r10-r13 rows (4
+    # consecutive) — the tombstone-deletion serving contract stays
+    # driver-gated in-window through its vector twin
+    # ivfpq_tombstone_topk (identical delete-then-serve semantics,
+    # oracled as corpus-minus-victims on the other index family; the
+    # same twin-coverage note this round's bm25_filtered_topk rotation
+    # used), and the BM25 index path keeps passage_bm25_doc_topk /
+    # rm3_query_expansion_topk / phrase_proximity_topk in-window. In:
+    # the log-rank (Mantel-Cox) two-sample survival test — the
+    # hypothesis-test companion to kaplan_meier_repurchase (KM
+    # estimates the curve; this tests whether two strata's curves
+    # differ, censoring in the estimand):
+    "logrank_repurchase_test",
     # r7 in (q16 retained r9 as the anti-join shape holder); r9 in:
     # the four scalar-suite TPC-H members, individually verified
     # r12: q16_supplier_relation_count out on its green r7-r11 rows (5

@@ -1786,3 +1786,221 @@ def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dur_days")
     )
+
+
+# Log-rank / Mantel-Cox two-sample survival test (Mantel 1966; Peto &
+# Peto 1972): does the repeat-purchase survival curve differ between
+# two strata — the hypothesis-TEST companion to kaplan_meier_repurchase
+# exactly as mann_whitney_u is to the price distributions and
+# chi_square_independence is to the contingency table: KM estimates
+# the curve, THIS tests whether urgent-started gaps genuinely close
+# faster than low-priority-started ones, with censoring handled in the
+# estimand (a naive mean-gap comparison is biased by exactly the
+# censored tail). Each gap observation is stratified by the priority
+# of the order that STARTS it; at every event time t the observed
+# stratum-A events d_a compare against the hypergeometric expectation
+# e_a = n_a * d / n over the combined risk set, with variance
+# v = n_a*n_b*d*(n-d) / (n^2*(n-1)); chi2 = (sum(d_a - e_a))^2 /
+# sum(v) ~ chi2(1) under H0 (identical hazards).
+#
+# Exactness: all counts and risk sets are exact BIGINTs off the
+# stratified duration histogram; each per-time term keeps its
+# numerator/denominator as exact DECIMAL(38,0) integer products
+# (the chi-square overflow-fold rule: n^4 stays inside 1e38 to
+# n ~ 1.7e9 at risk) with ONE float division, folded through
+# round(., 12) -> DECIMAL(28,12) so the sums are order-independent;
+# only the final statistics are floats, rounded to 8 dp. ONE
+# expression string per term, shared verbatim by both engines.
+_LR_A = "'1-URGENT'"
+_LR_B = "'5-LOW'"
+_LR_OE_SQL = (
+    "CAST(round(CAST(d_a AS DOUBLE)"
+    " - CAST(CAST(n_a AS DECIMAL(38,0)) * (d_a + d_b) AS DOUBLE)"
+    " / CAST(n_a + n_b AS DOUBLE), 12) AS DECIMAL(28,12))"
+)
+_LR_V_SQL = (
+    "CAST(CASE WHEN n_a + n_b > 1 THEN"
+    " round(CAST(CAST(n_a AS DECIMAL(38,0)) * n_b * (d_a + d_b)"
+    " * (n_a + n_b - d_a - d_b) AS DOUBLE)"
+    " / CAST(CAST(n_a + n_b AS DECIMAL(38,0)) * (n_a + n_b)"
+    " * (n_a + n_b - 1) AS DOUBLE), 12)"
+    " ELSE 0.0 END AS DECIMAL(28,12))"
+)
+_LR_CHI2_SQL = (
+    "round(CAST(oe_sum AS DOUBLE) * CAST(oe_sum AS DOUBLE)"
+    " / CAST(v_sum AS DOUBLE), 8)"
+)
+_LR_Z_SQL = (
+    "round(CAST(oe_sum AS DOUBLE) / sqrt(CAST(v_sum AS DOUBLE)), 8)"
+)
+
+
+def _logrank_oracle() -> str:
+    return f"""
+WITH g AS (
+  SELECT o_custkey, o_orderpriority AS pri,
+         CAST(o_orderdate AS DATE) AS od,
+         lead(CAST(o_orderdate AS DATE))
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders),
+ m AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+ d AS (
+  SELECT CAST(date_diff('day', od, coalesce(nxt, m.maxd)) AS BIGINT)
+           AS dur_days,
+         pri,
+         CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+  FROM g CROSS JOIN m
+  WHERE pri IN ({_LR_A}, {_LR_B})),
+ h AS (
+  SELECT dur_days,
+         CAST(sum(CASE WHEN pri = {_LR_A} THEN ev ELSE 0 END) AS BIGINT)
+           AS d_a,
+         CAST(sum(CASE WHEN pri = {_LR_A} THEN 1 - ev ELSE 0 END)
+              AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN pri = {_LR_B} THEN ev ELSE 0 END) AS BIGINT)
+           AS d_b,
+         CAST(sum(CASE WHEN pri = {_LR_B} THEN 1 - ev ELSE 0 END)
+              AS BIGINT) AS c_b
+  FROM d GROUP BY 1),
+ r AS (
+  SELECT dur_days, d_a, d_b,
+         CAST(sum(d_a + c_a) OVER () AS BIGINT)
+           - CAST(sum(d_a + c_a)
+                  OVER (ORDER BY dur_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - (d_a + c_a) AS BIGINT) AS n_a,
+         CAST(sum(d_b + c_b) OVER () AS BIGINT)
+           - CAST(sum(d_b + c_b)
+                  OVER (ORDER BY dur_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - (d_b + c_b) AS BIGINT) AS n_b
+  FROM h),
+ t AS (
+  SELECT {_LR_OE_SQL} AS oe, {_LR_V_SQL} AS v, d_a, d_b
+  FROM r WHERE d_a + d_b > 0),
+ agg AS (
+  SELECT CAST(sum(d_a) AS BIGINT) AS events_a,
+         CAST(sum(d_b) AS BIGINT) AS events_b,
+         sum(oe) AS oe_sum, sum(v) AS v_sum
+  FROM t)
+SELECT events_a, events_b,
+       round(CAST(oe_sum AS DOUBLE), 8) AS o_minus_e_a,
+       round(CAST(v_sum AS DOUBLE), 8) AS lr_variance,
+       {_LR_CHI2_SQL} AS logrank_chi2,
+       {_LR_Z_SQL} AS z_score
+FROM agg
+"""
+
+
+@register("logrank_repurchase_test", oracle=_logrank_oracle())
+def logrank_repurchase_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between the urgent-started and
+    low-priority-started repeat-purchase gap survival curves — one
+    summary row (events_a, events_b, o_minus_e_a, lr_variance,
+    logrank_chi2, z_score). The hypothesis-test companion to
+    kaplan_meier_repurchase (see the module comment for the
+    hypergeometric form): z < 0 means stratum A (urgent) repurchases
+    FASTER than chance given the shared risk sets, with right-censored
+    gaps counted correctly in every risk set — the estimand a naive
+    mean-gap comparison biases. Pure-Python replay (scipy-free
+    lifelines logrank_test contract) pinned in tests/test_r14_ops.py.
+
+    Scale shape (the kaplan_meier shape exactly): one orders scan
+    through the per-customer lead window collapses to the STRATIFIED
+    duration histogram (domain-sized: <= date-span distinct gaps at
+    any corpus); the two at-risk cumulative windows and the 1-row
+    final aggregation run on that KB frame; the corpus max date is
+    the sanctioned 1-row broadcast cross join. At 100 TB the fact
+    table is touched once.
+
+    Determinism: counts and risk sets are exact BIGINTs; each
+    per-time O-E and variance term keeps exact DECIMAL(38,0) integer
+    products around ONE shared-text float division, folded through
+    round(., 12) -> DECIMAL(28,12) sums; the n = 1 variance guard is
+    structural in both engines; final statistics round to 8 dp."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    g = o.select("pri", "od", F.lead("od").over(wc).alias("nxt"))
+    m = o.agg(F.max("od").alias("maxd"))
+    d = (
+        g.where(F.col("pri").isin(_LR_A.strip("'"), _LR_B.strip("'")))
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.expr(
+                "CAST(datediff(coalesce(nxt, maxd), od) AS BIGINT)"
+            ).alias("dur_days"),
+            "pri",
+            F.expr("CASE WHEN nxt IS NULL THEN 0 ELSE 1 END").alias("ev"),
+        )
+    )
+    h = d.groupBy("dur_days").agg(
+        F.expr(
+            f"CAST(sum(CASE WHEN pri = {_LR_A} THEN ev ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("d_a"),
+        F.expr(
+            f"CAST(sum(CASE WHEN pri = {_LR_A} THEN 1 - ev ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("c_a"),
+        F.expr(
+            f"CAST(sum(CASE WHEN pri = {_LR_B} THEN ev ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("d_b"),
+        F.expr(
+            f"CAST(sum(CASE WHEN pri = {_LR_B} THEN 1 - ev ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("c_b"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = h.select(
+        "dur_days",
+        "d_a",
+        "d_b",
+        (
+            F.sum(F.col("d_a") + F.col("c_a")).over(w_all)
+            - (
+                F.sum(F.col("d_a") + F.col("c_a")).over(w_cum)
+                - (F.col("d_a") + F.col("c_a"))
+            )
+        )
+        .cast("long")
+        .alias("n_a"),
+        (
+            F.sum(F.col("d_b") + F.col("c_b")).over(w_all)
+            - (
+                F.sum(F.col("d_b") + F.col("c_b")).over(w_cum)
+                - (F.col("d_b") + F.col("c_b"))
+            )
+        )
+        .cast("long")
+        .alias("n_b"),
+    )
+    t = r.where(F.col("d_a") + F.col("d_b") > 0).select(
+        F.expr(_LR_OE_SQL).alias("oe"),
+        F.expr(_LR_V_SQL).alias("v"),
+        "d_a",
+        "d_b",
+    )
+    agg = t.agg(
+        F.sum("d_a").cast("long").alias("events_a"),
+        F.sum("d_b").cast("long").alias("events_b"),
+        F.sum("oe").alias("oe_sum"),
+        F.sum("v").alias("v_sum"),
+    )
+    return agg.select(
+        "events_a",
+        "events_b",
+        F.expr("round(CAST(oe_sum AS DOUBLE), 8)").alias("o_minus_e_a"),
+        F.expr("round(CAST(v_sum AS DOUBLE), 8)").alias("lr_variance"),
+        F.expr(_LR_CHI2_SQL).alias("logrank_chi2"),
+        F.expr(_LR_Z_SQL).alias("z_score"),
+    )

@@ -771,3 +771,86 @@ def test_kaplan_meier_pure_python_reference(spark, sf_dir):
     assert all(a >= b for a, b in zip(survs, survs[1:]))
     assert survs[0] < 1.0  # events exist at the earliest event time
     assert sum(r[3] for r in got) <= len(by_cust)  # censored <= customers
+
+
+def test_logrank_pure_python_reference(spark, sf_dir):
+    """Third-engine check: replay the Mantel-Cox hypergeometric sums
+    from raw per-customer order dates (the lifelines logrank_test
+    contract) with plain Python ints/floats, including the engines'
+    exact rounding sequence, and pin the structural facts: the
+    combined event totals match the KM-style duration table and the
+    chi2 equals z^2 up to the emitted rounding."""
+    from collections import Counter
+    from decimal import Decimal
+
+    import duckdb as _duckdb
+
+    from migrate_cassandra_to_mysql_spark.plans import catalog
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    rows = con.execute(
+        "SELECT o_custkey, o_orderpriority, CAST(o_orderdate AS DATE)"
+        " FROM orders"
+    ).fetchall()
+    by_cust: dict = {}
+    for ck, pri, od in rows:
+        by_cust.setdefault(ck, []).append((od, pri))
+    maxd = max(od for _, _, od in rows)
+    obs = []  # (dur, stratum 'a'/'b', event)
+    for seq in by_cust.values():
+        seq.sort(key=lambda t: t[0])
+        for (a_od, a_pri), (b_od, _) in zip(seq, seq[1:]):
+            obs.append(((b_od - a_od).days, a_pri, 1))
+        last_od, last_pri = seq[-1]
+        obs.append(((maxd - last_od).days, last_pri, 0))
+    obs = [
+        (dur, "a" if p == "1-URGENT" else "b", ev)
+        for dur, p, ev in obs
+        if p in ("1-URGENT", "5-LOW")
+    ]
+    d_a, c_a, d_b, c_b = Counter(), Counter(), Counter(), Counter()
+    for dur, s, ev in obs:
+        [[c_a, d_a], [c_b, d_b]][s == "b"][ev][dur] += 1
+    n_a = sum(1 for _, s, _ in obs if s == "a")
+    n_b = len(obs) - n_a
+    oe_sum, v_sum = Decimal(0), Decimal(0)
+    events_a = events_b = 0
+    for t in sorted({dur for dur, _, _ in obs}):
+        da, db = d_a.get(t, 0), d_b.get(t, 0)
+        d, n = da + db, n_a + n_b
+        if d > 0:
+            oe_sum += Decimal(str(round(da - (n_a * d) / n, 12)))
+            if n > 1:
+                v_sum += Decimal(
+                    str(
+                        round(
+                            (n_a * n_b * d * (n - d))
+                            / (n * n * (n - 1)),
+                            12,
+                        )
+                    )
+                )
+            events_a += da
+            events_b += db
+        n_a -= da + c_a.get(t, 0)
+        n_b -= db + c_b.get(t, 0)
+
+    row = catalog.queries()["logrank_repurchase_test"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (row["events_a"], row["events_b"]) == (events_a, events_b)
+    assert row["o_minus_e_a"] == pytest.approx(float(oe_sum), abs=1e-8)
+    assert row["lr_variance"] == pytest.approx(float(v_sum), abs=1e-8)
+    chi2 = round(float(oe_sum) * float(oe_sum) / float(v_sum), 8)
+    import math
+
+    z = round(float(oe_sum) / math.sqrt(float(v_sum)), 8)
+    assert row["logrank_chi2"] == pytest.approx(chi2, abs=1e-8)
+    assert row["z_score"] == pytest.approx(z, abs=1e-8)
+    assert row["logrank_chi2"] == pytest.approx(
+        row["z_score"] ** 2, abs=1e-6
+    )

@@ -892,6 +892,11 @@ def test_r13_rows_complete_at_sf1(spark, sf1_dir, name):
         # bucket-partitioned; only the bucket-totals frame (tens of
         # rows) is single-partition
         "mann_whitney_u",
+        # the per-customer lead window at 10x rows per customer (the
+        # synthesis keeps o_custkey), then domain-sized duration
+        # machinery only — the KM/log-rank pair shares one shape
+        "kaplan_meier_repurchase",
+        "logrank_repurchase_test",
         # isotonic_trend_by_nation is absent for the ols_trend/cusum
         # reason: the synthesis carries no customer/nation dimensions;
         # the op is scale-trivial anyway (fact collapse to 25 x ~7,
