@@ -1627,8 +1627,8 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order-independent (the Adamic-Adar fold discipline applied to a
 # cumulative product); only the final exp(.) is a float, rounded to
 # 8 dp. The d_i = n_i exhaustion case (S hits exactly 0; ln(0) is
-# NULL in Spark but -inf in DuckDB — a cross-engine trap) is handled
-# structurally: the term is excluded and a cumulative max flag pins
+# NULL in Spark but RAISES in DuckDB — a cross-engine trap where the
+# oracle side would crash the differential) is handled structurally: the term is excluded and a cumulative max flag pins
 # survival_8dp to exact 0.0 from that time on, in both engines.
 _KM_TERM_SQL = (
     "CAST(CASE WHEN n_event < n_risk THEN"
@@ -1719,8 +1719,9 @@ def kaplan_meier_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: durations and counts are exact BIGINTs; the ordered
     cumulative sums run on round(., 12) -> DECIMAL(28,12) folds of
     the shared-text per-time factor (order-independent, exact); the
-    d = n exhaustion row (ln(0): Spark NULL vs DuckDB -inf) is
-    structurally excluded and an exact 0.0 is pinned by the
+    d = n exhaustion row (ln(0): Spark NULL vs DuckDB raising — the
+    load-bearing guard is negative-control-pinned in
+    tests/test_r14_ops.py) is structurally excluded and an exact 0.0 is pinned by the
     cumulative flag; the only float emission is the final
     round(exp(.), 8)."""
     o = T(spark, sf_dir, "orders").select(

@@ -854,3 +854,78 @@ def test_logrank_pure_python_reference(spark, sf_dir):
     assert row["logrank_chi2"] == pytest.approx(
         row["z_score"] ** 2, abs=1e-6
     )
+
+
+def test_km_exhaustion_guard_is_load_bearing(spark):
+    """The survival rows claim the d = n exhaustion case is 'handled
+    structurally on both engines'. Pin it: (a) on a risk set that
+    exhausts at the last event time, the guarded term + flag yield an
+    exact 0.0 survival in BOTH engines; (b) the NEGATIVE control — the
+    unguarded ln((n-d)/n) on that row — genuinely diverges (Spark
+    ln(0) = NULL, DuckDB -inf), proving the CASE guard is load-bearing
+    rather than decorative."""
+    from migrate_cassandra_to_mysql_spark.plans.statsplans import (
+        _KM_SURV_SQL,
+        _KM_TERM_SQL,
+    )
+
+    # (dur, n_event, n_risk): 5 at risk, 2 events, then 3 events that
+    # exhaust the remaining risk set.
+    rows = [(1, 2, 5), (2, 3, 3)]
+    sdf = spark.createDataFrame(
+        rows, "dur_days long, n_event long, n_risk long"
+    ).select("dur_days", F.expr(_KM_TERM_SQL).alias("term"))
+    got_terms = {
+        r["dur_days"]: r["term"] for r in sdf.collect()
+    }
+    con = duckdb.connect()
+    duck_terms = dict(
+        con.execute(
+            "SELECT dur_days, "
+            + _KM_TERM_SQL
+            + " FROM (VALUES (1, 2, 5), (2, 3, 3))"
+            " t(dur_days, n_event, n_risk)"
+        ).fetchall()
+    )
+    # Guarded: both engines agree exactly — the exhaustion row's term
+    # is excluded (0), the survivor row's term is the rounded ln(3/5).
+    import math
+
+    assert float(got_terms[2]) == float(duck_terms[2]) == 0.0
+    assert float(got_terms[1]) == float(duck_terms[1])
+    assert float(got_terms[1]) == round(math.log(3 / 5), 12)
+
+    # Survival emission: the flag pins exact 0.0 in both engines.
+    surv_rows = [(float(got_terms[1]), 1)]
+    s_spark = (
+        spark.createDataFrame(
+            surv_rows, "cum_log double, zf int"
+        )
+        .select(F.expr(_KM_SURV_SQL).alias("s"))
+        .collect()[0]["s"]
+    )
+    s_duck = con.execute(
+        "SELECT "
+        + _KM_SURV_SQL
+        + f" FROM (VALUES ({float(got_terms[1])}, 1)) t(cum_log, zf)"
+    ).fetchone()[0]
+    assert s_spark == s_duck == 0.0
+
+    # Negative control: WITHOUT the guard the engines diverge on the
+    # exhaustion row — Spark silently yields NULL while DuckDB RAISES
+    # (Out of Range: cannot take logarithm of zero), i.e. the oracle
+    # side would crash the differential outright.
+    raw = (
+        "ln(CAST(n_risk - n_event AS DOUBLE)"
+        " / CAST(n_risk AS DOUBLE))"
+    )
+    spark_raw = (
+        spark.createDataFrame([(3, 3)], "n_event long, n_risk long")
+        .select(F.expr(raw).alias("x"))
+        .collect()[0]["x"]
+    )
+    assert spark_raw is None
+    with pytest.raises(duckdb.OutOfRangeException):
+        con.execute(
+            "SELECT " + raw + " FROM (VALUES (3, 3)) t(n_event, n_risk)"
+        )
