@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from migrate_cassandra_to_mysql_spark.functions.localframe import local_frame
+
 SEP = "\x1f"
 
 
@@ -135,8 +137,8 @@ def bpe_merge_table(
     deterministic for a given corpus (exact tie-break), so a rows-only
     correctness check is stable."""
     rows = train_bpe(docs, n_merges=n_merges)
-    return spark.createDataFrame(
-        rows, "rank long, left string, right string, pair_freq long"
+    return local_frame(
+        spark, rows, "rank long, left string, right string, pair_freq long"
     )
 
 

@@ -50,6 +50,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from migrate_cassandra_to_mysql_spark.functions.localframe import local_frame
+
 from migrate_cassandra_to_mysql_spark.functions import text as textfns
 from migrate_cassandra_to_mysql_spark.functions.hashing import md5_token_bucket
 
@@ -283,8 +285,8 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> None:
     )
 
     if not isinstance(doc_ids, DataFrame):
-        doc_ids = spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "doc_id long"
+        doc_ids = local_frame(
+            spark, [(int(i),) for i in doc_ids], "doc_id long"
         )
     new = doc_ids.select(F.col("doc_id").cast("long"))
     with _maintainer_lock(index_dir, "deletes.rmw", 3600.0):
@@ -435,7 +437,7 @@ def compact_postings(
         # purged postings with the stale tombstones or (worse) the
         # UNpurged postings with the emptied tombstones
         (
-            spark.createDataFrame([], "doc_id long")
+            local_frame(spark, [], "doc_id long")
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(f"{index_dir}/deletes.new")

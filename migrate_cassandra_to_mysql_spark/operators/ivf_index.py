@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from migrate_cassandra_to_mysql_spark.functions.vectors import cosine
+from migrate_cassandra_to_mysql_spark.functions.localframe import local_frame
 from migrate_cassandra_to_mysql_spark.operators import kmeans as km
 
 
@@ -72,7 +73,8 @@ def kmeans_codebook(
         rows = km.init_first_k(e, k)
     cents = rows
     for _ in range(n_iter):
-        cent_df = spark.createDataFrame(
+        cent_df = local_frame(
+            spark,
             [(int(r["c_id"]), list(r["cv"])) for r in cents],
             "c_id long, cv array<double>",
         )
@@ -82,7 +84,7 @@ def kmeans_codebook(
         (i, list(r["cv"]))
         for i, r in enumerate(sorted(cents, key=lambda r: r["c_id"]))
     ]
-    return spark.createDataFrame(renumbered, "c_id long, cv array<double>")
+    return local_frame(spark, renumbered, "c_id long, cv array<double>")
 
 
 def build_ivf_index(
@@ -176,11 +178,13 @@ def build_ivfpq_index(
             train_input, m=m, n_centers=n_centers, n_iter=n_iter
         )
     residual = bool(residual)
-    spark.createDataFrame(
+    local_frame(
+        spark,
         [(i, list(cv)) for i, cv in enumerate(cell_centroids)],
         "c_id long, cv array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/cells")
-    spark.createDataFrame(
+    local_frame(
+        spark,
         [
             (mi, j, list(centers[mi][j]))
             for mi in range(len(centers))
@@ -188,8 +192,8 @@ def build_ivfpq_index(
         ],
         "mi int, j int, cv array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq")
-    spark.createDataFrame(
-        [(bool(residual),)], "residual boolean"
+    local_frame(
+        spark, [(bool(residual),)], "residual boolean"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
     # ingest_batch=0 keeps the batch layer at the SAME leaf depth as
     # streamed micro-batches (streaming/index_ingest.py writes batch B
@@ -298,7 +302,7 @@ def compact_codes(
     swap_live_dir(index_dir, "codes")
     if deletes is not None:
         (
-            spark.createDataFrame([], "vec_id long")
+            local_frame(spark, [], "vec_id long")
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(f"{index_dir}/deletes.new")
@@ -528,8 +532,8 @@ def delete_vectors(spark: SparkSession, index_dir: str, vec_ids) -> None:
     )
 
     if not isinstance(vec_ids, DataFrame):
-        vec_ids = spark.createDataFrame(
-            [(int(i),) for i in vec_ids], "vec_id long"
+        vec_ids = local_frame(
+            spark, [(int(i),) for i in vec_ids], "vec_id long"
         )
     new = vec_ids.select(F.col("vec_id").cast("long"))
     with _maintainer_lock(index_dir, "deletes.rmw", 3600.0):

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from migrate_cassandra_to_mysql_spark.functions.localframe import local_frame
+
 QUANT = 1_000_000_000  # 1e9: centroid-update quantization (see module doc)
 
 
@@ -103,7 +105,8 @@ def init_farthest_point(e: DataFrame, k: int) -> list:
     first = e.orderBy("vec_id").limit(1).select("vec_id", "v").collect()[0]
     chosen = [{"c_id": int(first["vec_id"]), "cv": list(first["v"])}]
     for _ in range(k - 1):
-        cent_df = spark.createDataFrame(
+        cent_df = local_frame(
+            spark,
             [(int(r["c_id"]), list(r["cv"])) for r in chosen],
             "c_id long, cv array<double>",
         )
@@ -119,9 +122,19 @@ def init_farthest_point(e: DataFrame, k: int) -> list:
 
 
 def _lloyd(
-    embeddings: DataFrame, k: int, n_iter: int, init: str
+    embeddings: DataFrame,
+    k: int,
+    n_iter: int,
+    init: str,
+    track_inertia: bool = True,
 ) -> tuple[DataFrame, list, list[float]]:
-    """Shared Lloyd loop: returns (e, final cent_rows, inertia history)."""
+    """Shared Lloyd loop: returns (e, final cent_rows, inertia history).
+
+    track_inertia=False skips the per-iteration inertia aggregation — a
+    full corpus pass per iteration whose only product is the returned
+    history (guide §1.2: don't compute things you throw away). Centroid
+    trajectories are identical either way: inertia never feeds the
+    update."""
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -133,13 +146,15 @@ def _lloyd(
 
     inertia_history: list[float] = []
     for _ in range(n_iter):
-        cent_df = spark.createDataFrame(
+        cent_df = local_frame(
+            spark,
             [(int(r["c_id"]), list(r["cv"])) for r in cent_rows],
             "c_id long, cv array<double>",
         )
         assigned = _assign(e, cent_df)
-        inertia = assigned.agg(F.sum("d2").alias("i")).collect()[0]["i"]
-        inertia_history.append(float(inertia))
+        if track_inertia:
+            inertia = assigned.agg(F.sum("d2").alias("i")).collect()[0]["i"]
+            inertia_history.append(float(inertia))
         cent_rows = _update(assigned, cent_rows)
     return e, cent_rows, inertia_history
 
@@ -158,7 +173,8 @@ def kmeans(
     """
     e, cent_rows, inertia_history = _lloyd(embeddings, k, n_iter, init)
     spark = embeddings.sparkSession
-    final_cent = spark.createDataFrame(
+    final_cent = local_frame(
+        spark,
         [(int(r["c_id"]), list(r["cv"])) for r in cent_rows],
         "c_id long, cv array<double>",
     )
@@ -177,7 +193,7 @@ def train_centroid_vectors(
     ivfpq_topk / ivf_index.build as `cell_centroids`. Same Lloyd loop as
     kmeans() (quantized-exact means, deterministic init), so a given
     corpus always trains to the identical codebook."""
-    _, cent_rows, _ = _lloyd(embeddings, k, n_iter, init)
+    _, cent_rows, _ = _lloyd(embeddings, k, n_iter, init, track_inertia=False)
     return [
         [float(x) for x in r["cv"]]
         for r in sorted(cent_rows, key=lambda r: r["c_id"])

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from migrate_cassandra_to_mysql_spark.functions.localframe import local_frame
+
 TOPK_SCHEMA = "q_id bigint, n_id bigint, cos_sim double"
 
 
@@ -41,8 +43,8 @@ def brute_force_topk_vectorized(
     qrows = e.where(query_pred).collect()
     if not qrows:
         # Empty query set: an empty (typed) result, not a numpy axis error.
-        return embeddings.sparkSession.createDataFrame(
-            [], TOPK_SCHEMA + ", rnk bigint"
+        return local_frame(
+            embeddings.sparkSession, [], TOPK_SCHEMA + ", rnk bigint"
         )
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qm = np.array([r["v"] for r in qrows], dtype=np.float64)

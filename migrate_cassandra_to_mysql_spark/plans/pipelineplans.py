@@ -15,6 +15,8 @@ import sqlite3
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from migrate_cassandra_to_mysql_spark.functions.localframe import local_frame
+
 from migrate_cassandra_to_mysql_spark.plans._work import memo, workdir
 from migrate_cassandra_to_mysql_spark.plans.registry import register
 from migrate_cassandra_to_mysql_spark.sinks import idempotent as sink
@@ -97,8 +99,10 @@ def idempotent_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     con = sqlite3.connect(db)
     n = con.execute("SELECT count(*) FROM dst").fetchone()[0]
     con.close()
-    return spark.createDataFrame(
-        [("orders", n, "OK")], "table_name string, sink_rows long, rerun_status string"
+    return local_frame(
+        spark,
+        [("orders", n, "OK")],
+        "table_name string, sink_rows long, rerun_status string",
     )
 
 
@@ -169,7 +173,8 @@ def snapshot_job_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fetchone()[0]
     con.close()
     wal_ok = "OK" if (started == committed and committed > 0) else "MISMATCH"
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [
             (
                 "files",

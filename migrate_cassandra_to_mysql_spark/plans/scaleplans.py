@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from migrate_cassandra_to_mysql_spark.functions.localframe import local_frame
+
 from migrate_cassandra_to_mysql_spark.operators.merge import (
     merge_snapshots,
     scd2_apply_increment,
@@ -765,7 +767,7 @@ def _smallest_nodes(spark: SparkSession, pairs: DataFrame, n: int = 3):
         if lo is None:  # fewer than n distinct nodes: return what exists
             break
         mins.append(int(lo))
-    return spark.createDataFrame([(m,) for m in mins], "node long")
+    return local_frame(spark, [(m,) for m in mins], "node long")
 
 
 @register("part_copurchase_ppr", oracle=_ppr_oracle())

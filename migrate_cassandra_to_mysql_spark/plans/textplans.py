@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from migrate_cassandra_to_mysql_spark.functions.localframe import local_frame
+
 from migrate_cassandra_to_mysql_spark.functions import text as textfns
 from migrate_cassandra_to_mysql_spark.operators import components, dedup, textops
 from migrate_cassandra_to_mysql_spark.plans.registry import register
@@ -1750,8 +1752,8 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("bpe_merges", sf_dir),
         lambda: bpe.train_bpe(T(spark, sf_dir, "documents"), n_merges=8),
     )
-    return spark.createDataFrame(
-        rows, "rank long, left string, right string, pair_freq long"
+    return local_frame(
+        spark, rows, "rank long, left string, right string, pair_freq long"
     )
 
 

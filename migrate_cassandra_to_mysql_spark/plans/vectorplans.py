@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from migrate_cassandra_to_mysql_spark.functions.localframe import local_frame
+
 from migrate_cassandra_to_mysql_spark.functions.vectors import cosine
 from migrate_cassandra_to_mysql_spark.operators import similarity
 from migrate_cassandra_to_mysql_spark.plans.registry import register
@@ -1139,7 +1141,7 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.posexplode("embedding").alias("pos", "v")
     )
-    m = spark.createDataFrame(_JL, "pos INT, out_dim INT, sign INT")
+    m = local_frame(spark, _JL, "pos INT, out_dim INT, sign INT")
     q = F.floor(F.col("v").cast("double") * F.lit(1000000000.0))
     signed = F.when(F.col("sign") == 1, q).otherwise(-q)
     return (
