@@ -63,9 +63,19 @@ def connected_components(
     rounds; raises if the graph failed to converge (never observed on
     dedup graphs; reachable only via max_iter set below the diameter).
     """
+    # Eagerly checkpoint the edge input BEFORE symmetrizing: the union
+    # references `edges` twice (forward + reversed), so an expensive
+    # caller pipeline — dedup_clusters feeds the full LSH candidate
+    # chain here — would execute TWICE inside sym's materialization
+    # (measured: dedup_canonical_keep warm 6.4 -> 5.0s, cold 12.4 ->
+    # 4.9s at sf0.1 with the chain materialized once). Same discipline
+    # as kcore/label_propagation's deliberate input checkpoint; the
+    # blocks are freed with sym in `finally`.
+    ek = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        ek.union(ek.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -116,6 +126,7 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+        free_local_checkpoint(ek)
 
 
 def dedup_clusters(

@@ -453,6 +453,32 @@ def merge_indexes(
     return agg
 
 
+# In-process cache of the FROZEN index metadata layers (cells/pq/meta
+# are written once at build and never swapped — see build_ivfpq_index's
+# layout contract). Every ivfpq_search/rerank call was re-running three
+# tiny driver-side parquet-collect jobs to reload byte-identical
+# codebooks; a serving process caches them in memory exactly like a
+# production vector store does. Keyed on the layer directories' inode +
+# mtime so a rebuild INTO THE SAME PATH (mode="overwrite" recreates the
+# dirs) can never serve stale codebooks. Per-process only — a fresh
+# bench/driver invocation always reloads from the parquet inputs.
+_CODEBOOK_CACHE: dict = {}
+
+
+def _frozen_layer_key(index_dir: str, subs: tuple) -> tuple:
+    import os
+
+    parts = [os.path.realpath(index_dir)]
+    for sub in subs:
+        p = f"{index_dir}/{sub}"
+        if os.path.isdir(p):
+            st = os.stat(p)
+            parts.append((sub, st.st_ino, st.st_mtime_ns))
+        else:
+            parts.append((sub, None, None))
+    return tuple(parts)
+
+
 def load_ivfpq_residual_flag(spark: SparkSession, index_dir: str) -> bool:
     """The index's persisted encoding mode. Indexes built before the
     residual option (no meta/) are raw-encoded by construction."""
@@ -460,16 +486,24 @@ def load_ivfpq_residual_flag(spark: SparkSession, index_dir: str) -> bool:
 
     if not os.path.isdir(f"{index_dir}/meta"):
         return False
-    return bool(
-        spark.read.parquet(f"{index_dir}/meta").collect()[0]["residual"]
-    )
+    key = ("residual", _frozen_layer_key(index_dir, ("meta",)))
+    if key not in _CODEBOOK_CACHE:
+        _CODEBOOK_CACHE[key] = bool(
+            spark.read.parquet(f"{index_dir}/meta").collect()[0]["residual"]
+        )
+    return _CODEBOOK_CACHE[key]
 
 
 def load_ivfpq_codebooks(
     spark: SparkSession, index_dir: str
 ) -> tuple[list, list]:
     """(cell_centroids, centers) from a persisted IVFADC index —
-    control-plane sized by the codebook contract."""
+    control-plane sized by the codebook contract. Cached per process
+    (see _CODEBOOK_CACHE): the layers are frozen at build time."""
+    key = ("codebooks", _frozen_layer_key(index_dir, ("cells", "pq")))
+    hit = _CODEBOOK_CACHE.get(key)
+    if hit is not None:
+        return hit
     cell_rows = spark.read.parquet(f"{index_dir}/cells").collect()
     cell_rows.sort(key=lambda r: r["c_id"])
     cell_centroids = [list(r["cv"]) for r in cell_rows]
@@ -478,6 +512,7 @@ def load_ivfpq_codebooks(
     n = 1 + max(r["j"] for r in pq_rows)
     by_mj = {(r["mi"], r["j"]): list(r["cv"]) for r in pq_rows}
     centers = [[by_mj[(mi, j)] for j in range(n)] for mi in range(m)]
+    _CODEBOOK_CACHE[key] = (cell_centroids, centers)
     return cell_centroids, centers
 
 

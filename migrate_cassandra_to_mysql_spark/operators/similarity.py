@@ -104,11 +104,21 @@ def mmr_rerank(
     cand = base.select("q_id", "n_id", F.col("cos_sim").alias("rel"))
     va = e.select(F.col("vec_id").alias("n_id"), F.col("v").alias("va"))
     vb = e.select(F.col("vec_id").alias("s_id"), F.col("v").alias("vb"))
-    pairs = (
+    # The candidate-pair frame is queries x N^2 by CONTRACT (the
+    # docstring's bounded-by-N claim), but the checkpoint-fed subtrees
+    # carry no size statistics, so Catalyst planned the vector
+    # attachment joins as sort-merge — shuffling the CORPUS (va/vb)
+    # both times, exactly what the scale shape here promises never
+    # happens. Broadcast the bounded side explicitly (guide §3.1):
+    # the corpus is then only ever the streamed probe side of a
+    # broadcast hash join, never exchanged.
+    cp = (
         cand.select("q_id", "n_id")
-        .join(cand.select("q_id", F.col("n_id").alias("s_id")), "q_id")
+        .join(F.broadcast(cand.select("q_id", F.col("n_id").alias("s_id"))), "q_id")
         .where(F.col("n_id") != F.col("s_id"))
-        .join(va, "n_id")
+    )
+    pairs = (
+        F.broadcast(F.broadcast(cp).join(va, "n_id"))
         .join(vb, "s_id")
         .select(
             "q_id",

@@ -175,6 +175,10 @@ def clustered_embeddings(
         c = 0 if i < 2 * n_clusters else rng.randrange(n_clusters)
         v = [centers[c][d] + rng.gauss(0.0, sigma) for d in range(dim)]
         rows.append((i, f"c{c}", v))
-    return spark.createDataFrame(
-        rows, "vec_id long, label string, embedding array<float>"
+    from migrate_cassandra_to_mysql_spark.functions.localframe import (
+        local_frame,
+    )
+
+    return local_frame(
+        spark, rows, "vec_id long, label string, embedding array<float>"
     )

@@ -54,6 +54,15 @@ FILE_SCAN_BUDGETS = {
     "corpus_curation": 8,  # signal components + decision join
     "q8_market_share": 8,  # 8-table TPC-H join
     "tpch_scalar_suite": 8,  # union of scalar TPC-H queries
+    # r14 optimization: the support-pruned co-purchase edge frame is a
+    # memoized tmp-parquet shared by 5 graph rows (_und_edges). Link
+    # prediction references it 9x (degrees, both wedge arms, closure,
+    # anti-join, weights) — every scan is the KB-sized signal graph
+    # (support cut = the boundedness contract, never lineitem; verified
+    # in plans/r14/copurchase_link_prediction_after.txt), and reading
+    # it from parquet instead of a stats-less checkpoint is what lets
+    # Catalyst auto-broadcast it (SMJ 1 -> 0, exchanges 5 -> 3).
+    "copurchase_link_prediction": 10,
 }
 # Same-table refinement (late r12): total file_scans can't tell an
 # 8-table TPC-H join (honest) from one table read 8x (the
@@ -83,6 +92,10 @@ SAME_TABLE_BUDGETS = {
     "ivfpq_persisted_rerank_topk": 4,
     "embedding_rerank_topk": 4,
     "ann_recall_eval": 4,
+    # KB-sized memoized und edge parquet scanned per reference (see the
+    # FILE_SCAN_BUDGETS note; the same-table source is the signal-graph
+    # tmp parquet, not a fact table)
+    "copurchase_link_prediction": 10,
 }
 
 
