@@ -39,6 +39,11 @@ except ImportError:  # pragma: no cover - pyarrow is present in this env
 # Minimal DDL -> arrow type mapper for the types the engine's control
 # frames actually use. Anything else (timestamps, decimals, structs)
 # falls back to the classic path rather than risking a conversion edge.
+# DDLs whose arrow conversion already warned once this process (the
+# fallback is correct, just slow — one warning per schema is signal
+# enough without flooding a loop that builds many frames).
+_WARNED_FALLBACK_DDLS: set[str] = set()
+
 _SCALARS = {
     "boolean": "bool_",
     "int": "int32",
@@ -121,7 +126,21 @@ def local_frame(
             schema=schema,
         )
         return spark.createDataFrame(table, schema=ddl)
-    except Exception:
+    except Exception as exc:
         # Conversion edge (mixed None patterns, overflow, ...): the
-        # pickled-row path is slower but always correct.
+        # pickled-row path is slower but always correct. Warn ONCE per
+        # DDL (r14 ADVICE: a silent fallback here would invisibly undo
+        # the LocalTableScan optimization — ~4.5s/job on local[32] —
+        # with no signal anywhere).
+        if ddl not in _WARNED_FALLBACK_DDLS:
+            _WARNED_FALLBACK_DDLS.add(ddl)
+            import warnings
+
+            warnings.warn(
+                f"local_frame: arrow conversion failed for DDL {ddl!r} "
+                f"({exc!r}); falling back to the pickled-row "
+                "createDataFrame path (slow: a Python-RDD scan per job)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return spark.createDataFrame(rows, ddl)

@@ -85,6 +85,11 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=True)
     )
+    # The frame whose executor blocks the NEXT round may free — always
+    # the underlying checkpointed frame (a projection wrapper on top of
+    # it would not resolve to the LogicalRDD free_local_checkpoint
+    # needs).
+    labels_ckpt = labels
     try:
         for _ in range(max_iter):
             # Each node's new label: min over its own and neighbors'.
@@ -93,33 +98,41 @@ def connected_components(
                 .groupBy(F.col("s").alias("id"))
                 .agg(F.min("component").alias("nbr_min"))
             )
-            # Eager localCheckpoint: materialize AND truncate lineage
-            # (see module docstring — persist alone leaves a plan that
-            # doubles per round).
-            new_labels = (
-                labels.join(neighbor_min, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        "component", F.coalesce("nbr_min", "component")
-                    ).alias("component"),
+            # One job per round (r15): the new-label row can tell
+            # INLINE whether it changed (the old component is right
+            # there in the join), so the round's materialization and
+            # the convergence probe fuse — a lazy localCheckpoint mark
+            # whose first action is a full-frame SUM of the change
+            # flags (an aggregate computes every partition, so the
+            # checkpoint is fully materialized by it; limit-style
+            # probes must NOT be used here — a partial scan would
+            # truncate lineage with partitions never computed). The
+            # previous shape ran an eager checkpoint job PLUS a
+            # new⋈old probe join per round. Lineage truncation is
+            # unchanged (see module docstring).
+            new_labels = labels.join(neighbor_min, "id", "left").select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_min", "component")
+                ).alias("component"),
+                (
+                    F.least("component", F.coalesce("nbr_min", "component"))
+                    < F.col("component")
                 )
-                .localCheckpoint(eager=True)
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.component") < F.col("o.component"))
-            )
-            done = changed.isEmpty()
-            # The convergence probe was the last reader of the previous
-            # round's checkpoint — free its executor blocks NOW, keeping
-            # storage O(1) across rounds in fact (DataFrame.unpersist is
-            # a no-op on localCheckpoint blocks; see operators/lineage).
-            prev = labels
-            labels = new_labels
-            free_local_checkpoint(prev)
-            if done:
+                .cast("int")
+                .alias("chg"),
+            ).localCheckpoint(eager=False)
+            n_changed = new_labels.agg(F.sum("chg")).collect()[0][0] or 0
+            # The aggregate was the materializing action — the previous
+            # round's checkpoint blocks are now dead weight; free them
+            # to keep executor storage O(1) across rounds
+            # (DataFrame.unpersist is a no-op on localCheckpoint
+            # blocks; see operators/lineage).
+            prev_ckpt = labels_ckpt
+            labels_ckpt = new_labels
+            labels = new_labels.select("id", "component")
+            free_local_checkpoint(prev_ckpt)
+            if n_changed == 0:
                 return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
@@ -207,6 +220,7 @@ def pagerank(
     n_iter: int = 5,
     redistribute_dangling: bool = False,
     tol: float | None = None,
+    outdeg_col: str | None = None,
 ) -> DataFrame:
     """(node, rank) after synchronous power iterations of PageRank over a
     directed edge list:
@@ -248,8 +262,29 @@ def pagerank(
     `checkpoint()`; semantics are identical.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_out"))
-    ed = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # outdeg_col (r15, guide §2.4): an edge source that already carries
+    # each src's out-degree on every row (the memoized co-purchase pair
+    # parquet precomputes it once at build) skips the edge-sized
+    # outdeg aggregation + join here — at sf0.1 that join planned as a
+    # SortMergeJoin (two exchanges + two sorts of the edge set) on
+    # every pagerank/ppr call. Values are identical by construction
+    # (pinned by tests/test_pagerank.py); the default path is unchanged
+    # for callers without a precomputed degree.
+    if outdeg_col is not None:
+        outdeg = edges.select(
+            F.col(src).alias("src"),
+            F.col(outdeg_col).cast("long").alias("n_out"),
+        ).dropDuplicates(["src"])
+        ed = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(outdeg_col).cast("long").alias("n_out"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        outdeg = e.groupBy("src").agg(
+            F.count(F.lit(1)).cast("long").alias("n_out")
+        )
+        ed = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -356,6 +391,8 @@ def personalized_pagerank(
     n_iter: int = 5,
     broadcast_frontier: bool = False,
     broadcast_row_cap: int = 2_000_000,
+    outdeg_col: str | None = None,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after synchronous power iterations of PERSONALIZED
     PageRank (random-walk-with-restart) over a directed edge list:
@@ -404,31 +441,54 @@ def personalized_pagerank(
     scans are row-parallel); engine-added training-pipeline surface.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_out"))
-    ed = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # outdeg_col (r15): see pagerank — a precomputed per-row out-degree
+    # skips the edge-sized outdeg aggregation + SortMergeJoin here.
+    if outdeg_col is not None:
+        ed = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(outdeg_col).cast("long").alias("n_out"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        outdeg = e.groupBy("src").agg(
+            F.count(F.lit(1)).cast("long").alias("n_out")
+        )
+        ed = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     # Checkpointed, not persisted: the RETURNED frame references the
     # node set (the final sparse-to-dense expansion), so an unpersist
     # in `finally` would force the caller's first action to recompute
     # the distinct; the checkpoint materializes it once and the
-    # serving plan reads executor-local blocks.
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+    # serving plan reads executor-local blocks. A caller that already
+    # materialized the distinct node set (e.g. to pick seeds from it)
+    # passes it via `nodes` (r15, guide §2.4) — the union-distinct is
+    # an edge-wide shuffle, and paying it twice per call was the
+    # single biggest seed-phase cost in the split probe.
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    # Seed sets are QUERY-SIZED by contract (docstring) — collect them
+    # once (r15; the previous shape ran three control-plane jobs here:
+    # an emptiness probe, a count aggregate, and a 3-row checkpoint)
+    # and build the teleport frame as a pure-JVM local relation.
+    seed_rows = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
-    # Loud contract check (seed sets are query-sized by contract, so
-    # the probe is a control-plane job): an EMPTY seed set would
-    # otherwise yield tp = 0 everywhere, an empty frontier every
-    # round, and an all-zero rank vector that downstream top-k
-    # consumers would treat as a valid answer.
-    if s.limit(1).count() == 0:
+    # Loud contract check: an EMPTY seed set would otherwise yield
+    # tp = 0 everywhere, an empty frontier every round, and an
+    # all-zero rank vector that downstream top-k consumers would
+    # treat as a valid answer.
+    if not seed_rows:
         raise ValueError(
             "personalized_pagerank: empty seed set — the restart "
             "distribution is undefined (every rank would be 0.0)"
         )
-    ns_df = s.agg(F.count(F.lit(1)).cast("long").alias("n_seeds"))
+    n_seeds = len(seed_rows)
     # Seed-only teleport frame (|S| rows): `tp` (the restart
     # probability, 1/|S| — the rank_0 init, the same single division
     # as pagerank's 1.0/n init) and `tp_upd` (the per-round teleport
@@ -437,7 +497,10 @@ def personalized_pagerank(
     # (1-d)/n for every count (e.g. n=6: the product and the quotient
     # differ in the last ulp), which would break the all-seeds ==
     # global-pagerank bit-equality the tests pin. The DuckDB oracle
-    # twin mirrors the same quotient.
+    # twin mirrors the same quotient — and Python's float division IS
+    # the identical IEEE-754 double op the JVM ran here before (the
+    # local_frame bit-exactness contract), pinned by
+    # tests/test_pagerank.py's oracle/broadcast equality tests.
     #
     # The LOOP STATE is kept SPARSE (late r12): a node absent from the
     # rank frame holds rank exactly 0.0 by construction — (1-d)*0 +
@@ -447,29 +510,22 @@ def personalized_pagerank(
     # dominated the loop at 24M edges). Rounds now touch |frontier| +
     # |out-neighborhood| rows only; the full node set is expanded ONCE
     # at the end with an exact-0.0 coalesce, bit-identical output.
-    seed_tp = (
-        s.crossJoin(F.broadcast(ns_df))
-        .select(
-            "node",
-            (F.lit(1.0) / F.col("n_seeds")).alias("tp"),
-            ((F.lit(1.0) - F.lit(damping)) / F.col("n_seeds")).alias(
-                "tp_upd"
-            ),
-        )
-        .localCheckpoint(eager=True)
+    from migrate_cassandra_to_mysql_spark.functions.localframe import (
+        local_frame,
+    )
+
+    tp = 1.0 / n_seeds
+    tp_upd = (1.0 - damping) / n_seeds
+    seed_tp = local_frame(
+        edges.sparkSession,
+        [(int(r["node"]), tp, tp_upd) for r in seed_rows],
+        "node long, tp double, tp_upd double",
     )
     st = seed_tp.select("node", "tp_upd")
-    ranks = seed_tp.select("node", F.col("tp").alias("rank")).localCheckpoint(
-        eager=True
-    )
-    # Each checkpointed rank frame's row count is captured ONCE, when
-    # the frame is materialized, and reused by both the loop guard and
-    # the final-expansion guard (r13 ADVICE: re-counting `ranks` at
-    # every loop top plus again at expansion ran one redundant
-    # control-plane job per frame). The count job reads executor-local
-    # checkpoint blocks, and runs only when broadcast_frontier is on —
-    # the shuffle-join path never pays it.
-    ranks_n = ranks.count() if broadcast_frontier else 0
+    # rank_0 is a |S|-row LOCAL relation — flat lineage by construction,
+    # no checkpoint job needed, and its row count is known exactly.
+    ranks = seed_tp.select("node", F.col("tp").alias("rank"))
+    ranks_n = n_seeds
     try:
         for _ in range(n_iter):
             # Frontier filter — the seeded walk's scale edge over the
@@ -526,11 +582,21 @@ def personalized_pagerank(
                         * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=True)
             )
+            if broadcast_frontier:
+                # The row-cap guard needs this round's cardinality
+                # anyway, so materialize the checkpoint THROUGH the
+                # count (r15): eager=True runs an internal count job
+                # and the explicit count() then ran a second job per
+                # round — lazy mark + one count is the same
+                # materialization in half the control-plane jobs.
+                new_ranks = new_ranks.localCheckpoint(eager=False)
+                ranks_n = new_ranks.count()
+            else:
+                new_ranks = new_ranks.localCheckpoint(eager=True)
+                ranks_n = 0
             prev = ranks
             ranks = new_ranks
-            ranks_n = ranks.count() if broadcast_frontier else 0
             free_local_checkpoint(prev)
         # Expand the sparse vector over the full node set ONCE: every
         # node the walk never reached holds exact 0.0 (the value the
@@ -607,11 +673,16 @@ def kcore(
             .agg(F.count(F.lit(1)).cast("long").alias("d"))
         )
         keep = deg.where(F.col("d") >= k).select("n")
+        # Lazy checkpoint mark + count as the materializing action (r15):
+        # the fixpoint probe needs the round's cardinality anyway, and
+        # eager=True ran its own internal count job first — one job per
+        # round instead of two. count() is a full-frame aggregate, so
+        # every partition is computed and the truncated lineage is safe.
         pruned = (
             e.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_pruned = pruned.count()
         prev = e

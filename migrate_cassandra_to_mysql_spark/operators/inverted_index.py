@@ -69,6 +69,33 @@ def term_bucket(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % n_buckets
 
 
+def _tokenized(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, dl, toks) — the one tokenization pass every inversion
+    derives from. dl matches the inline bm25_topk_search semantics
+    exactly: NULL text → dl 0 (split(NULL) is NULL, coalesce to 0),
+    empty text → dl 1 (split('') yields [''])."""
+    return docs.select(
+        "doc_id", textfns.tokens(F.col(text_col)).alias("toks")
+    ).select(
+        "doc_id",
+        F.coalesce(F.size("toks").cast("long"), F.lit(0)).alias("dl"),
+        F.col("toks"),
+    )
+
+
+def _postings_from_tokenized(
+    toks: DataFrame, n_buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
+    return (
+        toks.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "bucket", md5_token_bucket(F.col("tok"), n_buckets).cast("int")
+        )
+    )
+
+
 def encode_postings(
     docs: DataFrame,
     n_buckets: int = DEFAULT_BUCKETS,
@@ -77,25 +104,12 @@ def encode_postings(
     """(postings, doclens) frames for a document batch — the shared
     inversion step behind build, incremental append, and streaming
     ingest, so all three produce bit-identical rows for the same docs.
-    doclens carries EVERY document with dl matching the inline
-    bm25_topk_search semantics exactly: NULL text → dl 0 (sum() skips
-    NULL there), empty text → dl 1 (split('') yields [''])."""
-    toks = docs.select(
-        "doc_id", textfns.tokens(F.col(text_col)).alias("toks")
-    ).select(
-        "doc_id",
-        F.coalesce(F.size("toks").cast("long"), F.lit(0)).alias("dl"),
-        F.col("toks"),
+    doclens carries EVERY document (see _tokenized for the NULL/empty
+    dl semantics)."""
+    toks = _tokenized(docs, text_col)
+    return _postings_from_tokenized(toks, n_buckets), toks.select(
+        "doc_id", "dl"
     )
-    postings = (
-        toks.select("doc_id", "dl", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn(
-            "bucket", md5_token_bucket(F.col("tok"), n_buckets).cast("int")
-        )
-    )
-    return postings, toks.select("doc_id", "dl")
 
 
 def build_inverted_index(
@@ -113,20 +127,31 @@ def build_inverted_index(
     layout.swap_live_dir, so the live names are VERSIONED SYMLINKS from
     the very first build — a later compact_postings flips the pointer
     instead of renaming a real dir out from under an in-flight reader
-    (the mid-execution FILE_NOT_EXIST the sf1 serving soak caught)."""
+    (the mid-execution FILE_NOT_EXIST the sf1 serving soak caught).
+
+    The doclens job deliberately RE-TOKENIZES rather than reading a
+    persisted tokenized frame (r15 negative result, guide §1.1):
+    caching (doc_id, dl, toks) across the two layer writes was A/B'd
+    and LOST — whitespace split is a cheap map (0.4s/corpus-pass at
+    sf0.1) while materializing token arrays into the columnar block
+    cache cost more than every re-tokenize it saved (sharded-merge
+    build 4.1s rebuilt-per-shard vs 15.6s encode-once-persisted; the
+    same row-block-materialization wall the r14 PPR probe hit)."""
     from migrate_cassandra_to_mysql_spark.operators.layout import (
         swap_live_dir,
     )
 
-    postings, doclens = encode_postings(docs, n_buckets, text_col)
+    toks = _tokenized(docs, text_col)
     (
-        postings.withColumn("ingest_batch", F.lit(0))
+        _postings_from_tokenized(toks, n_buckets)
+        .withColumn("ingest_batch", F.lit(0))
         .write.mode("overwrite")
         .partitionBy("bucket", "ingest_batch")
         .parquet(f"{index_dir}/postings.new")
     )
     (
-        doclens.withColumn("ingest_batch", F.lit(0))
+        toks.select("doc_id", "dl")
+        .withColumn("ingest_batch", F.lit(0))
         .write.mode("overwrite")
         .partitionBy("ingest_batch")
         .parquet(f"{index_dir}/doclens.new")
@@ -176,15 +201,19 @@ def append_to_inverted_index(
     # actually hits, which resets the layer), then append cleanly.
     if _tombstone_hits(spark, index_dir, docs_new.select("doc_id")):
         compact_postings(spark, index_dir)
-    postings, doclens = encode_postings(docs_new, n_buckets, text_col)
+    # Two tokenize passes, deliberately unpersisted — see
+    # build_inverted_index (the cache A/B loss).
+    toks = _tokenized(docs_new, text_col)
     (
-        postings.withColumn("ingest_batch", F.lit(0))
+        _postings_from_tokenized(toks, n_buckets)
+        .withColumn("ingest_batch", F.lit(0))
         .write.mode("append")
         .partitionBy("bucket", "ingest_batch")
         .parquet(ensure_live_dir(index_dir, "postings"))
     )
     (
-        doclens.withColumn("ingest_batch", F.lit(0))
+        toks.select("doc_id", "dl")
+        .withColumn("ingest_batch", F.lit(0))
         .write.mode("append")
         .partitionBy("ingest_batch")
         .parquet(ensure_live_dir(index_dir, "doclens"))

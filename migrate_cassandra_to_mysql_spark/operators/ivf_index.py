@@ -462,6 +462,12 @@ def merge_indexes(
 # mtime so a rebuild INTO THE SAME PATH (mode="overwrite" recreates the
 # dirs) can never serve stale codebooks. Per-process only — a fresh
 # bench/driver invocation always reloads from the parquet inputs.
+# Shape (r14 ADVICE — unbounded growth): the dict is keyed by
+# (kind, realpath) with the freshness tuple stored BESIDE the value, so
+# a rebuild into the same path REPLACES the superseded entry (possibly
+# MBs of centroids) instead of accumulating one per (inode, mtime); a
+# long-lived serving process that rebuilds repeatedly stays O(live
+# indexes), not O(rebuilds).
 _CODEBOOK_CACHE: dict = {}
 
 
@@ -479,6 +485,26 @@ def _frozen_layer_key(index_dir: str, subs: tuple) -> tuple:
     return tuple(parts)
 
 
+def _cache_get(kind: str, index_dir: str, subs: tuple):
+    """Cached value iff the layer dirs' (inode, mtime_ns) still match."""
+    import os
+
+    fresh = _frozen_layer_key(index_dir, subs)
+    hit = _CODEBOOK_CACHE.get((kind, os.path.realpath(index_dir)))
+    if hit is not None and hit[0] == fresh:
+        return hit[1]
+    return None
+
+
+def _cache_put(kind: str, index_dir: str, subs: tuple, value) -> None:
+    import os
+
+    _CODEBOOK_CACHE[(kind, os.path.realpath(index_dir))] = (
+        _frozen_layer_key(index_dir, subs),
+        value,
+    )
+
+
 def load_ivfpq_residual_flag(spark: SparkSession, index_dir: str) -> bool:
     """The index's persisted encoding mode. Indexes built before the
     residual option (no meta/) are raw-encoded by construction."""
@@ -486,12 +512,14 @@ def load_ivfpq_residual_flag(spark: SparkSession, index_dir: str) -> bool:
 
     if not os.path.isdir(f"{index_dir}/meta"):
         return False
-    key = ("residual", _frozen_layer_key(index_dir, ("meta",)))
-    if key not in _CODEBOOK_CACHE:
-        _CODEBOOK_CACHE[key] = bool(
-            spark.read.parquet(f"{index_dir}/meta").collect()[0]["residual"]
-        )
-    return _CODEBOOK_CACHE[key]
+    hit = _cache_get("residual", index_dir, ("meta",))
+    if hit is not None:
+        return hit
+    value = bool(
+        spark.read.parquet(f"{index_dir}/meta").collect()[0]["residual"]
+    )
+    _cache_put("residual", index_dir, ("meta",), value)
+    return value
 
 
 def load_ivfpq_codebooks(
@@ -500,8 +528,7 @@ def load_ivfpq_codebooks(
     """(cell_centroids, centers) from a persisted IVFADC index —
     control-plane sized by the codebook contract. Cached per process
     (see _CODEBOOK_CACHE): the layers are frozen at build time."""
-    key = ("codebooks", _frozen_layer_key(index_dir, ("cells", "pq")))
-    hit = _CODEBOOK_CACHE.get(key)
+    hit = _cache_get("codebooks", index_dir, ("cells", "pq"))
     if hit is not None:
         return hit
     cell_rows = spark.read.parquet(f"{index_dir}/cells").collect()
@@ -512,7 +539,7 @@ def load_ivfpq_codebooks(
     n = 1 + max(r["j"] for r in pq_rows)
     by_mj = {(r["mi"], r["j"]): list(r["cv"]) for r in pq_rows}
     centers = [[by_mj[(mi, j)] for j in range(n)] for mi in range(m)]
-    _CODEBOOK_CACHE[key] = (cell_centroids, centers)
+    _cache_put("codebooks", index_dir, ("cells", "pq"), (cell_centroids, centers))
     return cell_centroids, centers
 
 

@@ -398,6 +398,24 @@ def merge_sharded_layer(
         # merging empty indexes succeeds with a zeroed aggregate.
         _os.makedirs(dst_new_dir, exist_ok=True)
         return agg
+    # Submission concurrency adapts to group WEIGHT (r15, guide §2.6):
+    # the default 8 in-flight jobs is right when each group is a
+    # fact-sized coalesce+write that fills the cluster, but a merge of
+    # file-sized groups (every group under ~64 MB of listed bytes —
+    # driver-side metadata, already computed below per _move) is pure
+    # per-job overhead, and capping those at 8 leaves the scheduler
+    # idle; tiny jobs don't fight for executors, so submit them all.
+    def _group_bytes(name: str, shard_ids: "list[int]") -> int:
+        sub = f"/{name}" if name else ""
+        return sum(
+            _os.path.getsize(p)
+            for i in shard_ids
+            for p in _glob.glob(f"{srcs[i]}{sub}/ingest_batch=*/part-*")
+            if _os.path.isfile(p)
+        )
+
+    if all(_group_bytes(*g) <= 64 * 1024 * 1024 for g in groups):
+        max_workers = min(len(groups), 32)
     with _cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
         for res in ex.map(lambda g: _move(*g), groups):
             agg["files_in"] += res["files_in"]

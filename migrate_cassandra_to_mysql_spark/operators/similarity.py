@@ -112,6 +112,16 @@ def mmr_rerank(
     # happens. Broadcast the bounded side explicitly (guide §3.1):
     # the corpus is then only ever the streamed probe side of a
     # broadcast hash join, never exchanged.
+    #
+    # SIZE CEILING (r14 ADVICE): the broadcast relation after the va
+    # join is |queries| x N^2 rows EACH CARRYING a dim-double vector —
+    # at N=20 / dim=64 that is ~3.4 KB per query-pair-block, so ~1 GB
+    # of broadcast per ~300k queries. Spark hard-caps a broadcast
+    # relation at 8 GB / 512M rows, and the driver must hold the built
+    # relation; a caller batching MILLIONS of queries through one call
+    # must split the query set (the hint is advisory for strategy, not
+    # a correctness gate — an oversized build side fails the job
+    # loudly at the broadcast step, it can never return wrong rows).
     cp = (
         cand.select("q_id", "n_id")
         .join(F.broadcast(cand.select("q_id", F.col("n_id").alias("s_id"))), "q_id")
@@ -139,12 +149,23 @@ def mmr_rerank(
         f"round({MMR_LAMBDA_SQL} * rel - {MMR_COMPLEMENT_SQL} * maxsim, 6)"
     )
     for step in range(2, k + 1):
+        # Every frame in a greedy stage is bounded by the same contract
+        # as the pair build above (cand: q x N; pairs: q x N^2; sel:
+        # <= q x k), but all come off checkpoint scans with no size
+        # statistics, so Catalyst planned all FIVE stage joins as
+        # sort-merge — per-stage exchanges + sorts of a few hundred
+        # rows, times k-1 unrolled stages (r15, guide §3.1). Broadcast
+        # the smaller bounded side of each (the size-ceiling note
+        # above applies to these too).
         picked = sel.select("q_id", "n_id")
-        rem = cand.join(picked, ["q_id", "n_id"], "left_anti")
+        rem = cand.join(F.broadcast(picked), ["q_id", "n_id"], "left_anti")
         ms = (
-            rem.join(pairs, ["q_id", "n_id"])
+            F.broadcast(rem)
+            .join(pairs, ["q_id", "n_id"])
             .join(
-                picked.select("q_id", F.col("n_id").alias("s_id")),
+                F.broadcast(
+                    picked.select("q_id", F.col("n_id").alias("s_id"))
+                ),
                 ["q_id", "s_id"],
             )
             .groupBy("q_id", "n_id")
@@ -154,7 +175,7 @@ def mmr_rerank(
             F.desc("mmr"), F.asc("n_id")
         )
         pick = (
-            rem.join(ms, ["q_id", "n_id"])
+            rem.join(F.broadcast(ms), ["q_id", "n_id"])
             .withColumn("mmr", F.expr(mmr_expr))
             .withColumn("rn", F.row_number().over(wp))
             .where(F.col("rn") == 1)

@@ -633,14 +633,36 @@ def _directed_copurchase_pairs(
         per_part = int(
             _os.environ.get("SPARK_GRAFT_DEDUP_PART_BYTES", 8 << 20)
         )
-        li_bytes = int(
-            li._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        n_dedup = max(
-            spark.sparkContext.defaultParallelism,
-            min(1 << 20, li_bytes // per_part),
-        )
+        # The stats call touches JVM internals; if the relation ever
+        # lacks file-backed stats (non-parquet source, a future Spark
+        # changing defaultSizeInBytes semantics) the estimate is ~8 EB
+        # and the width would hit the 2^20 cap — a million-partition
+        # shuffle (r14 ADVICE). Fall back to the old CPU-derived
+        # constant on any failure, and treat an over-cap estimate as
+        # "stats are nonsense", not as a real 8 EB input.
+        dp = spark.sparkContext.defaultParallelism
+        try:
+            li_bytes = int(
+                li._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            n_dedup = li_bytes // per_part
+            if n_dedup > (1 << 20):
+                n_dedup = dp * 8
+        except Exception:
+            n_dedup = dp * 8
+        n_dedup = max(dp, n_dedup)
         out = workdir("mc2m_copurchase_pairs_") + "/pairs"
+        # n_out (each src's out-degree over the DEDUPED edge set) is
+        # precomputed into the parquet (r15, guide §2.4): every
+        # pagerank/ppr call used to rebuild it with an edge-sized
+        # aggregation + SortMergeJoin (two exchanges + two sorts of
+        # the edge frame, measured 2.7s of the 21s sf0.1 PPR row) —
+        # one count-window at build time, riding a single src
+        # exchange, serves every consumer. Identical values by
+        # construction (outdeg IS the per-src row count; pinned by
+        # tests/test_pagerank.py and the unchanged oracles).
+        from pyspark.sql import Window as _W
+
         (
             baskets.select(F.explode("ps").alias("src"), "ps")
             .select(
@@ -651,6 +673,12 @@ def _directed_copurchase_pairs(
             )
             .repartition(n_dedup, "src", "dst")
             .dropDuplicates()
+            .withColumn(
+                "n_out",
+                F.count(F.lit(1))
+                .over(_W.partitionBy("src"))
+                .cast("long"),
+            )
             .write.mode("overwrite")
             .parquet(out)
         )
@@ -697,10 +725,8 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from migrate_cassandra_to_mysql_spark.operators.components import pagerank
 
     pairs = _directed_copurchase_pairs(spark, sf_dir)
-    ranks = pagerank(pairs, n_iter=5, damping=0.85)
-    outdeg = pairs.groupBy("src").agg(
-        F.count(F.lit(1)).cast("long").alias("n_out")
-    )
+    ranks = pagerank(pairs, n_iter=5, damping=0.85, outdeg_col="n_out")
+    outdeg = pairs.select("src", "n_out").dropDuplicates(["src"])
     return ranks.join(outdeg, ranks["node"] == outdeg["src"], "left").select(
         F.col("node").alias("part_id"),
         F.coalesce("n_out", F.lit(0).cast("long")).alias("n_out"),
@@ -825,7 +851,22 @@ def part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = _directed_copurchase_pairs(spark, sf_dir)
-    seeds = _smallest_nodes(spark, pairs, n=3)
+    # The distinct node set is built ONCE here (r15, guide §2.4) and
+    # serves BOTH the seed pick and the operator's final sparse-to-
+    # dense expansion (passed via nodes=): the previous chain paid the
+    # edge-wide union-distinct inside the operator AND three separate
+    # full-scan min-aggregate jobs for the seeds (3.3s of the 21s
+    # sf0.1 row). The 3 smallest ids off the checkpointed node set are
+    # one TakeOrdered over executor-local blocks — identical values
+    # (tests/test_pagerank.py::test_smallest_nodes_equals_distinct_form
+    # pins the min-agg form against exactly this distinct form).
+    nodes = (
+        pairs.select(F.col("src").alias("node"))
+        .union(pairs.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = nodes.orderBy("node").limit(3).select("node")
     # broadcast_frontier: the 3-seed walk's frontier is bounded by the
     # seed-reachable component (query-local by construction), so each
     # round scans the persisted edge frame once instead of shuffling it
@@ -835,7 +876,13 @@ def part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test_ppr_broadcast_frontier_equals_default, with the row-cap
     # fallback pinned by its _row_cap_fallback twin).
     ranks = personalized_pagerank(
-        pairs, seeds, n_iter=5, damping=0.85, broadcast_frontier=True
+        pairs,
+        seeds,
+        n_iter=5,
+        damping=0.85,
+        broadcast_frontier=True,
+        outdeg_col="n_out",
+        nodes=nodes,
     )
     return ranks.join(
         F.broadcast(seeds.withColumn("flag", F.lit(1))), "node", "left"
@@ -1032,11 +1079,10 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — and the (lift, part_a, part_b) order is total.
     """
     li = T(spark, sf_dir, "lineitem")
-    # items feeds n, cnt, and both sides of the pair self-join — four
-    # downstream references that would each inline the lineitem scan +
-    # distinct (the sparse-cosine/triangle lesson): eager localCheckpoint
-    # caps it at ONE lineitem scan, materializing the distinct
-    # order-item projection once.
+    # items feeds n and cnt — two downstream references that would each
+    # inline the lineitem scan + distinct (the sparse-cosine/triangle
+    # lesson): eager localCheckpoint caps it at ONE lineitem scan,
+    # materializing the distinct order-item projection once.
     items = (
         li.select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
@@ -1050,14 +1096,18 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = items.groupBy("p").agg(
         F.count(F.lit(1)).cast("long").alias("np")
     )
-    right = items.select("ok", F.col("p").alias("part_b"))
-    pr = (
-        items.join(right, "ok")
-        .where(F.col("p") < F.col("part_b"))
-        .select(F.col("p").alias("part_a"), "part_b")
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
-        .where(F.col("support") >= _TRI_SUPPORT)
+    # The support-cut pair aggregation is construction-identical to the
+    # memoized _und_edges build (same self-join on ok, same a < b
+    # predicate, same HAVING count >= _TRI_SUPPORT — the memo keeps the
+    # count as `support` exactly so this row can reuse it, r15 guide
+    # §2.4): one fact-scale pair pass per process now serves the five
+    # graph rows AND the rule stage, instead of this row re-running it.
+    # The oracle is unchanged — the pruned pair set and counts are the
+    # same multiset either way.
+    pr = _und_edges(spark, sf_dir).select(
+        F.col("a").alias("part_a"),
+        F.col("b").alias("part_b"),
+        "support",
     )
     ca = cnt.select(F.col("p").alias("part_a"), F.col("np").alias("na"))
     cb = cnt.select(F.col("p").alias("part_b"), F.col("np").alias("nb"))
@@ -1139,14 +1189,20 @@ def _und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         right = items.select("ok", F.col("p").alias("b"))
         out = workdir("mc2m_copurchase_und_") + "/und"
+        # The SUPPORT column rides along in the parquet (r15): the
+        # association-rules row computes the identical support-cut
+        # pair aggregation (same join, same predicate, same HAVING)
+        # and used to re-run the whole fact-scale chain for it —
+        # keeping the count this build already holds lets that row
+        # reuse the memo. The five graph consumers still select (a, b)
+        # only, so their scans prune the column (ReadSchema a,b).
         (
             items.join(right, "ok")
             .where(F.col("p") < F.col("b"))
             .select(F.col("p").alias("a"), "b")
             .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("support"))
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
             .where(F.col("support") >= _TRI_SUPPORT)
-            .select("a", "b")
             .write.mode("overwrite")
             .parquet(out)
         )

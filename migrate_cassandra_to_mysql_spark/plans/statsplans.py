@@ -289,14 +289,31 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % _CMS_W
     )
-    cells = (
-        tok.crossJoin(F.broadcast(rows))
-        .select("r", bucket.alias("bucket"))
-        .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # ONE fact pass (r15, guide §1.2/§2.4): this row must also emit the
+    # EXACT per-token counts (the one-sided-error contract columns), so
+    # the vocabulary-sized `truth` frame is computed regardless — and a
+    # sketch cell is a pure function of it: c(r, b) = sum of true
+    # counts over tokens hashing to (r, b), exactly the row count the
+    # old token-level pass aggregated (identical integers, unchanged
+    # oracle). Building cells FROM truth removes the second corpus
+    # explode and its 4x-fact-scale md5 stage — the d hash evaluations
+    # now run per VOCAB entry, not per token occurrence. (A production
+    # sketch build without the exactness contract streams occurrences
+    # into the 4096 cells directly — that bounded-state pass is what
+    # the operator documents; this row's exactness columns are why the
+    # vocab table exists here at all.) truth is checkpointed once:
+    # cells/total/probes all reference it, and un-materialized each
+    # branch would re-run the corpus explode + vocab aggregation.
+    truth = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .localCheckpoint(eager=True)
     )
-    truth = tok.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    cells = (
+        truth.crossJoin(F.broadcast(rows))
+        .select("r", bucket.alias("bucket"), "true_cnt")
+        .groupBy("r", "bucket")
+        .agg(F.sum("true_cnt").cast("long").alias("c"))
     )
     total = truth.agg(F.sum("true_cnt").cast("long").alias("n"))
     probes = truth.crossJoin(F.broadcast(rows)).select(

@@ -1573,6 +1573,12 @@ def bm25_sharded_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
 
     def _build() -> str:
+        # Per-shard rebuild is DELIBERATE (r15 negative result, guide
+        # §1.1): encoding once and writing both shards from persisted
+        # (toks, postings) slices was A/B'd and lost 4.1s -> 15.6s —
+        # materializing token/posting frames into the block cache
+        # costs more than the two extra cheap tokenize passes it
+        # saves (whitespace split is 0.4s/corpus-pass at sf0.1).
         a = workdir("mc2m_shard_a_")
         b = workdir("mc2m_shard_b_")
         m = workdir("mc2m_merged_")

@@ -1618,9 +1618,14 @@ def matryoshka_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_id").alias("s_nid"),
             F.col("rnk").alias("s_rnk"),
         )
+        # Both ranking lists are eval-sample x K rows by contract (the
+        # same bound ann_recall_eval's truth broadcast leans on), but
+        # they come off checkpoint scans with no size statistics, so
+        # Catalyst planned this metric join SORT-MERGE — two exchanges
+        # + two sorts for a couple hundred rows (r15, guide §3.1).
         ov = (
             full.join(
-                s,
+                F.broadcast(s),
                 (F.col("q_id") == F.col("s_qid"))
                 & (F.col("n_id") == F.col("s_nid")),
             )
@@ -1652,7 +1657,7 @@ def matryoshka_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        base.join(ov_all, ["q_id", "trunc_dim"], "left")
+        base.join(F.broadcast(ov_all), ["q_id", "trunc_dim"], "left")
         .select(
             "q_id",
             "trunc_dim",

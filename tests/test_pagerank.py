@@ -225,6 +225,56 @@ def test_ppr_all_seeds_equals_global_pagerank_divergent_count(spark):
     assert ppr == pr
 
 
+def test_precomputed_outdeg_and_nodes_equal_default(spark, ring_edges):
+    """r15 plan-shape params: a per-row precomputed out-degree column
+    (outdeg_col) and a caller-supplied distinct node frame (nodes=)
+    must change NOTHING but the plan — ranks bit-identical to the
+    default path for both pagerank and personalized_pagerank (the
+    memoized co-purchase parquet precomputes n_out exactly this way)."""
+    from pyspark.sql import Window
+
+    from migrate_cassandra_to_mysql_spark.operators.components import (
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame(ring_edges, "src long, dst long")
+    with_deg = df.withColumn(
+        "n_out",
+        F.count(F.lit(1)).over(Window.partitionBy("src")).cast("long"),
+    )
+    nodes = (
+        df.select(F.col("src").alias("node"))
+        .union(df.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = spark.createDataFrame([(0,), (3,)], "node long")
+
+    base_pr = {r["node"]: r["rank"] for r in pagerank(df, n_iter=4).collect()}
+    got_pr = {
+        r["node"]: r["rank"]
+        for r in pagerank(with_deg, n_iter=4, outdeg_col="n_out").collect()
+    }
+    assert got_pr == base_pr
+
+    base = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, seeds, n_iter=5).collect()
+    }
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            with_deg,
+            seeds,
+            n_iter=5,
+            broadcast_frontier=True,
+            outdeg_col="n_out",
+            nodes=nodes,
+        ).collect()
+    }
+    assert got == base
+
+
 def test_ppr_mass_conserved_and_seed_locality(spark, ring_edges):
     from migrate_cassandra_to_mysql_spark.operators.components import (
         personalized_pagerank,

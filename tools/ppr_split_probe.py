@@ -52,7 +52,6 @@ def main() -> int:
     )
     from migrate_cassandra_to_mysql_spark.plans.scaleplans import (
         _directed_copurchase_pairs,
-        _smallest_nodes,
     )
     from migrate_cassandra_to_mysql_spark.scale_data import synthesize_sf1
     from migrate_cassandra_to_mysql_spark.session import get_spark
@@ -77,11 +76,25 @@ def main() -> int:
             pairs = _directed_copurchase_pairs(spark, d, timings=sub)
             n_edges = pairs.count()
             t1 = time.perf_counter()
-            seeds = _smallest_nodes(spark, pairs, n=3)
+            # r15 catalog chain: one checkpointed distinct node set
+            # feeds the seed pick AND the operator's final expansion;
+            # the pairs parquet carries the precomputed out-degree.
+            # (_smallest_nodes remains the min-agg reference form,
+            # pinned equal by tests/test_pagerank.py.)
+            from pyspark.sql import functions as F
+
+            nodes = (
+                pairs.select(F.col("src").alias("node"))
+                .union(pairs.select(F.col("dst").alias("node")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            seeds = nodes.orderBy("node").limit(3).select("node")
             t2 = time.perf_counter()
             ranks = personalized_pagerank(
                 pairs, seeds, n_iter=5, damping=0.85,
-                broadcast_frontier=True,
+                broadcast_frontier=True, outdeg_col="n_out",
+                nodes=nodes,
             )
             ranks.write.format("noop").mode("overwrite").save()
             t3 = time.perf_counter()
