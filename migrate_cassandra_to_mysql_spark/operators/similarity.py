@@ -149,23 +149,23 @@ def mmr_rerank(
         f"round({MMR_LAMBDA_SQL} * rel - {MMR_COMPLEMENT_SQL} * maxsim, 6)"
     )
     for step in range(2, k + 1):
-        # Every frame in a greedy stage is bounded by the same contract
-        # as the pair build above (cand: q x N; pairs: q x N^2; sel:
-        # <= q x k), but all come off checkpoint scans with no size
-        # statistics, so Catalyst planned all FIVE stage joins as
-        # sort-merge — per-stage exchanges + sorts of a few hundred
-        # rows, times k-1 unrolled stages (r15, guide §3.1). Broadcast
-        # the smaller bounded side of each (the size-ceiling note
-        # above applies to these too).
+        # The five stage joins plan as SORT-MERGE over the bounded
+        # checkpoint-fed frames. That is DELIBERATE (r15, guide §1.1):
+        # broadcasting the bounded sides here — the same §3.1 move
+        # that pays in the pair build above — was A/B'd and measured a
+        # WASH (cold-first 10.4s broadcast vs 10.7s SMJ at equal
+        # calibration; warm ~5s both): each of the k-1 stages would
+        # build 3 broadcast relations (a driver collect + re-ship
+        # each, with the rem frame computed twice — once into its
+        # broadcast, once streamed), eating exactly what the removed
+        # few-hundred-row SMJ exchanges cost. Kept as SMJ: same
+        # measured speed, no per-stage driver round-trips.
         picked = sel.select("q_id", "n_id")
-        rem = cand.join(F.broadcast(picked), ["q_id", "n_id"], "left_anti")
+        rem = cand.join(picked, ["q_id", "n_id"], "left_anti")
         ms = (
-            F.broadcast(rem)
-            .join(pairs, ["q_id", "n_id"])
+            rem.join(pairs, ["q_id", "n_id"])
             .join(
-                F.broadcast(
-                    picked.select("q_id", F.col("n_id").alias("s_id"))
-                ),
+                picked.select("q_id", F.col("n_id").alias("s_id")),
                 ["q_id", "s_id"],
             )
             .groupBy("q_id", "n_id")
@@ -175,7 +175,7 @@ def mmr_rerank(
             F.desc("mmr"), F.asc("n_id")
         )
         pick = (
-            rem.join(F.broadcast(ms), ["q_id", "n_id"])
+            rem.join(ms, ["q_id", "n_id"])
             .withColumn("mmr", F.expr(mmr_expr))
             .withColumn("rn", F.row_number().over(wp))
             .where(F.col("rn") == 1)

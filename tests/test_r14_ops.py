@@ -261,7 +261,8 @@ def test_directed_pairs_basket_form_equals_self_join_form(spark, sf_dir):
     )
     from migrate_cassandra_to_mysql_spark.sources.parquet import table as T
 
-    got = _directed_copurchase_pairs(spark, sf_dir)
+    full = _directed_copurchase_pairs(spark, sf_dir)
+    got = full.select("src", "dst")
     li = T(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
@@ -275,6 +276,15 @@ def test_directed_pairs_basket_form_equals_self_join_form(spark, sf_dir):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # r15: the parquet precomputes each src's out-degree (the value the
+    # pagerank/ppr operators consume via outdeg_col) — it must equal
+    # the per-src row count of the deduped edge set, on every row.
+    bad = (
+        full.groupBy("src", "n_out")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n_out") != F.col("n"))
+    )
+    assert bad.isEmpty()
 
 
 # ---------------------------------------------------------------------------
