@@ -141,21 +141,32 @@ def build_inverted_index(
         swap_live_dir,
     )
 
+    import concurrent.futures as _cf
+
     toks = _tokenized(docs, text_col)
-    (
-        _postings_from_tokenized(toks, n_buckets)
-        .withColumn("ingest_batch", F.lit(0))
-        .write.mode("overwrite")
-        .partitionBy("bucket", "ingest_batch")
-        .parquet(f"{index_dir}/postings.new")
-    )
-    (
-        toks.select("doc_id", "dl")
-        .withColumn("ingest_batch", F.lit(0))
-        .write.mode("overwrite")
-        .partitionBy("ingest_batch")
-        .parquet(f"{index_dir}/doclens.new")
-    )
+    # The two layer writes are independent sinks over independent
+    # staging dirs — submit them concurrently so the small doclens job
+    # back-fills executors the postings job's tail frees (guide §2.6;
+    # threads drive submission only, Spark's scheduler multiplexes —
+    # the same pattern merge_sharded_layer/compact_partitioned use).
+    # BOTH swaps still happen only after BOTH writes committed.
+    with _cf.ThreadPoolExecutor(max_workers=2) as _ex:
+        fp = _ex.submit(
+            lambda: _postings_from_tokenized(toks, n_buckets)
+            .withColumn("ingest_batch", F.lit(0))
+            .write.mode("overwrite")
+            .partitionBy("bucket", "ingest_batch")
+            .parquet(f"{index_dir}/postings.new")
+        )
+        fd = _ex.submit(
+            lambda: toks.select("doc_id", "dl")
+            .withColumn("ingest_batch", F.lit(0))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(f"{index_dir}/doclens.new")
+        )
+        fp.result()
+        fd.result()
     for part in ("postings", "doclens"):
         swap_live_dir(index_dir, part)
     # lexicon (per-term df) derives from postings; stats (n_docs/sum_dl)
@@ -352,6 +363,8 @@ def _refresh_derived(spark: SparkSession, index_dir: str) -> None:
         swap_live_dir,
     )
 
+    import concurrent.futures as _cf
+
     deletes = _load_deletes(spark, index_dir)
     written = spark.read.parquet(f"{index_dir}/postings")
     doclens = spark.read.parquet(f"{index_dir}/doclens")
@@ -363,22 +376,29 @@ def _refresh_derived(spark: SparkSession, index_dir: str) -> None:
         # them. The tombstone set is deletion-sized: broadcast anti-join.
         written = written.join(F.broadcast(deletes), "doc_id", "left_anti")
         doclens = doclens.join(F.broadcast(deletes), "doc_id", "left_anti")
-    (
-        written.groupBy("bucket", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{index_dir}/lexicon.new")
-    )
-    (
-        doclens.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
+    # The two derived writes read DIFFERENT source layers into DIFFERENT
+    # staging dirs — concurrent submission (guide §2.6), swaps + the one
+    # manifest commit strictly after both complete, so the cross-layer
+    # atomicity contract is untouched.
+    with _cf.ThreadPoolExecutor(max_workers=2) as _ex:
+        fl = _ex.submit(
+            lambda: written.groupBy("bucket", "tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{index_dir}/lexicon.new")
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/stats.new")
-    )
+        fs = _ex.submit(
+            lambda: doclens.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/stats.new")
+        )
+        fl.result()
+        fs.result()
     for part in ("lexicon", "stats"):
         swap_live_dir(index_dir, part)
     commit_live_snapshot(index_dir, _manifest_layers(index_dir))
@@ -550,21 +570,6 @@ def merge_indexes(
             "bucket", "tok"
         )
         lex_all = one if lex_all is None else lex_all.unionByName(one)
-    split_toks = (
-        lex_all.distinct()
-        .groupBy("tok")
-        .agg(F.countDistinct("bucket").alias("nb"))
-        .where(F.col("nb") > 1)
-        .limit(5)
-        .collect()
-    )
-    if split_toks:
-        raise ValueError(
-            "shards hash the same token to different buckets (e.g. "
-            f"{sorted(r['tok'] for r in split_toks)}) — they were built "
-            "with different n_buckets. Rebuild the divergent shard(s) "
-            "with a uniform bucket count before merging."
-        )
 
     # 2) corpus disjointness (after each shard's own tombstone purge).
     dl_frames = [
@@ -576,13 +581,38 @@ def merge_indexes(
     dl_all = dl_frames[0]
     for f in dl_frames[1:]:
         dl_all = dl_all.unionByName(f)
-    dups = (
-        dl_all.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 1)
-        .limit(5)
-        .collect()
-    )
+
+    # The two integrity probes read different layers and are
+    # independent — submit both collects concurrently (guide §2.6) and
+    # evaluate the results in the documented order so error precedence
+    # is unchanged.
+    import concurrent.futures as _cf
+
+    with _cf.ThreadPoolExecutor(max_workers=2) as _ex:
+        f_split = _ex.submit(
+            lambda: lex_all.distinct()
+            .groupBy("tok")
+            .agg(F.countDistinct("bucket").alias("nb"))
+            .where(F.col("nb") > 1)
+            .limit(5)
+            .collect()
+        )
+        f_dups = _ex.submit(
+            lambda: dl_all.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .limit(5)
+            .collect()
+        )
+        split_toks = f_split.result()
+        dups = f_dups.result()
+    if split_toks:
+        raise ValueError(
+            "shards hash the same token to different buckets (e.g. "
+            f"{sorted(r['tok'] for r in split_toks)}) — they were built "
+            "with different n_buckets. Rebuild the divergent shard(s) "
+            "with a uniform bucket count before merging."
+        )
     if dups:
         raise ValueError(
             "doc_id(s) present in more than one shard (e.g. "
